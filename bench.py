@@ -1,0 +1,76 @@
+"""Benchmark runner (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is materialized with the `noop` sink (full computation,
+no write cost, no driver collect) -- an honest end-to-end measure of
+the physical plan.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from etl_building_inspector_spark.plans.registry import QUERIES  # noqa: E402
+from etl_building_inspector_spark.session import get_spark  # noqa: E402
+
+# Headline set: one per operator family, weighted toward the plans
+# whose shape matters at 100 TB (joins, aggs, windows, dedup, ANN).
+HEADLINE = [
+    "flagship_enrich",
+    "j1_broadcast_inner_join",
+    "j2_left_join_null",
+    "d1_keep_first_dedup",
+    "e1_posexplode_align",
+    "e3_union_records",
+    "agg_pricing_summary",
+    "agg_count_distinct",
+    "window_topk_per_group",
+    "window_running_sum",
+    "events_windowed_agg",
+    "events_sessionize",
+    "text_token_stats",
+    "dedup_minhash_lsh_pairs",
+    "dedup_ngram_jaccard",
+    "ann_cosine_topk",
+    "ann_cosine_lsh",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("bench")
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

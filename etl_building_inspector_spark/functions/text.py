@@ -1,0 +1,123 @@
+"""Text-analysis kernels for the training-data-pipeline surface.
+
+All JVM-native column expressions (no Python UDFs): language-ID
+stopword scoring, quality features, token/shingle extraction, document
+fingerprinting. Each has an exact ANSI-SQL twin used as its DuckDB
+oracle (see plans/queries.py), so the definitions here are deliberately
+closed-form.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tokenization contract shared with the oracles: lowercase, split on
+# runs of non-alphanumerics, drop empties. Keep this in sync with
+# _SQL_TOKENS in plans/queries.py.
+TOKEN_SPLIT_RE = "[^a-z0-9]+"
+
+# Tiny per-language stopword lists for the n-gram/stopword language-ID
+# heuristic. Deliberately small + ASCII so the SQL twin is identical.
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to"),
+    "es": ("el", "la", "de", "que", "y"),
+    "de": ("der", "die", "und", "das", "ist"),
+    "fr": ("le", "la", "les", "des", "et"),
+    "zh": ("de5", "le5", "shi4", "bu4", "wo3"),
+}
+
+
+def normalize_text(col: Column | str) -> Column:
+    """Canonical form for fingerprinting/dedup: lowercase, strip
+    non-alphanumerics to single spaces, trim."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(F.regexp_replace(F.lower(c), TOKEN_SPLIT_RE, " "))
+
+
+def tokens(col: Column | str) -> Column:
+    """array<string> of normalized tokens."""
+    return F.split(normalize_text(col), " ")
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col))
+
+
+def shingles(col: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingles as array<string>; empty array when the
+    document has fewer than n tokens. Pure column expression (sequence
+    + transform + slice), so it fuses into codegen."""
+    t = tokens(col)
+    # sequence(1, size-n+1) is empty when size < n because sequence(a, b)
+    # with b < a yields a descending range -- guard with when().
+    return F.when(
+        F.size(t) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(t, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Deterministic document fingerprint: md5 of the normalized text.
+    (The reference's analogous content-addressing: md5 of joined
+    geometry coords, building-inspector.js:207-209.)"""
+    return F.md5(normalize_text(col))
+
+
+def lang_scores(col: Column | str) -> dict[str, Column]:
+    """Stopword-hit count per language over the token array."""
+    t = tokens(col)
+    out: dict[str, Column] = {}
+    for lang, words in LANG_STOPWORDS.items():
+        arr = F.array(*[F.lit(w) for w in words])
+        out[lang] = F.size(F.filter(t, lambda x: F.array_contains(arr, x)))
+    return out
+
+
+def lang_id(col: Column | str) -> Column:
+    """argmax over lang_scores with deterministic tie-break on language
+    code ('und' when every score is 0)."""
+    scores = lang_scores(col)
+    # build struct array (score desc, lang asc) and take max
+    entries = F.array(
+        *[F.struct(s.alias("score"), F.lit(lang).alias("neg_lang")) for lang, s in sorted(scores.items())]
+    )
+    # max on (score, lang): higher score wins; tie -> lexicographically
+    # LARGEST lang wins under array_max; invert by comparing on
+    # (score, -lang) is awkward in SQL, so instead pick min over
+    # (-score, lang).
+    inv = F.array(
+        *[
+            F.struct((-s).alias("neg_score"), F.lit(lang).alias("lang"))
+            for lang, s in sorted(scores.items())
+        ]
+    )
+    best = F.array_min(inv)
+    all_zero = F.array_max(F.array(*[s for _, s in sorted(scores.items())])) == 0
+    return F.when(all_zero, F.lit("und")).otherwise(best.getField("lang"))
+
+
+def quality_features(col: Column | str) -> dict[str, Column]:
+    """Length / punctuation / stopword-ratio features for quality
+    scoring. All closed-form so the SQL oracle is exact."""
+    c = F.col(col) if isinstance(col, str) else col
+    t = tokens(col)
+    n_tok = F.size(t)
+    n_chars = F.length(c)
+    en = F.array(*[F.lit(w) for w in LANG_STOPWORDS["en"]])
+    n_stop = F.size(F.filter(t, lambda x: F.array_contains(en, x)))
+    n_punct = n_chars - F.length(F.regexp_replace(c, r"[^\w\s]", ""))
+    # ratios stay UNROUNDED: division of identical ints yields
+    # bit-identical doubles in Spark and DuckDB, while round() itself is
+    # not engine-portable at half-boundaries (Java HALF_UP on shortest
+    # decimal repr vs C round on the binary value).
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tok,
+        "mean_token_len": F.length(F.concat_ws("", t)).cast("double") / n_tok,
+        "punct_ratio": n_punct.cast("double") / n_chars,
+        "stopword_ratio": n_stop.cast("double") / n_tok,
+    }

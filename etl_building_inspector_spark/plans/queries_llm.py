@@ -1,0 +1,375 @@
+"""Training-data-pipeline queries (text analysis, dedup, similarity)
+over the documents/embeddings fixtures, each with an exact DuckDB
+oracle. The oracle SQL strings are generated from the same constants as
+the Spark operators (seeds, stopword lists, shingle sizes), so the two
+sides cannot drift.
+
+Portability rules (see queries_core.py header): md5-derived hashing
+only, sequential folds (F.aggregate <-> list_reduce), no round() on
+ratios/cosines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import (
+    LANG_STOPWORDS,
+    fingerprint,
+    lang_id,
+    quality_features,
+    tokens,
+)
+from ..operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    minhash_signature,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from ..operators.similarity import cosine_topk_bruteforce, cosine_topk_lsh
+from ..sources.tables import load_table
+
+QUERIES: dict = {}
+ORACLES: dict[str, str] = {}
+
+
+def _q(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLES[name] = sql
+        return fn
+
+    return deco
+
+
+# --- shared SQL fragments (twins of functions/text.py) ---------------------
+
+_NORM = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
+_TOKS = f"str_split({_NORM}, ' ')"
+
+
+def _shingles_sql(toks: str, n: int = 3) -> str:
+    return (
+        f"CASE WHEN len({toks}) >= {n} THEN "
+        f"[array_to_string({toks}[i:i+{n - 1}], ' ') "
+        f"for i in generate_series(1, len({toks}) - {n - 1})] "
+        f"ELSE []::VARCHAR[] END"
+    )
+
+
+def _stop_hits_sql(toks: str, words: tuple[str, ...]) -> str:
+    lit = "[" + ", ".join(f"'{w}'" for w in words) + "]"
+    return f"len(list_filter({toks}, x -> list_contains({lit}, x)))"
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "text_token_stats",
+    f"""
+WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+  CAST(length(text) AS BIGINT) AS n_chars,
+  CAST(len(toks) AS BIGINT) AS n_tokens,
+  CAST(length(array_to_string(toks, '')) AS DOUBLE) / len(toks) AS mean_token_len,
+  CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE)
+    / length(text) AS punct_ratio,
+  CAST({_stop_hits_sql("toks", LANG_STOPWORDS["en"])} AS DOUBLE) / len(toks) AS stopword_ratio
+FROM t
+""",
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    feats = quality_features("text")
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        feats["n_chars"].cast("long").alias("n_chars"),
+        feats["n_tokens"].cast("long").alias("n_tokens"),
+        feats["mean_token_len"].alias("mean_token_len"),
+        feats["punct_ratio"].alias("punct_ratio"),
+        feats["stopword_ratio"].alias("stopword_ratio"),
+    )
+
+
+def _lang_id_sql() -> str:
+    langs = sorted(LANG_STOPWORDS)  # alphabetical = tie-break order
+    hits = {
+        lang: _stop_hits_sql("toks", LANG_STOPWORDS[lang]) for lang in langs
+    }
+    score_cols = ",\n  ".join(f"{hits[lang]} AS s_{lang}" for lang in langs)
+    all_zero = " AND ".join(f"s_{lang} = 0" for lang in langs)
+    case_lines = []
+    for i, lang in enumerate(langs):
+        later = [f"s_{lang} >= s_{other}" for other in langs[i + 1 :]]
+        cond = " AND ".join(later) if later else "TRUE"
+        case_lines.append(f"WHEN {cond} THEN '{lang}'")
+    case = "\n    ".join(case_lines)
+    return f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+s AS (SELECT doc_id,
+  {score_cols}
+FROM t)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+  CASE WHEN {all_zero} THEN 'und'
+    {case}
+  END AS lang_pred
+FROM s
+"""
+
+
+@_q("text_lang_id", _lang_id_sql())
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        lang_id("text").alias("lang_pred"),
+    )
+
+
+@_q(
+    "text_fingerprint",
+    f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       md5({_NORM}) AS fingerprint
+FROM documents
+""",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        fingerprint("text").alias("fingerprint"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup family. Near-duplicates are synthesized identically on both
+# sides (copy with the last token dropped for doc_id % 5 = 0) because
+# the fixture corpus is fully distinct.
+# ---------------------------------------------------------------------------
+
+_DOCS_WITH_DUPS_SQL = f"""
+docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id,
+         array_to_string(({_TOKS})[1:len({_TOKS}) - 1], ' ') AS text
+  FROM documents WHERE doc_id % 5 = 0
+)
+"""
+
+
+def _docs_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    t = tokens("text")
+    mutated = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 5 == 0
+    ).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat_ws(" ", F.slice(t, 1, F.size(t) - 1)).alias("text"),
+    )
+    return docs.unionByName(mutated)
+
+
+@_q(
+    "dedup_exact_text",
+    f"""
+WITH {_DOCS_WITH_DUPS_SQL.strip()}
+SELECT md5({_NORM}) AS fp,
+       CAST(min(doc_id) AS BIGINT) AS doc_id,
+       CAST(count(*) AS BIGINT) AS dup_count
+FROM docs
+GROUP BY 1
+""",
+)
+def dedup_exact_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup(_docs_with_dups(spark, sf_dir), "text", "doc_id").select(
+        "fp", F.col("doc_id").cast("long").alias("doc_id"), F.col("dup_count")
+    )
+
+
+def _minhash_sig_sql(k: int = 8, n: int = 3) -> str:
+    sig_cols = ",\n  ".join(
+        f"list_min(list_transform(sh, x -> md5(concat('{i}:', x)))) AS minhash_{i}"
+        for i in range(k)
+    )
+    return f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+sh AS (SELECT doc_id, {_shingles_sql("toks", n)} AS sh FROM t)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+  {sig_cols}
+FROM sh
+"""
+
+
+@_q("dedup_minhash_signature", _minhash_sig_sql())
+def dedup_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sig = minhash_signature(docs, "text", k=8, shingle_n=3)
+    return sig.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        *[f"minhash_{i}" for i in range(8)],
+    )
+
+
+def _minhash_lsh_sql(k: int = 8, bands: int = 4, n: int = 3) -> str:
+    rpb = k // bands
+    sig_cols = ",\n  ".join(
+        f"list_min(list_transform(sh, x -> md5(concat('{i}:', x)))) AS minhash_{i}"
+        for i in range(k)
+    )
+    band_selects = "\nUNION ALL\n".join(
+        f"SELECT doc_id, {b} AS band, md5(concat_ws('|', "
+        + ", ".join(f"minhash_{b * rpb + r}" for r in range(rpb))
+        + ")) AS key FROM sig"
+        for b in range(bands)
+    )
+    return f"""
+WITH {_DOCS_WITH_DUPS_SQL.strip()},
+t AS (SELECT doc_id, {_TOKS} AS toks FROM docs),
+sh AS (SELECT doc_id, {_shingles_sql("toks", n)} AS sh FROM t),
+sig AS (SELECT doc_id, {sig_cols} FROM sh),
+buckets AS ({band_selects})
+SELECT DISTINCT CAST(a.doc_id AS BIGINT) AS id_a,
+                CAST(b.doc_id AS BIGINT) AS id_b
+FROM buckets a JOIN buckets b
+  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+"""
+
+
+@_q("dedup_minhash_lsh_pairs", _minhash_lsh_sql())
+def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs_with_dups(spark, sf_dir)
+    pairs = minhash_lsh_pairs(docs, "text", "doc_id", k=8, bands=4, shingle_n=3)
+    return pairs.select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+    )
+
+
+def _simhash_sql(bits: int = 16) -> str:
+    h = "CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT)"
+    terms = []
+    for b in range(bits):
+        vote = (
+            f"list_sum(list_transform(toks, tok -> "
+            f"CASE WHEN ({h} >> {b}) & 1 = 1 THEN 1 ELSE -1 END))"
+        )
+        terms.append(f"(CASE WHEN {vote} > 0 THEN {2**b} ELSE 0 END)")
+    total = "\n  + ".join(terms)
+    return f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+  CAST({total} AS BIGINT) AS simhash
+FROM t
+"""
+
+
+@_q("dedup_simhash", _simhash_sql())
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return simhash(docs, "text", bits=16).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("simhash").cast("long").alias("simhash"),
+    )
+
+
+def _jaccard_sql(n: int = 3, threshold: float = 0.5) -> str:
+    return f"""
+WITH {_DOCS_WITH_DUPS_SQL.strip()},
+t AS (SELECT doc_id, {_TOKS} AS toks FROM docs),
+sh AS (SELECT doc_id, unnest(list_distinct({_shingles_sql("toks", n)})) AS s FROM t),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+       CAST(n_shared AS DOUBLE) / (sa.n_sh + sb.n_sh - n_shared) AS jaccard
+FROM shared
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(n_shared AS DOUBLE) / (sa.n_sh + sb.n_sh - n_shared) >= {threshold}
+"""
+
+
+@_q("dedup_ngram_jaccard", _jaccard_sql())
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs_with_dups(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(docs, "text", "doc_id", shingle_n=3, threshold=0.5)
+    return pairs.select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        "jaccard",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search over embeddings (array<float>, 64-dim fixtures).
+# ---------------------------------------------------------------------------
+
+_DOT_SQL = (
+    "list_reduce([CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE) "
+    "for i in generate_series(1, len({a}))], (x, y) -> x + y)"
+)
+
+
+def _ann_sql(k: int = 5, n_queries: int = 10) -> str:
+    dot_qc = _DOT_SQL.format(a="qe", b="ce")
+    # norms via self-dot; 0.0 init matches F.aggregate's zero seed
+    # (0 + x == x exactly in IEEE, so list_reduce without init agrees).
+    dot_qq = _DOT_SQL.format(a="qe", b="qe")
+    dot_cc = _DOT_SQL.format(a="ce", b="ce")
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+           WHERE vec_id < {n_queries}),
+c AS (SELECT vec_id AS neighbor_id, embedding AS ce FROM embeddings),
+sims AS (
+  SELECT query_id, neighbor_id,
+         {dot_qc} / (sqrt({dot_qq}) * sqrt({dot_cc})) AS cosine
+  FROM q, c WHERE query_id <> neighbor_id
+)
+SELECT CAST(query_id AS BIGINT) AS query_id,
+       CAST(neighbor_id AS BIGINT) AS neighbor_id,
+       cosine,
+       CAST(row_number() OVER (
+         PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+       ) AS BIGINT) AS rank
+FROM sims
+QUALIFY rank <= {k}
+"""
+
+
+@_q("ann_cosine_topk", _ann_sql())
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    out = cosine_topk_bruteforce(emb, queries, "embedding", "vec_id", k=5)
+    return out.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("neighbor_id").cast("long").alias("neighbor_id"),
+        "cosine",
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+@_q("ann_cosine_lsh")  # no SQL oracle: hyperplane literals are impractical
+def ann_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only driver check; correctness vs brute force is asserted in
+    tests/test_similarity.py (recall@k over the fixture)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    out = cosine_topk_lsh(emb, queries, "embedding", "vec_id", k=5, n_planes=6, dim=64)
+    return out.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("neighbor_id").cast("long").alias("neighbor_id"),
+        "cosine",
+        F.col("rank").cast("long").alias("rank"),
+    )
