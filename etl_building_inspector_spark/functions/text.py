@@ -67,9 +67,12 @@ def fingerprint(col: Column | str) -> Column:
     return F.md5(normalize_text(col))
 
 
-def lang_scores(col: Column | str) -> dict[str, Column]:
-    """Stopword-hit count per language over the token array."""
-    t = tokens(col)
+def lang_scores(col: Column | str, toks: Column | None = None) -> dict[str, Column]:
+    """Stopword-hit count per language over the token array. Pass a
+    pre-materialized token column via `toks` when computing several
+    features over the same text (avoids re-deriving tokenize per
+    language -- the CollapseProject duplication trap)."""
+    t = toks if toks is not None else tokens(col)
     out: dict[str, Column] = {}
     for lang, words in LANG_STOPWORDS.items():
         arr = F.array(*[F.lit(w) for w in words])
@@ -77,18 +80,11 @@ def lang_scores(col: Column | str) -> dict[str, Column]:
     return out
 
 
-def lang_id(col: Column | str) -> Column:
+def lang_id(col: Column | str, toks: Column | None = None) -> Column:
     """argmax over lang_scores with deterministic tie-break on language
-    code ('und' when every score is 0)."""
-    scores = lang_scores(col)
-    # build struct array (score desc, lang asc) and take max
-    entries = F.array(
-        *[F.struct(s.alias("score"), F.lit(lang).alias("neg_lang")) for lang, s in sorted(scores.items())]
-    )
-    # max on (score, lang): higher score wins; tie -> lexicographically
-    # LARGEST lang wins under array_max; invert by comparing on
-    # (score, -lang) is awkward in SQL, so instead pick min over
-    # (-score, lang).
+    code ('und' when every score is 0): pick min over (-score, lang)
+    structs -- same as the SQL oracle's alphabetical >= CASE chain."""
+    scores = lang_scores(col, toks)
     inv = F.array(
         *[
             F.struct((-s).alias("neg_score"), F.lit(lang).alias("lang"))
@@ -100,11 +96,13 @@ def lang_id(col: Column | str) -> Column:
     return F.when(all_zero, F.lit("und")).otherwise(best.getField("lang"))
 
 
-def quality_features(col: Column | str) -> dict[str, Column]:
+def quality_features(col: Column | str, toks: Column | None = None) -> dict[str, Column]:
     """Length / punctuation / stopword-ratio features for quality
-    scoring. All closed-form so the SQL oracle is exact."""
+    scoring. All closed-form so the SQL oracle is exact. Pass `toks`
+    (pre-materialized token column) when emitting several features in
+    one projection."""
     c = F.col(col) if isinstance(col, str) else col
-    t = tokens(col)
+    t = toks if toks is not None else tokens(col)
     n_tok = F.size(t)
     n_chars = F.length(c)
     en = F.array(*[F.lit(w) for w in LANG_STOPWORDS["en"]])
