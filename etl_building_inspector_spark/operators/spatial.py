@@ -1,0 +1,152 @@
+"""Spatial join: point-in-polygon, partitioned by layer (reference J3,
+building-inspector.js:275-325 + geo-indices.js:22-56).
+
+The reference builds a per-layer R-tree of building polygons and probes
+each toponym point against its layer's index (bbox prefilter, then
+exact test). The Spark-first re-expression:
+
+  * the per-layer index sharding IS an equi-join key -> join on
+    layer_id (geo-indices.js:25-36 maps to join-key partitioning);
+  * the R-tree bbox prefilter -> a grid-cell equi-join conjunct
+    (polygons exploded to covered cells, points to their cell);
+  * the exact test -> an even-odd ray-cast implemented as PURE COLUMN
+    EXPRESSIONS (filter/size over the ring's edge list) -- JVM-side,
+    whole-stage-codegen'd, no Python UDF, and expressible 1:1 in the
+    DuckDB oracle.
+
+Two physical strategies, same semantics:
+  spatial_join_broadcast -- polygons broadcast, equi-join on layer_id
+    only. Right when the polygon side fits in memory (the reference's
+    own regime).
+  spatial_join_grid -- both sides keyed by (layer_id, cell); shuffle
+    hash join on a fine key. The 100 TB path: no broadcast limit, skew
+    bounded by cell size; a point lives in exactly one cell so no
+    dedup of matches is needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def point_in_polygon(px: Column, py: Column, ring: Column) -> Column:
+    """Even-odd ray cast: count ring edges crossed by the +x ray from
+    (px, py); odd -> inside. `ring` is array<array<double>> with the
+    first vertex repeated last (GeoJSON closed ring).
+
+    All arithmetic is closed-form column math, so Spark and the DuckDB
+    twin produce bit-identical booleans. The horizontal-edge division
+    is guarded with when() (no short-circuit guarantees inside
+    higher-order lambdas under ANSI mode).
+    """
+    edges = F.zip_with(
+        F.slice(ring, 1, F.size(ring) - 1),
+        F.slice(ring, 2, F.size(ring) - 1),
+        lambda a, b: F.struct(
+            a.getItem(0).alias("ax"),
+            a.getItem(1).alias("ay"),
+            b.getItem(0).alias("bx"),
+            b.getItem(1).alias("by"),
+        ),
+    )
+
+    def crosses(e: Column) -> Column:
+        straddles = (e.getField("ay") > py) != (e.getField("by") > py)
+        x_at_y = e.getField("ax") + (py - e.getField("ay")) * (
+            e.getField("bx") - e.getField("ax")
+        ) / (e.getField("by") - e.getField("ay"))
+        return F.when(straddles, px < x_at_y).otherwise(F.lit(False))
+
+    n_crossings = F.size(F.filter(edges, crosses))
+    return n_crossings % 2 == 1
+
+
+def _bbox(ring: Column) -> tuple[Column, Column, Column, Column]:
+    xs = F.transform(ring, lambda v: v.getItem(0))
+    ys = F.transform(ring, lambda v: v.getItem(1))
+    return F.array_min(xs), F.array_max(xs), F.array_min(ys), F.array_max(ys)
+
+
+def spatial_join_broadcast(
+    points: DataFrame,
+    polygons: DataFrame,
+    point_col: str = "point",
+    ring_col: str = "ring",
+    layer_col: str = "layer_id",
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join on layer + ray-cast predicate, polygon side broadcast.
+
+    One-to-MANY like the reference (every containing polygon matches,
+    building-inspector.js:289-296). `how='left'` keeps unmatched points
+    with NULL polygon columns (the no-match log path).
+    """
+    px = F.col(f"{point_col}")[0]
+    py = F.col(f"{point_col}")[1]
+    cond = (points[layer_col] == polygons[layer_col]) & point_in_polygon(
+        px, py, polygons[ring_col]
+    )
+    return points.join(F.broadcast(polygons), cond, how)
+
+
+def spatial_join_grid(
+    points: DataFrame,
+    polygons: DataFrame,
+    cell_size: float,
+    point_col: str = "point",
+    ring_col: str = "ring",
+    layer_col: str = "layer_id",
+) -> DataFrame:
+    """Shuffle-based spatial join keyed by (layer, grid cell).
+
+    Polygons explode to every cell their bbox covers (the R-tree bbox
+    prefilter, turned into join-key fan-out); each point hashes to
+    exactly one cell, so matches are already distinct. Inner join only
+    -- callers needing left-outer semantics anti-join the matches back
+    (see plans/pipeline.py), because a left join on the exploded cell
+    key would duplicate misses per cell.
+    """
+    xmin, xmax, ymin, ymax = _bbox(polygons[ring_col])
+    cs = F.lit(float(cell_size))
+    cells = F.flatten(
+        F.transform(
+            F.sequence(
+                F.floor(F.col("__xmin") / cs), F.floor(F.col("__xmax") / cs)
+            ),
+            lambda cx: F.transform(
+                F.sequence(
+                    F.floor(F.col("__ymin") / cs), F.floor(F.col("__ymax") / cs)
+                ),
+                lambda cy: F.struct(cx.alias("cx"), cy.alias("cy")),
+            ),
+        )
+    )
+    polys_staged = (
+        polygons.withColumn("__xmin", xmin)
+        .withColumn("__xmax", xmax)
+        .withColumn("__ymin", ymin)
+        .withColumn("__ymax", ymax)
+        .withColumn("__cell", F.explode(cells))
+        .drop("__xmin", "__xmax", "__ymin", "__ymax")
+    )
+    pts_staged = points.withColumn(
+        "__pcell",
+        F.struct(
+            F.floor(points[point_col].getItem(0) / cs).alias("cx"),
+            F.floor(points[point_col].getItem(1) / cs).alias("cy"),
+        ),
+    )
+    joined = pts_staged.join(
+        polys_staged,
+        (pts_staged[layer_col] == polys_staged[layer_col])
+        & (pts_staged["__pcell"] == polys_staged["__cell"]),
+        "inner",
+    )
+    return joined.filter(
+        point_in_polygon(
+            pts_staged[point_col].getItem(0),
+            pts_staged[point_col].getItem(1),
+            polys_staged[ring_col],
+        )
+    ).drop("__pcell", "__cell")

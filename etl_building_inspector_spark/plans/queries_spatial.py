@@ -1,0 +1,176 @@
+"""Spatial join (J3) oracle queries.
+
+The fixtures carry no geometry, so both sides synthesize it with
+IDENTICAL integer arithmetic (exact in doubles, engine-portable):
+
+  polygons: one diamond per supplier, layer = s_nationkey % 5,
+            center ((s_suppkey % 40)*10, (s_suppkey // 40)*10),
+            radius 3 + s_suppkey % 4;
+  points:   one per customer, layer = c_nationkey % 5,
+            ((c_custkey % 40)*10 + c_custkey % 7 - 3,
+             (c_custkey // 40 % 25)*10 + c_custkey % 5 - 2).
+
+The DuckDB oracle implements the same even-odd ray cast over the ring
+edges, so J3 gets a full value-hash check -- stronger than the
+rows-only fallback SURVEY anticipated.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.spatial import spatial_join_broadcast, spatial_join_grid
+from ..sources.tables import load_table
+
+QUERIES: dict = {}
+ORACLES: dict[str, str] = {}
+
+
+def _q(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLES[name] = sql
+        return fn
+
+    return deco
+
+
+# --- Spark-side synthesized geometry ---------------------------------------
+
+
+def _synth_polygons(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sup = load_table(spark, sf_dir, "supplier")
+    cx = (F.col("s_suppkey") % 40).cast("double") * 10
+    cy = F.expr("s_suppkey DIV 40").cast("double") * 10
+    r = (F.lit(3) + F.col("s_suppkey") % 4).cast("double")
+    ring = F.array(
+        F.array(cx + r, cy),
+        F.array(cx, cy + r),
+        F.array(cx - r, cy),
+        F.array(cx, cy - r),
+        F.array(cx + r, cy),
+    )
+    return sup.select(
+        F.col("s_suppkey").cast("long").alias("poly_id"),
+        (F.col("s_nationkey") % 5).cast("long").alias("layer_id"),
+        ring.alias("ring"),
+    )
+
+
+def _synth_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    px = (F.col("c_custkey") % 40).cast("double") * 10 + (
+        F.col("c_custkey") % 7
+    ).cast("double") - 3
+    py = (F.expr("c_custkey DIV 40") % 25).cast("double") * 10 + (
+        F.col("c_custkey") % 5
+    ).cast("double") - 2
+    return cust.select(
+        F.col("c_custkey").cast("long").alias("point_id"),
+        (F.col("c_nationkey") % 5).cast("long").alias("layer_id"),
+        F.array(px, py).alias("point"),
+    )
+
+
+# --- DuckDB twins -----------------------------------------------------------
+
+_POLYS_SQL = """
+polys AS (
+  SELECT CAST(s_suppkey AS BIGINT) AS poly_id,
+         CAST(s_nationkey % 5 AS BIGINT) AS layer_id,
+         [[cx + r, cy], [cx, cy + r], [cx - r, cy], [cx, cy - r], [cx + r, cy]] AS ring
+  FROM (
+    SELECT s_suppkey, s_nationkey,
+           CAST(s_suppkey % 40 AS DOUBLE) * 10 AS cx,
+           CAST(s_suppkey // 40 AS DOUBLE) * 10 AS cy,
+           CAST(3 + s_suppkey % 4 AS DOUBLE) AS r
+    FROM supplier)
+)
+"""
+
+_POINTS_SQL = """
+points AS (
+  SELECT CAST(c_custkey AS BIGINT) AS point_id,
+         CAST(c_nationkey % 5 AS BIGINT) AS layer_id,
+         CAST(c_custkey % 40 AS DOUBLE) * 10 + CAST(c_custkey % 7 AS DOUBLE) - 3 AS px,
+         CAST(c_custkey // 40 % 25 AS DOUBLE) * 10 + CAST(c_custkey % 5 AS DOUBLE) - 2 AS py
+  FROM customer
+)
+"""
+
+# even-odd ray cast, identical arithmetic to operators/spatial.py
+_PIP_SQL = """
+(len(list_filter(
+  list_transform(generate_series(1, len(ring) - 1),
+    i -> {'ax': ring[i][1], 'ay': ring[i][2], 'bx': ring[i+1][1], 'by': ring[i+1][2]}),
+  e -> CASE WHEN (e.ay > py) <> (e.by > py)
+       THEN px < e.ax + (py - e.ay) * (e.bx - e.ax) / (e.by - e.ay)
+       ELSE false END)) % 2) = 1
+"""
+
+
+@_q(
+    "spatial_pip_join",
+    f"""
+WITH {_POLYS_SQL.strip()}, {_POINTS_SQL.strip()}
+SELECT p.point_id, g.poly_id
+FROM points p JOIN polys g
+  ON p.layer_id = g.layer_id
+WHERE {_PIP_SQL}
+""",
+)
+def spatial_pip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast strategy: polygons broadcast, equi-join on layer +
+    codegen'd ray-cast predicate (reference J3 semantics: one-to-many,
+    all containing polygons match)."""
+    points = _synth_points(spark, sf_dir)
+    polys = _synth_polygons(spark, sf_dir)
+    out = spatial_join_broadcast(points, polys, "point", "ring", "layer_id")
+    return out.select("point_id", "poly_id")
+
+
+@_q(
+    "spatial_pip_join_grid",
+    f"""
+WITH {_POLYS_SQL.strip()}, {_POINTS_SQL.strip()}
+SELECT p.point_id, g.poly_id
+FROM points p JOIN polys g
+  ON p.layer_id = g.layer_id
+WHERE {_PIP_SQL}
+""",
+)
+def spatial_pip_join_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid strategy: same semantics, shuffle join on (layer, cell) --
+    the 100 TB path (no broadcast limit). Same oracle as the broadcast
+    variant by construction."""
+    points = _synth_points(spark, sf_dir)
+    polys = _synth_polygons(spark, sf_dir)
+    out = spatial_join_grid(points, polys, cell_size=10.0)
+    return out.select("point_id", "poly_id")
+
+
+@_q(
+    "spatial_pip_nomatch_log",
+    f"""
+WITH {_POLYS_SQL.strip()}, {_POINTS_SQL.strip()}
+SELECT concat('Can''t find polygon for point ', p.point_id) AS error
+FROM points p
+LEFT JOIN polys g ON p.layer_id = g.layer_id AND {_PIP_SQL}
+WHERE g.poly_id IS NULL
+""",
+)
+def spatial_pip_nomatch_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's no-match side-channel (building-inspector.js:
+    297-304): points contained by nothing emit a log record."""
+    points = _synth_points(spark, sf_dir)
+    polys = _synth_polygons(spark, sf_dir)
+    matched = spatial_join_broadcast(
+        points, polys, "point", "ring", "layer_id", how="left"
+    )
+    return matched.filter(F.col("poly_id").isNull()).select(
+        F.concat(F.lit("Can't find polygon for point "), F.col("point_id")).alias(
+            "error"
+        )
+    )
