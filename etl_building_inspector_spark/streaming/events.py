@@ -1,0 +1,100 @@
+"""Structured Streaming surface (north-star extension; the reference is
+batch-only, SURVEY section 2.9 -- its hand-rolled lazy-pull streams are
+an execution detail, not event-time semantics).
+
+The batch twins of these queries live in plans/queries_core.py
+(events_windowed_agg / events_sessionize) and carry DuckDB oracles;
+here the same logical plans run incrementally with watermarks. Tests
+drive them with the parquet fixture as a bounded stream and a memory
+sink (processAllAvailable), which exercises the real incremental
+execution path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_event_stream(spark: SparkSession, path: str) -> DataFrame:
+    """File-source stream over a directory of parquet event files. At
+    production scale this is a Kafka source; the transformations below
+    are source-agnostic."""
+    return spark.readStream.schema(EVENTS_SCHEMA).parquet(path)
+
+
+def streaming_windowed_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Tumbling-window counts per event type with late-data handling.
+
+    The watermark bounds state: at 100 TB/day the state store holds
+    only (windows within watermark) x (event types), and late events
+    beyond it are dropped deterministically.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.approx_count_distinct("user_id").alias("approx_users"),
+            F.sum("value").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "approx_users",
+            "sum_value",
+        )
+    )
+
+
+def session_windows(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Native session windows (gap-based), the streaming twin of the
+    batch lag+cumsum sessionization (events_sessionize query)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def run_to_memory(df: DataFrame, name: str) -> DataFrame:
+    """Drive a bounded stream to completion synchronously; returns the
+    materialized result table (complete output mode)."""
+    q = (
+        df.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return df.sparkSession.sql(f"SELECT * FROM {name}")

@@ -1,0 +1,54 @@
+"""Multimodal plumbing tests: binary media columns + mapInPandas
+feature extraction (decode stubbed per the environment contract)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_building_inspector_spark.operators.multimodal import (
+    decode_image,
+    extract_media_features,
+    synth_media,
+)
+from etl_building_inspector_spark.sources.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def media_df(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return synth_media(docs, "doc_id")
+
+
+def test_media_schema(media_df):
+    f = dict(media_df.dtypes)["media"]
+    assert "bytes:binary" in f.replace(" ", "")
+    assert "mime:string" in f.replace(" ", "")
+
+
+def test_feature_extraction_deterministic(spark, media_df):
+    feats = extract_media_features(media_df, "doc_id").collect()
+    assert len(feats) == media_df.count()
+    by_key = {r.key: r for r in feats}
+    # recompute one row's features in plain python
+    expected_payload = (
+        hashlib.md5(str(0).encode()).hexdigest() * 4
+    ).encode()
+    assert by_key[0].n_bytes == len(expected_payload)
+    assert by_key[0].content_hash == hashlib.md5(expected_payload).hexdigest()
+    assert by_key[0].mean_byte == pytest.approx(
+        sum(expected_payload) / len(expected_payload)
+    )
+
+
+def test_binary_column_pruned_when_not_selected(media_df):
+    # selecting only the key must not carry the binary through the plan
+    plan = media_df.select("doc_id")._jdf.queryExecution().optimizedPlan().toString()
+    assert "bytes" not in plan
+
+
+def test_decode_is_explicit_stub(media_df):
+    with pytest.raises(NotImplementedError, match="PIL"):
+        decode_image(media_df)

@@ -1,0 +1,52 @@
+"""Structured Streaming tests: drive bounded file streams through the
+real incremental engine and cross-check against the batch plan."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_building_inspector_spark.sources.tables import load_table
+from etl_building_inspector_spark.streaming.events import (
+    read_event_stream,
+    run_to_memory,
+    session_windows,
+    streaming_windowed_counts,
+)
+
+
+@pytest.fixture(scope="module")
+def event_dir(spark, sf_dir, tmp_path_factory):
+    # fixture parquet is TIMESTAMP(NANOS); rewrite via the batch loader
+    # (which normalizes to micros) so the stream source can read it
+    d = str(tmp_path_factory.mktemp("events_stream"))
+    load_table(spark, sf_dir, "events").write.mode("overwrite").parquet(d)
+    return d
+
+
+def test_streaming_window_counts_match_batch(spark, event_dir):
+    stream = read_event_stream(spark, event_dir)
+    result = run_to_memory(
+        streaming_windowed_counts(stream, "1 hour"), "win_counts"
+    ).collect()
+    batch = (
+        spark.read.parquet(event_dir)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    stream_counts = {(r.window_start, r.event_type): r.n_events for r in result}
+    batch_counts = {(r.w.start, r.event_type): r.n for r in batch}
+    assert stream_counts == batch_counts
+
+
+def test_streaming_session_windows(spark, event_dir):
+    stream = read_event_stream(spark, event_dir)
+    result = run_to_memory(session_windows(stream, "30 minutes"), "sessions")
+    rows = result.collect()
+    assert len(rows) > 0
+    # session invariants: start <= end, counts positive
+    assert all(r.session_start <= r.session_end and r.n_events > 0 for r in rows)
+    # total events preserved across sessions
+    total = sum(r.n_events for r in rows)
+    assert total == spark.read.parquet(event_dir).count()
