@@ -4,11 +4,23 @@ agg/window) and LLM-pipeline query sets for the driver contract
 
 from __future__ import annotations
 
-from . import queries_core, queries_domain, queries_llm, queries_spatial
+from . import (
+    queries_core,
+    queries_domain,
+    queries_llm,
+    queries_spatial,
+    queries_surface,
+)
 
 QUERIES: dict = {}
 ORACLES: dict[str, str] = {}
 
-for mod in (queries_core, queries_domain, queries_llm, queries_spatial):
+for mod in (
+    queries_core,
+    queries_domain,
+    queries_llm,
+    queries_spatial,
+    queries_surface,
+):
     QUERIES.update(mod.QUERIES)
     ORACLES.update(mod.ORACLES)

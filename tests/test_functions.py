@@ -1,0 +1,109 @@
+"""Kernel unit tests + property-based invariants (hypothesis)."""
+
+from __future__ import annotations
+
+import hashlib
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from etl_building_inspector_spark.functions.ids import _encode_b62
+from etl_building_inspector_spark.operators.dedup import keep_first
+
+
+def _py_b62(n: int) -> str:
+    chars = "0123456789abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ"
+    if n == 0:
+        return "0"
+    out = []
+    while n:
+        n, r = divmod(n, 62)
+        out.append(chars[r])
+    return "".join(reversed(out))
+
+
+@given(st.integers(min_value=0, max_value=2**128 - 1))
+def test_b62_roundtrip_decodable(n):
+    s = _encode_b62(n)
+    chars = "0123456789abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ"
+    back = 0
+    for ch in s:
+        back = back * 62 + chars.index(ch)
+    assert back == n
+
+
+def test_b62_udf_matches_reference_semantics(spark):
+    """base62(md5 hex) matches a hand computation (the base-62.js
+    encodeHex contract used at building-inspector.js:209)."""
+    from etl_building_inspector_spark.functions.ids import base62_of_hex
+
+    samples = ["2.0,2.0", "0.5,0.5", "-73.98,40.75"]
+    df = spark.createDataFrame([(s,) for s in samples], "s string")
+    rows = df.select(
+        "s", base62_of_hex(F.md5("s")).alias("b62")
+    ).collect()
+    for r in rows:
+        h = hashlib.md5(r.s.encode()).hexdigest()
+        assert r.b62 == _py_b62(int(h, 16))
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 100)),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_keep_first_properties(spark, rows):
+    """keep_first is (a) idempotent, (b) returns one row per key,
+    (c) returns the minimal order value per key."""
+    df = spark.createDataFrame(rows, "k int, seq int")
+    out = keep_first(df, ["k"], ["seq"]).collect()
+    keys = [r.k for r in out]
+    assert len(keys) == len(set(keys)) == len({k for k, _ in rows})
+    expected_min = {}
+    for k, seq in rows:
+        expected_min[k] = min(expected_min.get(k, seq), seq)
+    assert {r.k: r.seq for r in out} == expected_min
+    # idempotence
+    again = keep_first(
+        spark.createDataFrame(out), ["k"], ["seq"]
+    ).collect()
+    assert sorted((r.k, r.seq) for r in again) == sorted(
+        (r.k, r.seq) for r in out
+    )
+
+
+def test_fanout_invariants(spark, sf_dir):
+    """E2: every order emits exactly 2 relations (the reference's
+    mapwarperRelations contract, building-inspector.js:183-202)."""
+    from etl_building_inspector_spark.plans.queries_core import e2_relation_fanout
+    from etl_building_inspector_spark.sources.tables import load_table
+
+    n_orders = load_table(spark, sf_dir, "orders").count()
+    fanned = e2_relation_fanout(spark, sf_dir)
+    assert fanned.count() == 2 * n_orders
+    per_source = fanned.groupBy("rel_from").count().select("count").distinct()
+    assert [r["count"] for r in per_source.collect()] == [2]
+
+
+def test_minhash_jaccard_correlation(spark):
+    """MinHash property: identical docs collide on every hash; disjoint
+    docs collide on (practically) none."""
+    from etl_building_inspector_spark.operators.dedup import minhash_signature
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "alpha beta gamma delta epsilon zeta"),
+            (3, "one two three four five six seven"),
+        ],
+        "doc_id int, text string",
+    )
+    sig = minhash_signature(docs, "text", k=8).collect()
+    by_id = {r.doc_id: [r[f"minhash_{i}"] for i in range(8)] for r in sig}
+    assert by_id[1] == by_id[2]
+    agree_13 = sum(a == b for a, b in zip(by_id[1], by_id[3]))
+    assert agree_13 == 0
