@@ -1,0 +1,82 @@
+"""Physical-plan assertions: the scale-relevant plan properties the
+engine is designed around (broadcasts, pushdown, no stray shuffles).
+These are regression guards -- if a code change silently turns a
+broadcast join into a sort-merge or drops scan pushdown, correctness
+tests stay green but the 100 TB story breaks; these fail instead."""
+
+from __future__ import annotations
+
+import pytest
+
+from etl_building_inspector_spark.plans.registry import QUERIES
+
+
+def _executed(spark, name, sf_dir):
+    return (
+        QUERIES[name](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    )
+
+
+def _full(spark, name, sf_dir):
+    return QUERIES[name](spark, sf_dir)._jdf.queryExecution().toString()
+
+
+def test_flagship_all_dimension_joins_broadcast(spark, sf_dir):
+    plan = _executed(spark, "flagship_enrich", sf_dir)
+    assert plan.count("BroadcastHashJoin") >= 3  # customer, nation, region
+    assert "SortMergeJoin" not in plan
+
+
+def test_flagship_scan_pushdown(spark, sf_dir):
+    qe = _full(spark, "flagship_enrich", sf_dir)
+    # filter reaches the parquet scan...
+    assert "GreaterThanOrEqual(l_shipdate" in qe
+    # ...and the scan reads only the projected columns (no l_tax etc.)
+    import re
+
+    read_schemas = re.findall(r"ReadSchema: struct<([^>]*)", qe)
+    lineitem_schema = next(s for s in read_schemas if "l_orderkey" in s)
+    assert "l_tax" not in lineitem_schema and "l_returnflag" not in lineitem_schema
+
+
+def test_spatial_join_is_broadcast_on_layer(spark, sf_dir):
+    plan = _executed(spark, "spatial_pip_join", sf_dir)
+    assert "BroadcastHashJoin" in plan  # equi on layer_id, polygons broadcast
+    assert "CartesianProduct" not in plan
+
+
+def test_spatial_grid_join_no_broadcast_needed(spark, sf_dir):
+    # the scale path must work WITHOUT broadcasting the polygon side
+    plan = _executed(spark, "spatial_pip_join_grid", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ann_bruteforce_broadcasts_query_side(spark, sf_dir):
+    plan = _executed(spark, "ann_cosine_topk", sf_dir)
+    # corpus side streams; only the small query batch is broadcast
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_agg_single_shuffle(spark, sf_dir):
+    plan = _executed(spark, "agg_pricing_summary", sf_dir)
+    # partial agg map-side, one exchange, final agg -- no extra shuffles
+    assert plan.count("Exchange") == 1
+
+
+def test_no_python_udf_on_relational_paths(spark, sf_dir):
+    """Everything except the two sanctioned kernels (base62 pandas_udf,
+    multimodal mapInPandas) must stay JVM-side."""
+    for name in (
+        "flagship_enrich",
+        "agg_pricing_summary",
+        "dedup_minhash_signature",
+        "dedup_simhash",
+        "text_token_stats",
+        "ann_cosine_topk",
+        "spatial_pip_join",
+        "spatial_pip_join_grid",
+    ):
+        plan = _executed(spark, name, sf_dir)
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
