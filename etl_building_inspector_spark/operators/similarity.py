@@ -95,16 +95,35 @@ def _hyperplane(dim: int, seed: int) -> list[float]:
     return vals
 
 
-def lsh_bucket(df: DataFrame, vec_col: str, n_planes: int = 8, dim: int = 64) -> DataFrame:
-    """Random-hyperplane LSH bucket id (0..2^n_planes-1) as `bucket`.
-    Hyperplane constants are literals folded into the plan -- zero
-    runtime cost beyond the dot products; no shuffle."""
-    bucket = F.lit(0)
-    for p in range(n_planes):
-        plane = F.array(*[F.lit(v) for v in _hyperplane(dim, p)])
-        bit = F.when(_dot(F.col(vec_col), plane) > 0, F.lit(2**p)).otherwise(F.lit(0))
-        bucket = bucket + bit
-    return df.withColumn("bucket", bucket)
+def lsh_buckets(
+    df: DataFrame,
+    vec_col: str,
+    n_tables: int = 6,
+    planes_per_table: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """Multi-table random-hyperplane LSH: one (table, bucket) row per
+    input row per table. Standard L-tables-of-m-planes construction --
+    per-table collision prob is p^m (p = 1 - angle/pi), union over L
+    tables gives recall 1-(1-p^m)^L. Hyperplane constants are literals
+    folded into the plan; the explode is the only fan-out (x L)."""
+    entries = []
+    for t in range(n_tables):
+        bucket = F.lit(0)
+        for p in range(planes_per_table):
+            plane = F.array(
+                *[F.lit(v) for v in _hyperplane(dim, t * planes_per_table + p)]
+            )
+            bit = F.when(_dot(F.col(vec_col), plane) > 0, F.lit(2**p)).otherwise(
+                F.lit(0)
+            )
+            bucket = bucket + bit
+        entries.append(
+            F.struct(F.lit(t).alias("table"), bucket.alias("bucket"))
+        )
+    return df.withColumn("__tb", F.explode(F.array(*entries))).select(
+        "*", F.col("__tb.table").alias("table"), F.col("__tb.bucket").alias("bucket")
+    ).drop("__tb")
 
 
 def cosine_topk_lsh(
@@ -113,32 +132,38 @@ def cosine_topk_lsh(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     k: int = 5,
-    n_planes: int = 6,
+    n_tables: int = 6,
+    planes_per_table: int = 4,
     dim: int = 64,
 ) -> DataFrame:
-    """ANN top-k: equi-join on LSH bucket, exact cosine within bucket.
+    """ANN top-k: candidates from any shared (table, bucket), exact
+    cosine on the deduped candidate set.
 
-    vs brute force: the cross join becomes a hash join on `bucket`, so
-    candidate count drops ~2^n_planes-fold. Recall < 1 by construction
-    (neighbors across a hyperplane are missed) -- standard multi-probe
-    extension would add adjacent buckets. This is the 100 TB path: the
-    corpus-side hash is computed once (persist/write it), queries touch
-    one bucket each.
+    vs brute force: the cross join becomes a hash join on the bucket
+    key; candidate count drops ~2^m-fold per table. This is the 100 TB
+    path: the corpus-side buckets are computed once (persist/write
+    them), queries touch L buckets each, and recall is tuned with
+    (L, m) instead of memory.
     """
-    c = lsh_bucket(
+    c = lsh_buckets(
         corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")),
         "__cvec",
-        n_planes,
+        n_tables,
+        planes_per_table,
         dim,
     )
-    q = lsh_bucket(
+    q = lsh_buckets(
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")),
         "__qvec",
-        n_planes,
+        n_tables,
+        planes_per_table,
         dim,
     )
-    joined = c.join(F.broadcast(q), "bucket").filter(
-        F.col("query_id") != F.col("neighbor_id")
+    joined = (
+        c.join(F.broadcast(q), ["table", "bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        # a pair can collide in several tables -> dedup before scoring
+        .dropDuplicates(["query_id", "neighbor_id"])
     )
     sim = joined.select(
         "query_id",

@@ -370,7 +370,7 @@ def ann_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_similarity.py (recall@k over the fixture)."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    out = cosine_topk_lsh(emb, queries, "embedding", "vec_id", k=5, n_planes=6, dim=64)
+    out = cosine_topk_lsh(emb, queries, "embedding", "vec_id", k=5, n_tables=6, planes_per_table=4, dim=64)
     return out.select(
         F.col("query_id").cast("long").alias("query_id"),
         F.col("neighbor_id").cast("long").alias("neighbor_id"),
