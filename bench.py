@@ -42,6 +42,12 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     "ann_cosine_topk",
     "ann_cosine_lsh",
+    "spatial_pip_join",
+    "spatial_pip_join_grid",
+    "asof_join_click_purchase",
+    "agg_cube",
+    "agg_stats_exact",
+    "setop_semi_anti",
 ]
 
 
