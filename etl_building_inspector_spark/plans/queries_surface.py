@@ -407,6 +407,24 @@ def window_rank_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+# ---------------------------------------------------------------------------
+# Approximate aggregates: no engine-portable oracle exists (HLL/KLL
+# sketches are implementation-defined), so these are rows-only driver
+# checks with error bounds pinned against exact answers in
+# tests/test_functions.py::test_approx_error_bounds.
+# ---------------------------------------------------------------------------
+
+
+@_q("agg_approx_sketches")
+def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
+        F.percentile_approx("l_quantity", [0.25, 0.75]).alias("qty_quartiles"),
+    )
+
+
 @_q("p7_base62_surrogate")
 def p7_base62_surrogate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.ids import base62_of_hex, md5_surrogate

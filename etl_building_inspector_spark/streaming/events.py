@@ -84,6 +84,53 @@ def session_windows(
     )
 
 
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user
+    running event count + value total, emitted on every update.
+
+    This is the escape hatch for stateful semantics the built-in
+    windowed aggs can't express (reference analog: none -- the
+    reference is stateless batch; north-star requirement). State is one
+    tiny row per user; the watermark-less variant here suits bounded
+    replays, production would add timeouts to expire state.
+    """
+    from pyspark.sql.streaming.state import GroupState
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("total_value", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("n", T.LongType()),
+            T.StructField("total", T.DoubleType()),
+        ]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        import pandas as pd
+
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )
+
+
 def run_to_memory(df: DataFrame, name: str) -> DataFrame:
     """Drive a bounded stream to completion synchronously; returns the
     materialized result table (complete output mode)."""

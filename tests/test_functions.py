@@ -133,3 +133,31 @@ def test_salted_join_matches_plain_join(spark, sf_dir):
     assert sorted((r.l_orderkey, r["count"]) for r in plain) == sorted(
         (r.l_orderkey, r["count"]) for r in salted
     )
+
+
+def test_approx_error_bounds(spark, sf_dir):
+    """Sketch aggregates have no portable oracle; pin their error
+    against exact answers instead (HLL rsd default 5%; KLL median
+    within the p40-p60 band)."""
+    from etl_building_inspector_spark.plans.queries_surface import (
+        agg_approx_sketches,
+    )
+    from etl_building_inspector_spark.sources.tables import load_table
+
+    approx = {r.l_returnflag: r for r in agg_approx_sketches(spark, sf_dir).collect()}
+    li = load_table(spark, sf_dir, "lineitem")
+    exact = {
+        r.l_returnflag: r
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_orderkey").alias("n"),
+            F.expr("percentile(l_extendedprice, 0.4)").alias("p40"),
+            F.expr("percentile(l_extendedprice, 0.6)").alias("p60"),
+        )
+        .collect()
+    }
+    for flag, a in approx.items():
+        e = exact[flag]
+        assert abs(a.approx_orders - e.n) / e.n < 0.10
+        assert e.p40 <= a.approx_median_price <= e.p60
+        assert a.qty_quartiles[0] <= a.qty_quartiles[1]

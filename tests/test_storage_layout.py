@@ -1,0 +1,70 @@
+"""Storage-layout scale patterns: bucketed co-located joins (no
+shuffle on the join key) and partitioned writes with partition pruning.
+These are the knobs that matter at 100 TB; the tests pin that Spark
+actually elides the exchanges / prunes the scan."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_building_inspector_spark.sources.tables import load_table
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir):
+    """Both sides bucketed by the join key -> SortMergeJoin with ZERO
+    Exchange: the co-location contract a 100 TB fact-fact join needs.
+    (Tables land in ./spark-warehouse -- gitignored; warehouse dir is a
+    static conf that can't move per-test.)"""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+
+    spark.sql("DROP TABLE IF EXISTS li_b")
+    spark.sql("DROP TABLE IF EXISTS orders_b")
+    (li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .mode("overwrite").saveAsTable("li_b"))
+    (orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .mode("overwrite").saveAsTable("orders_b"))
+
+    # disable broadcast so the join would OTHERWISE shuffle both sides
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("li_b").join(
+            spark.table("orders_b"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        # semantics unchanged
+        assert joined.count() == load_table(spark, sf_dir, "lineitem").count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.sql("DROP TABLE IF EXISTS li_b")
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+
+
+def test_partitioned_write_prunes_scan(spark, sf_dir, tmp_path_factory):
+    """Writing events partitioned by event_type: a filter on the
+    partition column must reach the scan as a PartitionFilter (pruned
+    directories, not read-and-discard)."""
+    out = str(tmp_path_factory.mktemp("events_part"))
+    ev = load_table(spark, sf_dir, "events")
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(out)
+
+    df = spark.read.parquet(out).filter(F.col("event_type") == "purchase")
+    qe = df._jdf.queryExecution().toString()
+    assert "PartitionFilters" in qe and "event_type" in qe.split("PartitionFilters")[1][:200]
+    n_purchase = ev.filter(F.col("event_type") == "purchase").count()
+    assert df.count() == n_purchase
+
+
+def test_repartition_by_key_colocates(spark, sf_dir):
+    """repartition(n, key) then groupBy(key): AQE must not need a second
+    exchange for the aggregation (pre-partitioned data reused)."""
+    li = load_table(spark, sf_dir, "lineitem").repartition(8, "l_orderkey")
+    agg = li.groupBy("l_orderkey").agg(F.sum("l_quantity").alias("q"))
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    # exactly one exchange: the explicit repartition; the agg reuses it
+    assert plan.count("Exchange") == 1

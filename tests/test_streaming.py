@@ -50,3 +50,40 @@ def test_streaming_session_windows(spark, event_dir):
     # total events preserved across sessions
     total = sum(r.n_events for r in rows)
     assert total == spark.read.parquet(event_dir).count()
+
+
+def test_stateful_running_totals(spark, event_dir):
+    """applyInPandasWithState: final per-user state must equal the
+    batch aggregate (update mode -> last emit per user wins)."""
+    from etl_building_inspector_spark.streaming.events import running_user_totals
+
+    stream = read_event_stream(spark, event_dir)
+    q = (
+        running_user_totals(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("user_totals")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # last emitted row per user = final state
+    emitted = spark.sql("SELECT * FROM user_totals").collect()
+    final = {}
+    for r in emitted:  # memory sink appends in emit order per batch
+        cur = final.get(r.user_id)
+        if cur is None or r.n_events >= cur.n_events:
+            final[r.user_id] = r
+    batch = {
+        r.user_id: r
+        for r in spark.read.parquet(event_dir)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("tv"))
+        .collect()
+    }
+    assert set(final) == set(batch)
+    for uid, r in final.items():
+        assert r.n_events == batch[uid].n
+        assert r.total_value == pytest.approx(batch[uid].tv)
