@@ -56,6 +56,12 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark("bench")
 
+    # warm up JVM/session once (codegen compiler, parquet reader, noop
+    # sink) so per-query timings measure the queries, not JVM startup
+    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).write.format(
+        "noop"
+    ).mode("overwrite").save()
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES[name]

@@ -62,6 +62,39 @@ def point_in_polygon(px: Column, py: Column, ring: Column) -> Column:
     return n_crossings % 2 == 1
 
 
+def point_in_polygon_with_holes(px: Column, py: Column, polygon: Column) -> Column:
+    """Even-odd test over ALL rings of a GeoJSON polygon (outer ring +
+    holes): total crossing parity flips inside a hole, which is exactly
+    even-odd semantics. `polygon` is array<array<array<double>>>."""
+    crossings_per_ring = F.transform(
+        polygon,
+        lambda ring: F.size(
+            F.filter(
+                F.zip_with(
+                    F.slice(ring, 1, F.size(ring) - 1),
+                    F.slice(ring, 2, F.size(ring) - 1),
+                    lambda a, b: F.struct(
+                        a.getItem(0).alias("ax"),
+                        a.getItem(1).alias("ay"),
+                        b.getItem(0).alias("bx"),
+                        b.getItem(1).alias("by"),
+                    ),
+                ),
+                lambda e: F.when(
+                    (e.getField("ay") > py) != (e.getField("by") > py),
+                    px
+                    < e.getField("ax")
+                    + (py - e.getField("ay"))
+                    * (e.getField("bx") - e.getField("ax"))
+                    / (e.getField("by") - e.getField("ay")),
+                ).otherwise(F.lit(False)),
+            )
+        ),
+    )
+    total = F.aggregate(crossings_per_ring, F.lit(0), lambda acc, n: acc + n)
+    return total % 2 == 1
+
+
 def _bbox(ring: Column) -> tuple[Column, Column, Column, Column]:
     xs = F.transform(ring, lambda v: v.getItem(0))
     ys = F.transform(ring, lambda v: v.getItem(1))

@@ -115,6 +115,22 @@ def featurecollection_to_jsonl(src: str, dst: str) -> int:
     return len(feats)
 
 
+def write_geojson_featurecollection(
+    lines_df: DataFrame, out_path: str, line_col: str = "value"
+) -> int:
+    """Export-parity writer (reference S5): wrap feature JSON lines into
+    one valid GeoJSON FeatureCollection document. Collect-based by
+    design -- a single JSON doc is a driver-side artifact; cluster-scale
+    exports stay JSONL."""
+    rows = lines_df.select(line_col).collect()
+    with open(out_path, "w") as f:
+        f.write('{"type":"FeatureCollection","features":[\n')
+        for i, r in enumerate(rows):
+            f.write(("," if i else "") + r[0] + "\n")
+        f.write("]}\n")
+    return len(rows)
+
+
 def read_consolidated(spark: SparkSession, path: str) -> DataFrame:
     """Scan consolidated features; adds `_seq` (monotonic per input
     order) for the keep-first dedup determinism (reference D1 is

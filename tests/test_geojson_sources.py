@@ -1,0 +1,74 @@
+"""GeoJSON source/export round-trips and multi-ring point-in-polygon."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from etl_building_inspector_spark.operators.spatial import (
+    point_in_polygon,
+    point_in_polygon_with_holes,
+)
+from etl_building_inspector_spark.sources.geojson import (
+    featurecollection_to_jsonl,
+    write_geojson_featurecollection,
+)
+
+
+def test_featurecollection_jsonl_roundtrip(tmp_path, spark):
+    doc = {
+        "type": "FeatureCollection",
+        "features": [
+            {"type": "Feature", "properties": {"id": i}} for i in range(5)
+        ],
+    }
+    src = tmp_path / "fc.geojson"
+    src.write_text(json.dumps(doc))
+    jsonl = tmp_path / "fc.jsonl"
+    assert featurecollection_to_jsonl(str(src), str(jsonl)) == 5
+    lines = jsonl.read_text().splitlines()
+    assert len(lines) == 5 and json.loads(lines[3])["properties"]["id"] == 3
+
+    # export back: JSONL lines -> one valid FeatureCollection
+    df = spark.createDataFrame([(ln,) for ln in lines], "value string")
+    out = tmp_path / "export.geojson"
+    assert write_geojson_featurecollection(df, str(out)) == 5
+    doc2 = json.loads(out.read_text())
+    assert doc2["type"] == "FeatureCollection"
+    assert sorted(f["properties"]["id"] for f in doc2["features"]) == list(range(5))
+
+
+def test_point_in_polygon_with_holes(spark):
+    """Donut polygon: outer 0..10 square with 4..6 hole. Point in the
+    hole is OUTSIDE; point in the ring body is INSIDE."""
+    outer = [[0.0, 0.0], [10.0, 0.0], [10.0, 10.0], [0.0, 10.0], [0.0, 0.0]]
+    hole = [[4.0, 4.0], [6.0, 4.0], [6.0, 6.0], [4.0, 6.0], [4.0, 4.0]]
+    cases = [
+        (5.0, 5.0, False),  # inside the hole
+        (2.0, 2.0, True),  # in the body
+        (11.0, 5.0, False),  # outside entirely
+        (4.5, 2.0, True),  # below the hole, still in body
+    ]
+    df = spark.createDataFrame(
+        [(x, y, exp) for x, y, exp in cases], "x double, y double, expected boolean"
+    ).withColumn("poly", F.lit(None))
+    # build polygon literal
+    poly = F.array(
+        F.array(*[F.array(F.lit(a), F.lit(b)) for a, b in outer]),
+        F.array(*[F.array(F.lit(a), F.lit(b)) for a, b in hole]),
+    )
+    got = df.select(
+        "x",
+        "y",
+        "expected",
+        point_in_polygon_with_holes(F.col("x"), F.col("y"), poly).alias("got"),
+        point_in_polygon(F.col("x"), F.col("y"), poly.getItem(0)).alias(
+            "outer_only"
+        ),
+    ).collect()
+    for r in got:
+        assert r.got == r.expected, (r.x, r.y)
+    # outer-ring-only test treats the hole point as inside (sanity that
+    # the hole handling is what changed the answer)
+    assert next(r for r in got if r.x == 5.0).outer_only is True
