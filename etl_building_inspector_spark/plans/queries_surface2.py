@@ -1,0 +1,215 @@
+"""Second surface batch: SQL-API entry, array-function battery,
+null-semantics battery, window frames (range/rows, first/last/nth).
+Same portability discipline as queries_core.py."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table, register_views
+
+QUERIES: dict = {}
+ORACLES: dict[str, str] = {}
+
+
+def _q(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLES[name] = sql
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# SQL API surface: the engine accepts ANSI SQL directly (spark.sql over
+# registered views) -- TPC-H Q3 shape, money in exact cents.
+# ---------------------------------------------------------------------------
+
+_Q3_SQL = """
+SELECT
+  CAST(l.l_orderkey AS BIGINT) AS order_key,
+  CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000, 0) AS BIGINT)) AS BIGINT) AS revenue_e4,
+  o.o_orderdate AS order_date,
+  o.o_orderpriority AS priority
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1995-03-15'
+  AND l.l_shipdate > TIMESTAMP '1995-03-15'
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+"""
+
+
+@_q("sql_api_q3", _Q3_SQL)
+def sql_api_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same text runs on both engines: spark.sql IS the oracle SQL
+    (modulo nothing -- Catalyst and DuckDB both speak this query)."""
+    register_views(spark, sf_dir)
+    return spark.sql(_Q3_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Array-function battery over split tokens / embeddings
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "array_function_battery",
+    """
+WITH t AS (
+  SELECT doc_id, str_split(text, ' ') AS toks FROM documents
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+  list_sort(list_distinct(toks))[1]                 AS first_distinct_sorted,
+  CAST(len(list_distinct(toks)) AS BIGINT)          AS n_distinct,
+  list_contains(toks, 'spark')                      AS has_spark,
+  array_to_string(toks[1:3], '_')                   AS head3,
+  list_reverse_sort(toks)[1]                        AS max_tok,
+  CAST(nullif(list_position(toks, 'table'), 0) AS BIGINT) AS first_table_pos
+FROM t
+""",
+)
+def array_function_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    staged = docs.withColumn("toks", toks)
+    return staged.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.try_element_at(
+            F.array_sort(F.array_distinct(F.col("toks"))), F.lit(1)
+        ).alias("first_distinct_sorted"),
+        F.size(F.array_distinct(F.col("toks"))).cast("long").alias("n_distinct"),
+        F.array_contains(F.col("toks"), "spark").alias("has_spark"),
+        F.array_join(F.slice(F.col("toks"), 1, 3), "_").alias("head3"),
+        F.try_element_at(
+            F.reverse(F.array_sort(F.col("toks"))), F.lit(1)
+        ).alias("max_tok"),
+        # Spark array_position: 0 when absent; DuckDB list_position: NULL
+        F.when(
+            F.array_position(F.col("toks"), "table") > 0,
+            F.array_position(F.col("toks"), "table"),
+        ).cast("long").alias("first_table_pos"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Null-semantics battery
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "null_semantics_battery",
+    """
+SELECT CAST(o_orderkey AS BIGINT) AS order_key,
+  coalesce(nullif(o_orderstatus, 'O'), 'open')      AS status_or_open,
+  CASE WHEN o_totalprice > 200000 THEN o_totalprice END AS big_price,
+  ifnull(CASE WHEN o_totalprice > 200000 THEN o_totalprice END, 0.0) AS big_price_or_zero,
+  greatest(o_totalprice, 100000.0)                  AS at_least_100k,
+  least(o_totalprice, 100000.0)                     AS at_most_100k,
+  (o_totalprice IS NULL)                            AS price_is_null,
+  CASE WHEN o_orderstatus IS DISTINCT FROM 'O' THEN 1 ELSE 0 END AS not_open_flag
+FROM orders
+""",
+)
+def null_semantics_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    big = F.when(F.col("o_totalprice") > 200000, F.col("o_totalprice"))
+    return o.select(
+        F.col("o_orderkey").cast("long").alias("order_key"),
+        F.coalesce(
+            F.nullif(F.col("o_orderstatus"), F.lit("O")), F.lit("open")
+        ).alias("status_or_open"),
+        big.alias("big_price"),
+        F.coalesce(big, F.lit(0.0)).alias("big_price_or_zero"),
+        F.greatest(F.col("o_totalprice"), F.lit(100000.0)).alias("at_least_100k"),
+        F.least(F.col("o_totalprice"), F.lit(100000.0)).alias("at_most_100k"),
+        F.col("o_totalprice").isNull().alias("price_is_null"),
+        F.when(
+            ~F.col("o_orderstatus").eqNullSafe("O"), F.lit(1)
+        ).otherwise(0).cast("int").alias("not_open_flag"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window frames: range vs rows, first/last/nth values
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "window_frames_battery",
+    """
+SELECT CAST(l_suppkey AS BIGINT) AS supp_key,
+  CAST(l_orderkey AS BIGINT) AS order_key,
+  CAST(l_linenumber AS BIGINT) AS line_number,
+  CAST(first_value(l_orderkey) OVER w AS BIGINT)  AS first_order,
+  CAST(last_value(l_orderkey) OVER w AS BIGINT)   AS last_order_so_far,
+  CAST(nth_value(l_orderkey, 2) OVER w AS BIGINT) AS second_order,
+  CAST(sum(CAST(l_quantity AS BIGINT)) OVER
+    (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS qty_3row
+FROM lineitem
+WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+""",
+)
+def window_frames_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    order = ["l_shipdate", "l_orderkey", "l_linenumber"]
+    w = (
+        Window.partitionBy("l_suppkey")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w3 = (
+        Window.partitionBy("l_suppkey")
+        .orderBy(*order)
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return li.select(
+        F.col("l_suppkey").cast("long").alias("supp_key"),
+        F.col("l_orderkey").cast("long").alias("order_key"),
+        F.col("l_linenumber").cast("long").alias("line_number"),
+        F.first("l_orderkey").over(w).cast("long").alias("first_order"),
+        F.last("l_orderkey").over(w).cast("long").alias("last_order_so_far"),
+        F.nth_value("l_orderkey", 2).over(w).cast("long").alias("second_order"),
+        F.sum(F.col("l_quantity").cast("long")).over(w3).cast("long").alias(
+            "qty_3row"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Conditional aggregation battery
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "conditional_agg_battery",
+    """
+SELECT l_returnflag,
+  CAST(count(*) FILTER (WHERE l_quantity > 25) AS BIGINT) AS n_big,
+  CAST(sum(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS n_discounted,
+  bool_and(l_quantity > 0)  AS all_positive,
+  bool_or(l_quantity > 49)  AS any_huge,
+  CAST(max(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS BIGINT) END) AS BIGINT) AS max_qty_f
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def conditional_agg_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.when(F.col("l_quantity") > 25, 1)).alias("n_big"),
+        F.sum(F.when(F.col("l_discount") > 0.05, 1).otherwise(0)).cast("long").alias(
+            "n_discounted"
+        ),
+        F.every(F.col("l_quantity") > 0).alias("all_positive"),
+        F.some(F.col("l_quantity") > 49).alias("any_huge"),
+        F.max(
+            F.when(F.col("l_linestatus") == "F", F.col("l_quantity").cast("long"))
+        ).alias("max_qty_f"),
+    )

@@ -10,6 +10,7 @@ from . import (
     queries_llm,
     queries_spatial,
     queries_surface,
+    queries_surface2,
 )
 
 QUERIES: dict = {}
@@ -21,6 +22,7 @@ for mod in (
     queries_llm,
     queries_spatial,
     queries_surface,
+    queries_surface2,
 ):
     QUERIES.update(mod.QUERIES)
     ORACLES.update(mod.ORACLES)
