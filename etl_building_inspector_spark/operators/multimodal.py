@@ -98,6 +98,9 @@ def extract_media_features(df: DataFrame, key_col: str = "key") -> DataFrame:
                 }
             )
 
+    from .._dist import ensure_workers_can_import
+
+    ensure_workers_can_import(df.sparkSession)
     slim = df.select(
         F.col(key_col).alias("key"), F.col("media.bytes").alias("bytes")
     )

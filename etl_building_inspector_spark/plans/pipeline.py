@@ -200,6 +200,9 @@ def convert_toponyms(
     """Toponym features -> record stream (building-inspector.js:
     206-253). Surrogate id = toponym-{sheetId}-{base62(md5(coords))}
     (P7, :207-209); content-hash dedup D2 keyed on it."""
+    from .._dist import ensure_workers_can_import
+
+    ensure_workers_can_import(toponyms_raw.sparkSession)
     feats = toponyms_raw.select(
         F.col("properties.sheet_id").alias("sheet_id"),
         F.col("properties.consensus").alias("name"),

@@ -427,7 +427,10 @@ def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_q("p7_base62_surrogate")
 def p7_base62_surrogate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .._dist import ensure_workers_can_import
     from ..functions.ids import base62_of_hex, md5_surrogate
+
+    ensure_workers_can_import(spark)
 
     part = load_table(spark, sf_dir, "part")
     return part.select(

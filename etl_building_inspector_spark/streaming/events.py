@@ -122,6 +122,9 @@ def running_user_totals(events: DataFrame) -> DataFrame:
             {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
         )
 
+    from .._dist import ensure_workers_can_import
+
+    ensure_workers_can_import(events.sparkSession)
     return events.groupBy("user_id").applyInPandasWithState(
         update,
         outputStructType=out_schema,
