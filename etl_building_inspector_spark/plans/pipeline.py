@@ -391,6 +391,26 @@ def transform(
     return all_records.select(*_RECORD_COLS)
 
 
+def flatten_records(df: DataFrame) -> DataFrame:
+    """P11: the downstream `flattenPaths` projection contract
+    (building-inspector.dataset.json:35-45) -- declared JSONPath
+    projections ($.data.sheetId, $.data.colors[0], ...) as one nested
+    select. Nested field access is native; column pruning reaches the
+    scan."""
+    return df.filter(F.col("record_type") == "object").select(
+        "id",
+        "type",
+        F.col("data.sheet_id").alias("data_sheetId"),
+        F.col("data.layer_id").alias("data_layerId"),
+        F.col("data.map_id").alias("data_mapId"),
+        F.try_element_at(F.col("data.colors"), F.lit(1)).alias("data_colors_0"),
+        F.try_element_at(F.col("data.colors"), F.lit(2)).alias("data_colors_1"),
+        F.col("data.colors").alias("data_colors"),
+        F.col("data.borough").alias("data_borough"),
+        F.col("data.number").alias("data_number"),
+    )
+
+
 def to_ndjson_line(df: DataFrame) -> DataFrame:
     """Render each record as the reference's NDJSON {type, obj} shape
     (building-inspector.dataset.json schema; camelCase payload). NULL

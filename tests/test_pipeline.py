@@ -156,3 +156,41 @@ def test_ndjson_shape(records, spark):
     assert b1["obj"]["geometry"]["coordinates"][0][0] == [0.0, 0.0]
     # null fields omitted (JS undefined semantics)
     assert "name" not in b1["obj"]
+
+
+def test_output_data_schema_conformance(records):
+    """SURVEY section 5 item 5: the reference's one shipped correctness
+    artifact is the JSON Schema for the `data` payload
+    (building-inspector.dataset.json: oneOf Building/Address,
+    additionalProperties false, required keys). Validate every emitted
+    object against it."""
+    for r in records["objects"]:
+        d = r.data.asDict()
+        assert set(d) <= {
+            "sheet_id", "layer_id", "map_id", "colors", "borough", "number",
+        }
+        # required on both variants
+        assert d["sheet_id"] is not None
+        assert d["layer_id"] is not None
+        assert d["map_id"] is not None
+        if r.type == "st:Address":
+            assert d["number"] is not None  # required for Address
+            assert d["colors"] is None  # not a property of Address
+        if d["colors"] is not None:
+            assert len(d["colors"]) >= 1  # minItems: 1
+            assert all(isinstance(c, str) for c in d["colors"])
+        if d["borough"] is not None:
+            assert isinstance(d["borough"], str)
+
+
+def test_flatten_paths_projection(records, spark):
+    from etl_building_inspector_spark.plans.pipeline import flatten_records
+
+    df = spark.createDataFrame(records["all"])
+    flat = {r.id: r for r in flatten_records(df).collect()}
+    assert flat["1"].data_colors_0 == "pink"
+    assert flat["1"].data_colors_1 == "yellow"
+    assert flat["1"].data_colors == ["pink", "yellow"]
+    assert flat["1"].data_sheetId == 10
+    assert flat["1-1"].data_number == "25"
+    assert flat["1-1"].data_colors_0 is None
