@@ -87,3 +87,58 @@ def test_stateful_running_totals(spark, event_dir):
     for uid, r in final.items():
         assert r.n_events == batch[uid].n
         assert r.total_value == pytest.approx(batch[uid].tv)
+
+
+def test_watermark_drops_late_data(spark, tmp_path_factory):
+    """Append-mode window agg across micro-batches: an event far older
+    than the advanced watermark must be dropped; windows close and emit
+    once the watermark passes them."""
+    import datetime as dt
+
+    d = str(tmp_path_factory.mktemp("late_events"))
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+
+    def write_batch(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(d)
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    # batch 1: events in hour 0 and hour 5 (watermark -> 5:00 - 10min)
+    write_batch("b1", [
+        (1, t0, 1, "click", 1.0, "{}"),
+        (2, t0 + dt.timedelta(hours=5), 1, "click", 1.0, "{}"),
+    ])
+
+    stream = spark.readStream.schema(schema).parquet(d)
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"), F.sum("value").alias("v"))
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("late_test")
+        .start()
+    )
+    try:
+        q.processAllAvailable()  # batch 1 -> watermark advances to 4:50
+        # batch 2 lands while the query runs: one on-time event (hour 6)
+        # + one VERY late event back in hour 0 -- the hour-0 window is
+        # already past the watermark, so the late row must be dropped
+        write_batch("b2", [
+            (3, t0 + dt.timedelta(hours=6), 1, "click", 1.0, "{}"),
+            (4, t0 + dt.timedelta(minutes=1), 1, "click", 99.0, "{}"),
+        ])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    emitted = {
+        r.w.start.hour: (r.n, r.v)
+        for r in spark.sql("SELECT * FROM late_test").collect()
+    }
+    # hour-0 window emitted exactly once with ONLY the on-time event:
+    # the late 99.0-value row was dropped by the watermark
+    assert emitted.get(0) == (1, 1.0)
