@@ -377,3 +377,20 @@ def ann_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cosine",
         F.col("rank").cast("long").alias("rank"),
     )
+
+
+@_q("ann_cosine_ivf")  # rows-only: KMeans centroids aren't SQL-expressible
+def ann_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (KMeans coarse quantization + multi-probe); recall vs
+    brute force pinned in tests/test_similarity.py."""
+    from ..operators.similarity import cosine_topk_ivf
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    out = cosine_topk_ivf(emb, queries, k=5, n_centroids=16, n_probe=4)
+    return out.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("neighbor_id").cast("long").alias("neighbor_id"),
+        "cosine",
+        F.col("rank").cast("long").alias("rank"),
+    )

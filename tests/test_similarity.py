@@ -66,3 +66,20 @@ def test_lsh_recall_reasonable(spark, emb):
             assert r.cosine == pytest.approx(
                 exact_sims[(r.query_id, r.neighbor_id)], abs=1e-12
             )
+
+
+def test_ivf_recall_reasonable(spark, emb):
+    """IVF with 4/16 probes must beat random cell selection by a wide
+    margin (random would give ~25% recall; nearest-centroid probing on
+    clustered data does much better)."""
+    from etl_building_inspector_spark.operators.similarity import cosine_topk_ivf
+
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = cosine_topk_bruteforce(emb, queries, k=5).collect()
+    approx = cosine_topk_ivf(
+        emb, queries, k=5, n_centroids=16, n_probe=4
+    ).collect()
+    exact_pairs = {(r.query_id, r.neighbor_id) for r in exact}
+    approx_pairs = {(r.query_id, r.neighbor_id) for r in approx}
+    recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
+    assert recall >= 0.5
