@@ -394,3 +394,48 @@ def ann_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cosine",
         F.col("rank").cast("long").alias("rank"),
     )
+
+
+_EMB_DOT = (
+    "list_reduce([CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE) "
+    "for i in generate_series(1, len(a.embedding))], (x, y) -> x + y)"
+)
+_EMB_NORM_A = (
+    "sqrt(list_reduce([CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE) "
+    "for i in generate_series(1, len(a.embedding))], (x, y) -> x + y))"
+)
+_EMB_NORM_B = (
+    "sqrt(list_reduce([CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE) "
+    "for i in generate_series(1, len(b.embedding))], (x, y) -> x + y))"
+)
+
+
+@_q(
+    "dedup_embedding_cosine",
+    f"""
+SELECT CAST(a.vec_id AS BIGINT) AS id_a,
+       CAST(b.vec_id AS BIGINT) AS id_b,
+       {_EMB_DOT} / ({_EMB_NORM_A} * {_EMB_NORM_B}) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE {_EMB_DOT} / ({_EMB_NORM_A} * {_EMB_NORM_B}) >= 0.35
+""",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (upper triangle, cosine >=
+    threshold). Exact all-pairs here (oracle-checkable); at corpus
+    scale the candidate set comes from lsh_buckets/cosine_topk_lsh
+    instead of the triangle join -- same scoring expression."""
+    from ..operators.similarity import with_cosine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("emb_a")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("emb_b")
+    )
+    pairs = a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+    scored = with_cosine(pairs, "emb_a", "emb_b", "cosine")
+    return scored.filter(F.col("cosine") >= 0.35).select(
+        F.col("id_a").cast("long"), F.col("id_b").cast("long"), "cosine"
+    )

@@ -213,3 +213,121 @@ def conditional_agg_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("l_linestatus") == "F", F.col("l_quantity").cast("long"))
         ).alias("max_qty_f"),
     )
+
+
+# ---------------------------------------------------------------------------
+# CDC: merge/upsert + SCD2 (emulated MERGE INTO -- anti-join + union;
+# Delta/Iceberg would supply the physical MERGE at deployment).
+# ---------------------------------------------------------------------------
+
+_MERGE_SQL = """
+WITH updates AS (
+  SELECT c_custkey, c_acctbal * 2 AS c_acctbal, 'UPDATED' AS c_mktsegment
+  FROM customer WHERE c_custkey % 7 = 0
+  UNION ALL
+  SELECT c_custkey + 1000000 AS c_custkey, 1.0 AS c_acctbal, 'NEW' AS c_mktsegment
+  FROM customer WHERE c_custkey % 97 = 0
+)
+SELECT CAST(c_custkey AS BIGINT) AS cust_key, c_acctbal AS acctbal,
+       c_mktsegment AS segment
+FROM (
+  SELECT t.c_custkey, t.c_acctbal, t.c_mktsegment
+  FROM customer t
+  WHERE NOT EXISTS (SELECT 1 FROM updates u WHERE u.c_custkey = t.c_custkey)
+  UNION ALL
+  SELECT * FROM updates
+)
+"""
+
+
+def _customer_updates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    changed = c.filter(F.col("c_custkey") % 7 == 0).select(
+        "c_custkey",
+        (F.col("c_acctbal") * 2).alias("c_acctbal"),
+        F.lit("UPDATED").alias("c_mktsegment"),
+    )
+    new = c.filter(F.col("c_custkey") % 97 == 0).select(
+        (F.col("c_custkey") + 1000000).alias("c_custkey"),
+        F.lit(1.0).alias("c_acctbal"),
+        F.lit("NEW").alias("c_mktsegment"),
+    )
+    return changed.unionByName(new)
+
+
+@_q("merge_upsert", _MERGE_SQL)
+def merge_upsert_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.scd import merge_upsert
+
+    target = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal", "c_mktsegment"
+    )
+    merged = merge_upsert(target, _customer_updates(spark, sf_dir), "c_custkey")
+    return merged.select(
+        F.col("c_custkey").cast("long").alias("cust_key"),
+        F.col("c_acctbal").alias("acctbal"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+
+
+_SCD2_SQL = """
+WITH current AS (
+  SELECT c_custkey, c_acctbal, c_mktsegment,
+         TIMESTAMP '2020-01-01' AS valid_from,
+         CAST(NULL AS TIMESTAMP) AS valid_to,
+         true AS is_current
+  FROM customer
+),
+updates AS (
+  SELECT c_custkey, c_acctbal * 2 AS c_acctbal, 'UPDATED' AS c_mktsegment
+  FROM customer WHERE c_custkey % 7 = 0
+)
+SELECT CAST(c_custkey AS BIGINT) AS cust_key, c_acctbal AS acctbal,
+       c_mktsegment AS segment, valid_from, valid_to, is_current
+FROM (
+  SELECT t.c_custkey, t.c_acctbal, t.c_mktsegment, t.valid_from,
+         TIMESTAMP '2024-01-01' AS valid_to, false AS is_current
+  FROM current t
+  WHERE EXISTS (SELECT 1 FROM updates u WHERE u.c_custkey = t.c_custkey)
+  UNION ALL
+  SELECT t.* FROM current t
+  WHERE NOT EXISTS (SELECT 1 FROM updates u WHERE u.c_custkey = t.c_custkey)
+  UNION ALL
+  SELECT u.c_custkey, u.c_acctbal, u.c_mktsegment,
+         TIMESTAMP '2024-01-01' AS valid_from,
+         CAST(NULL AS TIMESTAMP) AS valid_to, true AS is_current
+  FROM updates u
+)
+"""
+
+
+@_q("scd2_dimension", _SCD2_SQL)
+def scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.scd import scd2_apply
+
+    current = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_acctbal",
+        "c_mktsegment",
+        F.lit("2020-01-01").cast("timestamp").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    updates = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_custkey") % 7 == 0
+    ).select(
+        "c_custkey",
+        (F.col("c_acctbal") * 2).alias("c_acctbal"),
+        F.lit("UPDATED").alias("c_mktsegment"),
+    )
+    out = scd2_apply(
+        current, updates, "c_custkey", F.lit("2024-01-01").cast("timestamp")
+    )
+    return out.select(
+        F.col("c_custkey").cast("long").alias("cust_key"),
+        F.col("c_acctbal").alias("acctbal"),
+        F.col("c_mktsegment").alias("segment"),
+        "valid_from",
+        "valid_to",
+        "is_current",
+    )
