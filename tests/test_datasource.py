@@ -1,0 +1,53 @@
+"""Python DataSource V2 tests (pages_dir mode -- no network)."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from etl_building_inspector_spark.sources.datasource import FORMAT_NAME, register
+
+
+def _write_pages(d, n_pages=3, feats_per_page=4):
+    for p in range(1, n_pages + 1):
+        doc = {
+            "features": [
+                {"type": "Feature", "properties": {"id": p * 100 + i}}
+                for i in range(feats_per_page)
+            ]
+        }
+        (d / f"page-{p}.json").write_text(json.dumps(doc))
+
+
+def test_datasource_reads_pages_in_parallel_partitions(spark, tmp_path):
+    _write_pages(tmp_path)
+    register(spark)
+    df = (
+        spark.read.format(FORMAT_NAME)
+        .option("pages_dir", str(tmp_path))
+        .load()
+    )
+    assert df.columns == ["value"]
+    # one input partition per page file
+    assert df.rdd.getNumPartitions() == 3
+    ids = sorted(
+        json.loads(r.value)["properties"]["id"] for r in df.collect()
+    )
+    assert len(ids) == 12 and ids[0] == 100 and ids[-1] == 303
+
+    # downstream typed parse composes (the geojson.py contract)
+    parsed = df.select(
+        F.get_json_object("value", "$.properties.id").cast("long").alias("id")
+    )
+    assert parsed.agg(F.sum("id")).collect()[0][0] == sum(ids)
+
+
+def test_datasource_empty_dir(spark, tmp_path):
+    register(spark)
+    df = (
+        spark.read.format(FORMAT_NAME)
+        .option("pages_dir", str(tmp_path))
+        .load()
+    )
+    assert df.count() == 0
