@@ -331,3 +331,53 @@ def scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
         "valid_to",
         "is_current",
     )
+
+
+# ---------------------------------------------------------------------------
+# Range (interval) join -- bucketized scale path vs DuckDB's IEJoin.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "range_join_events",
+    """
+SELECT CAST(a.event_id AS BIGINT) AS id_a,
+       CAST(b.event_id AS BIGINT) AS id_b,
+       a.event_type AS event_type
+FROM events a JOIN events b
+  ON a.event_type = b.event_type
+ AND a.event_id < b.event_id
+ AND abs(epoch(a.ts) - epoch(b.ts)) <= 60
+""",
+)
+def range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same-type event pairs within 60 seconds of each other. The
+    bucketized plan shuffles on (bucket) and never goes quadratic;
+    DuckDB's native IEJoin is the oracle."""
+    from ..operators.rangejoin import range_join_bucketed
+
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.select(
+        F.col("event_id").alias("id_a"),
+        F.col("event_type").alias("type_a"),
+        F.col("ts").alias("ts_a"),
+    )
+    b = ev.select(
+        F.col("event_id").alias("id_b"),
+        F.col("event_type").alias("type_b"),
+        F.col("ts").alias("ts_b"),
+    )
+    out = range_join_bucketed(
+        a,
+        b,
+        "ts_a",
+        "ts_b",
+        60.0,
+        extra_cond=(F.col("type_a") == F.col("type_b"))
+        & (F.col("id_a") < F.col("id_b")),
+    )
+    return out.select(
+        F.col("id_a").cast("long"),
+        F.col("id_b").cast("long"),
+        F.col("type_a").alias("event_type"),
+    )
