@@ -1,28 +1,60 @@
-"""Driver-side probabilistic sketches (count-min, Bloom) -- the
-"novel sketch" surface: Spark-native, error bounds pinned."""
+"""Approximate/statistical sketch surface exposed by the Python API
+(approxQuantile = Greenwald-Khanna, freqItems = misra-gries-style,
+stratified sampleBy, correlation). Error bounds pinned vs exact."""
 
 from __future__ import annotations
+
+from pyspark.sql import functions as F
 
 from etl_building_inspector_spark.sources.tables import load_table
 
 
-def test_count_min_sketch(spark, sf_dir):
+def test_approx_quantile_bounds(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")
-    sketch = li.stat.countMinSketch("l_returnflag", eps=0.01, confidence=0.95, seed=42)
-    exact = {
-        r.l_returnflag: r["count"]
+    (q25, q50, q75) = li.stat.approxQuantile(
+        "l_extendedprice", [0.25, 0.5, 0.75], relativeError=0.01
+    )
+    assert q25 <= q50 <= q75
+    exact = li.selectExpr(
+        "percentile(l_extendedprice, 0.24) p_lo",
+        "percentile(l_extendedprice, 0.26) p_hi",
+    ).collect()[0]
+    assert exact.p_lo <= q25 <= exact.p_hi
+
+
+def test_freq_items_finds_heavy_hitters(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    found = set(
+        li.stat.freqItems(["l_returnflag"], support=0.2).collect()[0][0]
+    )
+    heavy = {
+        r.l_returnflag
         for r in li.groupBy("l_returnflag").count().collect()
+        if r["count"] / li.count() >= 0.2
     }
-    n = sum(exact.values())
-    for flag, true_count in exact.items():
-        est = sketch.estimateCount(flag)
-        assert true_count <= est <= true_count + 0.01 * n  # CMS overestimates
+    assert heavy <= found  # no heavy hitter missed (may over-report)
 
 
-def test_bloom_filter(spark, sf_dir):
+def test_stratified_sample(spark, sf_dir):
     orders = load_table(spark, sf_dir, "orders")
-    bf = orders.stat.bloomFilter("o_orderkey", expectedNumItems=10000, fpp=0.01)
-    keys = [r.o_orderkey for r in orders.select("o_orderkey").limit(100).collect()]
-    assert all(bf.mightContain(k) for k in keys)  # no false negatives
-    misses = sum(bf.mightContain(-k - 1) for k in range(1, 2001))
-    assert misses / 2000 < 0.05  # fpp holds with slack
+    sample = orders.stat.sampleBy(
+        "o_orderstatus", fractions={"O": 0.1, "F": 0.5}, seed=42
+    )
+    got = {
+        r.o_orderstatus: r["count"]
+        for r in sample.groupBy("o_orderstatus").count().collect()
+    }
+    full = {
+        r.o_orderstatus: r["count"]
+        for r in orders.groupBy("o_orderstatus").count().collect()
+    }
+    assert "P" not in got  # unlisted stratum excluded
+    assert 0.02 < got["O"] / full["O"] < 0.3
+    assert 0.3 < got["F"] / full["F"] < 0.7
+
+
+def test_correlation(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    corr = li.stat.corr("l_extendedprice", "l_quantity")
+    # extendedprice = quantity * unit price -> strongly positive
+    assert 0.5 < corr <= 1.0
