@@ -54,7 +54,9 @@ def test_stratified_sample(spark, sf_dir):
 
 
 def test_correlation(spark, sf_dir):
-    li = load_table(spark, sf_dir, "lineitem")
-    corr = li.stat.corr("l_extendedprice", "l_quantity")
-    # extendedprice = quantity * unit price -> strongly positive
-    assert 0.5 < corr <= 1.0
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "derived", F.col("l_quantity") * 3 + 7
+    )
+    # exact linear dependence -> 1; independent synthetic columns -> ~0
+    assert li.stat.corr("l_quantity", "derived") > 0.999
+    assert abs(li.stat.corr("l_extendedprice", "l_quantity")) < 0.1
