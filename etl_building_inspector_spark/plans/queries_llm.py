@@ -200,7 +200,7 @@ def dedup_exact_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _minhash_sig_sql(k: int = 8, n: int = 3) -> str:
     sig_cols = ",\n  ".join(
-        f"list_min(list_transform(sh, x -> md5(concat('{i}:', x)))) AS minhash_{i}"
+        f"list_min(list_transform(sh, x -> substr(sha256(x), {i * 8 + 1}, 8))) AS minhash_{i}"
         for i in range(k)
     )
     return f"""
@@ -225,7 +225,7 @@ def dedup_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _minhash_lsh_sql(k: int = 8, bands: int = 4, n: int = 3) -> str:
     rpb = k // bands
     sig_cols = ",\n  ".join(
-        f"list_min(list_transform(sh, x -> md5(concat('{i}:', x)))) AS minhash_{i}"
+        f"list_min(list_transform(sh, x -> substr(sha256(x), {i * 8 + 1}, 8))) AS minhash_{i}"
         for i in range(k)
     )
     band_selects = "\nUNION ALL\n".join(
