@@ -381,3 +381,40 @@ def range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id_b").cast("long"),
         F.col("type_a").alias("event_type"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Hypertable rollup: the DAILY level is derived from HOURLY partials
+# (continuous-aggregate re-aggregation), while the oracle computes the
+# daily answer straight from raw events -- passing proves the
+# re-aggregation is lossless.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "hypertable_rollup_daily",
+    """
+SELECT time_bucket(INTERVAL '1 day', ts) AS bucket_start,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 4) AS sum_value,
+       min(value) AS min_value,
+       max(value) AS max_value
+FROM events
+GROUP BY 1, 2
+""",
+)
+def hypertable_rollup_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.rollup import hypertable_rollup
+
+    ev = load_table(spark, sf_dir, "events")
+    levels = hypertable_rollup(ev, ("1 hour", "1 day"))
+    daily = levels["1 day"]
+    return daily.select(
+        "bucket_start",
+        "event_type",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.round("sum_value", 4).alias("sum_value"),
+        "min_value",
+        "max_value",
+    )

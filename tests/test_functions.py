@@ -161,3 +161,26 @@ def test_approx_error_bounds(spark, sf_dir):
         assert abs(a.approx_orders - e.n) / e.n < 0.10
         assert e.p40 <= a.approx_median_price <= e.p60
         assert a.qty_quartiles[0] <= a.qty_quartiles[1]
+
+
+def test_hypertable_rollup_levels_lossless(spark, sf_dir):
+    """Every derived level must equal the same aggregation computed
+    directly from raw events (re-aggregation of algebraic partials)."""
+    from etl_building_inspector_spark.operators.rollup import (
+        hypertable_rollup,
+        rollup_base,
+    )
+    from etl_building_inspector_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    levels = hypertable_rollup(ev, ("1 minute", "1 hour", "1 day"))
+    for res in ("1 hour", "1 day"):
+        derived = {
+            (r.bucket_start, r.event_type): (r.n_events, round(r.sum_value, 6))
+            for r in levels[res].collect()
+        }
+        direct = {
+            (r.bucket_start, r.event_type): (r.n_events, round(r.sum_value, 6))
+            for r in rollup_base(ev, res).collect()
+        }
+        assert derived == direct, res
