@@ -34,10 +34,19 @@ def _landing() -> dict[str, str]:
     from domain_fixtures import make_landing
 
     d = os.path.join(tempfile.gettempdir(), "ebi_domain_landing")
-    os.makedirs(d, exist_ok=True)
-    marker = os.path.join(d, "consolidated.jsonl")
+    marker = os.path.join(d, ".complete")
     if not os.path.exists(marker):
-        make_landing(d)
+        # write to a fresh staging dir, then atomically rename into
+        # place -- concurrent query runners never see partial files
+        stage = tempfile.mkdtemp(prefix="ebi_domain_stage_")
+        make_landing(stage)
+        if not os.path.exists(d):
+            try:
+                os.rename(stage, d)
+            except OSError:
+                pass  # a concurrent runner won the rename; use theirs
+        with open(marker, "w") as f:
+            f.write("ok\n")
     return {
         "consolidated": os.path.join(d, "consolidated.jsonl"),
         "toponyms": os.path.join(d, "toponyms.jsonl"),
