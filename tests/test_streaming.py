@@ -142,3 +142,26 @@ def test_watermark_drops_late_data(spark, tmp_path_factory):
     # hour-0 window emitted exactly once with ONLY the on-time event:
     # the late 99.0-value row was dropped by the watermark
     assert emitted.get(0) == (1, 1.0)
+
+
+def test_foreach_batch_exactly_once_sink(spark, event_dir, tmp_path_factory):
+    """foreachBatch custom sink: per-epoch idempotent parquet writes
+    (mode=overwrite into an epoch-keyed dir) -- re-delivery of a batch
+    can't duplicate rows; total rows match the source exactly."""
+    out = str(tmp_path_factory.mktemp("fb_sink"))
+
+    def write_epoch(df, epoch_id):
+        df.write.mode("overwrite").parquet(f"{out}/epoch={epoch_id}")
+        # simulate a retry re-delivering the same epoch: idempotent
+        df.write.mode("overwrite").parquet(f"{out}/epoch={epoch_id}")
+
+    stream = read_event_stream(spark, event_dir)
+    q = stream.writeStream.foreachBatch(write_epoch).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    written = spark.read.parquet(out)
+    src_count = spark.read.parquet(event_dir).count()
+    assert written.count() == src_count
+    assert written.select("event_id").distinct().count() == src_count
