@@ -72,3 +72,19 @@ def test_point_in_polygon_with_holes(spark):
     # outer-ring-only test treats the hole point as inside (sanity that
     # the hole handling is what changed the answer)
     assert next(r for r in got if r.x == 5.0).outer_only is True
+
+
+def test_grid_and_broadcast_spatial_join_agree(spark, sf_dir):
+    """The two physical strategies must produce the identical match
+    set on the synthesized fixture geometry."""
+    from etl_building_inspector_spark.plans.queries_spatial import (
+        spatial_pip_join,
+        spatial_pip_join_grid,
+    )
+
+    bc = {(r.point_id, r.poly_id) for r in spatial_pip_join(spark, sf_dir).collect()}
+    gr = {
+        (r.point_id, r.poly_id)
+        for r in spatial_pip_join_grid(spark, sf_dir).collect()
+    }
+    assert bc == gr and len(bc) > 0
