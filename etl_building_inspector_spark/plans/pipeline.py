@@ -58,7 +58,7 @@ def _sheet_dim(sheets_raw: DataFrame) -> DataFrame:
         F.col("properties.layer.external_id").alias("layer_id"),
         F.try_element_at(
             F.split(F.col("properties.layer.year"), r"\."), F.lit(1)
-        ).cast("int").alias("year"),
+        ).try_cast("int").alias("year"),
         F.col("properties.map_id").alias("sheet_map_id"),
     )
 
@@ -71,7 +71,9 @@ def convert_consolidated(
     the D1-before-F2 ordering contract."""
     feats = consolidated_raw.select(
         F.col("properties.id").alias("building_id"),
-        F.col("properties.map_id").cast("int").alias("map_id"),
+        # try_cast: parseInt-style leniency that also survives ANSI
+        # sessions (the host driver's default)
+        F.col("properties.map_id").try_cast("int").alias("map_id"),
         F.col("properties.sheet_id").alias("sheet_id"),
         F.col("properties.consensus_color").alias("consensus_color"),
         parse_addresses(F.col("properties.consensus_address")).alias("addresses"),
@@ -233,7 +235,7 @@ def convert_toponyms(
         .join(F.broadcast(layers), "layer_id", "left")
         # toponym mapId comes from the SHEET's map_id (:218), unlike
         # consolidated which uses the feature's own (:102)
-        .withColumn("map_id", F.col("sheet_map_id").cast("int"))
+        .withColumn("map_id", F.col("sheet_map_id").try_cast("int"))
     )
 
     data = F.struct(
