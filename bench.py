@@ -45,9 +45,13 @@ HEADLINE = [
     "spatial_pip_join",
     "spatial_pip_join_grid",
     "asof_join_click_purchase",
+    "range_join_events",
     "agg_cube",
     "agg_stats_exact",
     "setop_semi_anti",
+    "merge_upsert",
+    "hypertable_rollup_daily",
+    "sql_api_q3",
 ]
 
 
