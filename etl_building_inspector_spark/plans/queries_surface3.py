@@ -1,0 +1,179 @@
+"""Third surface batch: unpivot/melt, GROUPING SETS with grouping
+markers, distribution window functions, regexp battery, map-typed
+columns. Same portability discipline as queries_core.py."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table, register_views
+
+QUERIES: dict = {}
+ORACLES: dict[str, str] = {}
+
+
+def _q(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLES[name] = sql
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# Unpivot / melt: wide metric columns -> (metric, value) rows.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "unpivot_metrics",
+    """
+SELECT CAST(l_orderkey AS BIGINT) AS order_key,
+       CAST(l_linenumber AS BIGINT) AS line_number,
+       metric, value
+FROM (
+  SELECT l_orderkey, l_linenumber,
+         l_quantity AS quantity,
+         l_extendedprice AS extendedprice,
+         l_discount AS discount,
+         l_tax AS tax
+  FROM lineitem
+) UNPIVOT (value FOR metric IN (quantity, extendedprice, discount, tax))
+""",
+)
+def unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    wide = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").alias("quantity"),
+        F.col("l_extendedprice").alias("extendedprice"),
+        F.col("l_discount").alias("discount"),
+        F.col("l_tax").alias("tax"),
+    )
+    return wide.unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=["quantity", "extendedprice", "discount", "tax"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    ).select(
+        F.col("l_orderkey").cast("long").alias("order_key"),
+        F.col("l_linenumber").cast("long").alias("line_number"),
+        "metric",
+        "value",
+    )
+
+
+# ---------------------------------------------------------------------------
+# GROUPING SETS with grouping markers (SQL surface; DataFrame rollup/
+# cube are covered elsewhere).
+# ---------------------------------------------------------------------------
+
+_GROUPING_SETS_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+  CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+  CAST(grouping(o_orderpriority) AS BIGINT) AS g_priority,
+  CAST(count(*) AS BIGINT) AS n
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+
+@_q("agg_grouping_sets", _GROUPING_SETS_SQL)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(_GROUPING_SETS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Distribution window functions: percent_rank / cume_dist (exact ratios
+# of identical ints -> bit-identical doubles, no rounding needed).
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "window_distribution",
+    """
+SELECT CAST(o_custkey AS BIGINT) AS cust_key,
+       CAST(o_orderkey AS BIGINT) AS order_key,
+       percent_rank() OVER w AS pct_rank,
+       cume_dist() OVER w AS cume,
+       CAST(row_number() OVER w AS BIGINT) AS rn
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+""",
+)
+def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        F.col("o_custkey").cast("long").alias("cust_key"),
+        F.col("o_orderkey").cast("long").alias("order_key"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.row_number().over(w).cast("long").alias("rn"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Regexp battery (RE2/Java regex common subset only: no backrefs, no
+# lookaround -- keeps semantics identical across engines).
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "regexp_battery",
+    """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+  regexp_matches(text, 'spark')                        AS mentions_spark,
+  CAST(len(regexp_extract_all(text, '[a-z]+a[a-z]*')) AS BIGINT) AS words_with_a,
+  regexp_extract(text, '([a-z]+) ([a-z]+)', 2)         AS second_word,
+  regexp_replace(text, '[aeiou]', '_', 'g')            AS devoweled
+FROM documents
+""",
+)
+def regexp_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("text").rlike("spark").alias("mentions_spark"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("[a-z]+a[a-z]*"), 0))
+        .cast("long")
+        .alias("words_with_a"),
+        F.regexp_extract("text", "([a-z]+) ([a-z]+)", 2).alias("second_word"),
+        F.regexp_replace("text", "[aeiou]", "_").alias("devoweled"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Map-typed columns: parse JSON props to map, access/keys. Map values
+# are projected to scalars before comparison (map iteration order is
+# not portable).
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "map_column_ops",
+    """
+SELECT CAST(event_id AS BIGINT) AS event_id,
+  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value,
+  CAST(len(json_keys(props)) AS BIGINT) AS n_keys,
+  list_sort(json_keys(props))[1] AS first_key
+FROM events
+""",
+)
+def map_column_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,bigint>")
+    staged = ev.withColumn("__m", m)
+    return staged.select(
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("__m").getItem("k").alias("k_value"),
+        F.size(F.map_keys("__m")).cast("long").alias("n_keys"),
+        F.try_element_at(F.array_sort(F.map_keys("__m")), F.lit(1)).alias(
+            "first_key"
+        ),
+    )

@@ -11,6 +11,7 @@ from . import (
     queries_spatial,
     queries_surface,
     queries_surface2,
+    queries_surface3,
 )
 
 QUERIES: dict = {}
@@ -23,6 +24,7 @@ for mod in (
     queries_spatial,
     queries_surface,
     queries_surface2,
+    queries_surface3,
 ):
     QUERIES.update(mod.QUERIES)
     ORACLES.update(mod.ORACLES)
