@@ -177,3 +177,33 @@ def map_column_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             "first_key"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Correlated subqueries -- Catalyst decorrelates these into joins
+# (SURVEY section 4 lists decorrelation as a free optimizer feature);
+# the same SQL text runs on both engines.
+# ---------------------------------------------------------------------------
+
+_CORRELATED_SQL = """
+SELECT CAST(o.o_orderkey AS BIGINT) AS order_key,
+       o.o_totalprice AS total_price
+FROM orders o
+WHERE o.o_totalprice > (
+  SELECT 1.5 * avg(o2.o_totalprice)
+  FROM orders o2
+  WHERE o2.o_custkey = o.o_custkey
+)
+"""
+
+
+@_q("correlated_scalar_subquery", _CORRELATED_SQL)
+def correlated_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders 50% above their customer's average order value. The
+    correlated scalar subquery decorrelates into an aggregate + join;
+    avg is a ratio of identical doubles on both engines only if the sum
+    order matches -- per-customer groups are small enough that both
+    engines sum in deterministic single-group order... NOT guaranteed,
+    so the predicate uses a strict > with values far from ties."""
+    register_views(spark, sf_dir)
+    return spark.sql(_CORRELATED_SQL)
