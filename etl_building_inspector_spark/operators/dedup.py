@@ -18,6 +18,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import fingerprint, shingles, tokens
+from ._cache import track_persist
 
 
 def keep_first(df: DataFrame, keys: list[str], order_by: list[str]) -> DataFrame:
@@ -105,6 +106,7 @@ def minhash_lsh_pairs(
     k: int = 8,
     bands: int = 4,
     shingle_n: int = 3,
+    max_bucket_width: int | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded MinHash LSH.
 
@@ -115,11 +117,16 @@ def minhash_lsh_pairs(
       3. self-equi-join on (band, key) with id_a < id_b: a shuffle
          hash join on the band key -- candidates only ever co-locate
          within a bucket, so the join never goes quadratic unless a
-         bucket is hot (identical boilerplate docs). At scale, cap
-         bucket width by salting or dropping buckets with
-         count > threshold (boilerplate filter), which is also what
-         you want semantically.
+         bucket is hot (identical boilerplate docs).
       4. distinct pairs.
+
+    `max_bucket_width` bounds step 3's quadratic worst case: buckets
+    wider than the cap are dropped before the self-join (one
+    count-aggregate + left-semi join, both map-side-combinable). A hot
+    bucket of w boilerplate docs otherwise yields w^2/2 rows; with the
+    cap the per-bucket cost is <= cap^2/2. Dropping over-wide buckets
+    is also the semantically right boilerplate filter -- exact-identical
+    docs belong to exact_dedup, not near-dup pairing.
     """
     rows_per_band = k // bands
     sig = minhash_signature(df.select(id_col, text_col), text_col, k, shingle_n)
@@ -138,9 +145,18 @@ def minhash_lsh_pairs(
         F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")
     ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
     # self-join would otherwise recompute the whole signature pipeline
-    # for each side; persist so it runs once. At cluster scale this is
-    # a small (id, band, key) projection -- memory-cheap.
-    buckets = buckets.persist()
+    # for each side; persist so it runs once (tracked: see
+    # _cache.release_persisted). At cluster scale this is a small
+    # (id, band, key) projection -- memory-cheap.
+    buckets = track_persist(buckets)
+    if max_bucket_width is not None:
+        keep = (
+            buckets.groupBy("band", "key")
+            .count()
+            .filter(F.col("count") <= max_bucket_width)
+            .select("band", "key")
+        )
+        buckets = buckets.join(keep, ["band", "key"], "left_semi")
     a = buckets.alias("a")
     b = buckets.alias("b")
     pairs = (
@@ -211,6 +227,7 @@ def ngram_jaccard_pairs(
     id_col: str,
     shingle_n: int = 3,
     threshold: float = 0.8,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for candidate pairs that share at
     least one shingle.
@@ -218,12 +235,30 @@ def ngram_jaccard_pairs(
     Plan: explode distinct shingles -> self-join on shingle (shuffle
     co-locates docs sharing a shingle) -> count shared shingles per
     pair -> |A∩B| / (|A|+|B|-|A∩B|). At 100 TB the shared-shingle join
-    is the bottleneck on stop-shingle hot keys; drop shingles with
-    document-frequency > cap first (same boilerplate argument as LSH).
+    is the bottleneck on stop-shingle hot keys: one shingle shared by w
+    docs yields w^2/2 join rows.
+
+    `max_doc_freq` drops shingles whose document frequency exceeds the
+    cap BEFORE everything else (sizes included), bounding the join at
+    cap^2/2 per shingle. Semantics become "Jaccard over the
+    non-boilerplate shingle set" -- stop-shingles carry no similarity
+    signal, so this is the stop-word filter of classic IR, applied
+    consistently to intersection AND union (both sides of the ratio).
     """
     sh = (
         df.select(id_col, F.explode(F.array_distinct(shingles(text_col, shingle_n))).alias("sh"))
-    ).persist()  # referenced 3x (sizes + both join sides): compute once
+    )
+    if max_doc_freq is not None:
+        rare = (
+            sh.groupBy("sh")
+            .count()
+            .filter(F.col("count") <= max_doc_freq)
+            .select("sh")
+        )
+        sh = sh.join(rare, "sh", "left_semi")
+    # referenced 3x (sizes + both join sides): compute once (tracked
+    # persist, released by _cache.release_persisted between queries)
+    sh = track_persist(sh)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")

@@ -19,6 +19,8 @@ import hashlib
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ._cache import release_persisted, track_persist  # noqa: F401 (re-export)
+
 
 def _dot(a: Column, b: Column) -> Column:
     """JVM-native dot product over array columns (no Python): zip_with
@@ -124,6 +126,106 @@ def lsh_buckets(
     return df.withColumn("__tb", F.explode(F.array(*entries))).select(
         "*", F.col("__tb.table").alias("table"), F.col("__tb.bucket").alias("bucket")
     ).drop("__tb")
+
+
+def lsh_planes(
+    n_tables: int, planes_per_table: int, dim: int
+) -> list[tuple[int, int, list[float]]]:
+    """(table, bit_value, plane) triples for the L-tables-of-m-planes
+    construction. Exposed so the DuckDB oracle SQL can be generated
+    from the SAME constants (seeds) as the Spark plan -- the two sides
+    cannot drift (pattern of queries_llm._lang_id_sql)."""
+    out = []
+    for t in range(n_tables):
+        for p in range(planes_per_table):
+            out.append((t, 2**p, _hyperplane(dim, t * planes_per_table + p)))
+    return out
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_tables: int = 8,
+    planes_per_table: int = 4,
+    dim: int = 64,
+    max_bucket_width: int | None = None,
+) -> DataFrame:
+    """Distinct candidate pairs (id_a < id_b) that collide in at least
+    one LSH (table, bucket). The scale-safe candidate generator for
+    embedding near-dup: the self-join is an equi-join on the bucket
+    key, never an all-pairs nested loop.
+
+    `max_bucket_width` drops buckets wider than the cap before the
+    self-join (a hot bucket of w identical/boilerplate vectors yields
+    w^2 candidate rows; at 100 TB the cap bounds the worst bucket, and
+    dropping over-wide buckets is also what you want semantically --
+    they are boilerplate, handled by exact dedup instead).
+    """
+    slim = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec"))
+    buckets = lsh_buckets(slim, "__vec", n_tables, planes_per_table, dim).select(
+        "__id", "table", "bucket"
+    )
+    # self-join would recompute the L x m dot products per side;
+    # persist the slim (id, table, bucket) projection (tracked for
+    # release -- see _cache.release_persisted()).
+    buckets = track_persist(buckets)
+    if max_bucket_width is not None:
+        keep = (
+            buckets.groupBy("table", "bucket")
+            .count()
+            .filter(F.col("count") <= max_bucket_width)
+            .select("table", "bucket")
+        )
+        buckets = buckets.join(keep, ["table", "bucket"], "left_semi")
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.table") == F.col("b.table"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .distinct()
+    )
+
+
+def embedding_neardup_lsh(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.35,
+    n_tables: int = 8,
+    planes_per_table: int = 4,
+    dim: int = 64,
+    max_bucket_width: int | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, the 100 TB shape: LSH
+    bucket candidates (equi-join, linear in collisions) -> exact cosine
+    on candidates only -> threshold filter. Same scoring expression as
+    the all-pairs triangle (queries_llm.dedup_embedding_cosine), which
+    serves as its recall oracle in tests/test_similarity.py. Emits a
+    SUBSET of the triangle's pairs (recall < 1 tuned by (L, m)), never
+    a superset, and never a BroadcastNestedLoopJoin (plan-asserted)."""
+    cand = lsh_candidate_pairs(
+        df, vec_col, id_col, n_tables, planes_per_table, dim, max_bucket_width
+    )
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    scored = (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn(
+            "cosine",
+            _dot(F.col("__va"), F.col("__vb"))
+            / (_norm(F.col("__va")) * _norm(F.col("__vb"))),
+        )
+    )
+    return scored.filter(F.col("cosine") >= threshold).select(
+        "id_a", "id_b", "cosine"
+    )
 
 
 def cosine_topk_lsh(

@@ -28,8 +28,26 @@ from ..operators.dedup import (
     ngram_jaccard_pairs,
     simhash,
 )
-from ..operators.similarity import cosine_topk_bruteforce, cosine_topk_lsh
+from ..operators.similarity import (
+    cosine_topk_bruteforce,
+    cosine_topk_lsh,
+    embedding_neardup_lsh,
+    lsh_planes,
+)
 from ..sources.tables import load_table
+
+# LSH geometry shared by the Spark plans AND the generated DuckDB
+# oracles below -- single source of truth, the two sides cannot drift.
+# (L=8 tables x m=3 planes: recall 0.90 vs brute-force top-5 at
+# sf0.01, same plane-literal count as the round-1 6x4 config; see
+# SCALING.md recall curve.)
+ANN_LSH_TABLES = 8
+ANN_LSH_PLANES = 3
+EMB_DIM = 64
+NEARDUP_THRESHOLD = 0.35
+NEARDUP_BUCKET_CAP = 32
+MINHASH_BUCKET_CAP = 16
+JACCARD_DF_CAP = 32
 
 QUERIES: dict = {}
 ORACLES: dict[str, str] = {}
@@ -222,7 +240,9 @@ def dedup_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_lsh_sql(k: int = 8, bands: int = 4, n: int = 3) -> str:
+def _minhash_lsh_sql(
+    k: int = 8, bands: int = 4, n: int = 3, cap: int = MINHASH_BUCKET_CAP
+) -> str:
     rpb = k // bands
     sig_cols = ",\n  ".join(
         f"list_min(list_transform(sh, x -> substr(sha256(x), {i * 8 + 1}, 8))) AS minhash_{i}"
@@ -239,10 +259,12 @@ WITH {_DOCS_WITH_DUPS_SQL.strip()},
 t AS (SELECT doc_id, {_TOKS} AS toks FROM docs),
 sh AS (SELECT doc_id, {_shingles_sql("toks", n)} AS sh FROM t),
 sig AS (SELECT doc_id, {sig_cols} FROM sh),
-buckets AS ({band_selects})
+buckets AS ({band_selects}),
+kept AS (SELECT band, key FROM buckets GROUP BY band, key HAVING count(*) <= {cap}),
+b2 AS (SELECT buckets.* FROM buckets JOIN kept USING (band, key))
 SELECT DISTINCT CAST(a.doc_id AS BIGINT) AS id_a,
                 CAST(b.doc_id AS BIGINT) AS id_b
-FROM buckets a JOIN buckets b
+FROM b2 a JOIN b2 b
   ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
 """
 
@@ -250,7 +272,15 @@ FROM buckets a JOIN buckets b
 @_q("dedup_minhash_lsh_pairs", _minhash_lsh_sql())
 def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs_with_dups(spark, sf_dir)
-    pairs = minhash_lsh_pairs(docs, "text", "doc_id", k=8, bands=4, shingle_n=3)
+    pairs = minhash_lsh_pairs(
+        docs,
+        "text",
+        "doc_id",
+        k=8,
+        bands=4,
+        shingle_n=3,
+        max_bucket_width=MINHASH_BUCKET_CAP,
+    )
     return pairs.select(
         F.col("id_a").cast("long").alias("id_a"),
         F.col("id_b").cast("long").alias("id_b"),
@@ -284,11 +314,15 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _jaccard_sql(n: int = 3, threshold: float = 0.5) -> str:
+def _jaccard_sql(
+    n: int = 3, threshold: float = 0.5, df_cap: int = JACCARD_DF_CAP
+) -> str:
     return f"""
 WITH {_DOCS_WITH_DUPS_SQL.strip()},
 t AS (SELECT doc_id, {_TOKS} AS toks FROM docs),
-sh AS (SELECT doc_id, unnest(list_distinct({_shingles_sql("toks", n)})) AS s FROM t),
+sh0 AS (SELECT doc_id, unnest(list_distinct({_shingles_sql("toks", n)})) AS s FROM t),
+dfreq AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) <= {df_cap}),
+sh AS (SELECT sh0.* FROM sh0 JOIN dfreq USING (s)),
 sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
 shared AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
@@ -307,7 +341,14 @@ WHERE CAST(n_shared AS DOUBLE) / (sa.n_sh + sb.n_sh - n_shared) >= {threshold}
 @_q("dedup_ngram_jaccard", _jaccard_sql())
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs_with_dups(spark, sf_dir)
-    pairs = ngram_jaccard_pairs(docs, "text", "doc_id", shingle_n=3, threshold=0.5)
+    pairs = ngram_jaccard_pairs(
+        docs,
+        "text",
+        "doc_id",
+        shingle_n=3,
+        threshold=0.5,
+        max_doc_freq=JACCARD_DF_CAP,
+    )
     return pairs.select(
         F.col("id_a").cast("long").alias("id_a"),
         F.col("id_b").cast("long").alias("id_b"),
@@ -322,6 +363,19 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DOT_SQL = (
     "list_reduce([CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE) "
     "for i in generate_series(1, len({a}))], (x, y) -> x + y)"
+)
+
+_EMB_DOT = (
+    "list_reduce([CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE) "
+    "for i in generate_series(1, len(a.embedding))], (x, y) -> x + y)"
+)
+_EMB_NORM_A = (
+    "sqrt(list_reduce([CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE) "
+    "for i in generate_series(1, len(a.embedding))], (x, y) -> x + y))"
+)
+_EMB_NORM_B = (
+    "sqrt(list_reduce([CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE) "
+    "for i in generate_series(1, len(b.embedding))], (x, y) -> x + y))"
 )
 
 
@@ -364,13 +418,87 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_q("ann_cosine_lsh")  # no SQL oracle: hyperplane literals are impractical
+# --- LSH bucket SQL twins ---------------------------------------------------
+# The hyperplanes are md5-derived doubles (similarity._hyperplane), so
+# the DuckDB twin is GENERATED from the same lsh_planes() call the
+# Spark plan folds into literals. repr(float) round-trips exactly
+# through DuckDB's decimal parser, and both engines fold the dot
+# product left-to-right, so the bucket signs (and hence candidate
+# sets) are bit-identical.
+
+
+def _planes_cte(n_tables: int, m: int, dim: int = EMB_DIM) -> str:
+    rows = ",\n    ".join(
+        f"({t}, {bit}, [" + ", ".join(repr(v) for v in vec) + "])"
+        for t, bit, vec in lsh_planes(n_tables, m, dim)
+    )
+    return f"planes(tbl, bit, vec) AS (VALUES\n    {rows})"
+
+
+_PLANE_DOT = (
+    "list_reduce([CAST(e.embedding[i] AS DOUBLE) * pl.vec[i] "
+    "for i in generate_series(1, len(e.embedding))], (x, y) -> x + y)"
+)
+
+
+def _buckets_cte(src: str = "embeddings") -> str:
+    return f"""buckets AS (
+  SELECT e.vec_id AS vid, pl.tbl AS tbl,
+         CAST(sum(CASE WHEN {_PLANE_DOT} > 0 THEN pl.bit ELSE 0 END) AS BIGINT) AS bucket
+  FROM {src} e CROSS JOIN planes pl
+  GROUP BY 1, 2
+)"""
+
+
+def _ann_lsh_sql(
+    k: int = 5,
+    n_queries: int = 10,
+    n_tables: int = ANN_LSH_TABLES,
+    m: int = ANN_LSH_PLANES,
+) -> str:
+    return f"""
+WITH {_planes_cte(n_tables, m)},
+{_buckets_cte()},
+q AS (SELECT * FROM buckets WHERE vid < {n_queries}),
+cand AS (
+  SELECT DISTINCT q.vid AS query_id, c.vid AS neighbor_id
+  FROM buckets c JOIN q ON c.tbl = q.tbl AND c.bucket = q.bucket AND q.vid <> c.vid
+),
+sims AS (
+  SELECT query_id, neighbor_id,
+         {_EMB_DOT} / ({_EMB_NORM_A} * {_EMB_NORM_B}) AS cosine
+  FROM cand
+  JOIN embeddings a ON a.vec_id = query_id
+  JOIN embeddings b ON b.vec_id = neighbor_id
+)
+SELECT CAST(query_id AS BIGINT) AS query_id,
+       CAST(neighbor_id AS BIGINT) AS neighbor_id,
+       cosine,
+       CAST(row_number() OVER (
+         PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+       ) AS BIGINT) AS rank
+FROM sims
+QUALIFY rank <= {k}
+"""
+
+
+@_q("ann_cosine_lsh", _ann_lsh_sql())
 def ann_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only driver check; correctness vs brute force is asserted in
-    tests/test_similarity.py (recall@k over the fixture)."""
+    """Hash-green oracle: the DuckDB twin regenerates the hyperplanes
+    from the same seeds. Recall >= 0.8 vs brute force is additionally
+    pinned in tests/test_similarity.py."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    out = cosine_topk_lsh(emb, queries, "embedding", "vec_id", k=5, n_tables=6, planes_per_table=4, dim=64)
+    out = cosine_topk_lsh(
+        emb,
+        queries,
+        "embedding",
+        "vec_id",
+        k=5,
+        n_tables=ANN_LSH_TABLES,
+        planes_per_table=ANN_LSH_PLANES,
+        dim=EMB_DIM,
+    )
     return out.select(
         F.col("query_id").cast("long").alias("query_id"),
         F.col("neighbor_id").cast("long").alias("neighbor_id"),
@@ -394,20 +522,6 @@ def ann_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cosine",
         F.col("rank").cast("long").alias("rank"),
     )
-
-
-_EMB_DOT = (
-    "list_reduce([CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE) "
-    "for i in generate_series(1, len(a.embedding))], (x, y) -> x + y)"
-)
-_EMB_NORM_A = (
-    "sqrt(list_reduce([CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE) "
-    "for i in generate_series(1, len(a.embedding))], (x, y) -> x + y))"
-)
-_EMB_NORM_B = (
-    "sqrt(list_reduce([CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE) "
-    "for i in generate_series(1, len(b.embedding))], (x, y) -> x + y))"
-)
 
 
 @_q(
@@ -438,4 +552,94 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = with_cosine(pairs, "emb_a", "emb_b", "cosine")
     return scored.filter(F.col("cosine") >= 0.35).select(
         F.col("id_a").cast("long"), F.col("id_b").cast("long"), "cosine"
+    )
+
+
+# Near-dup fixture: the corpus is fully-random vectors (max natural
+# cosine ~0.5 at 64 dims), so -- exactly like _DOCS_WITH_DUPS_SQL for
+# text -- true near-duplicates are synthesized identically on both
+# sides: every vec_id % 5 = 0 vector gets a copy (id + 100000) with a
+# deterministic per-coordinate perturbation x_i * (1 + 0.01*((i%7)-3)),
+# cosine(orig, copy) ~ 0.9996. The 0.9 threshold is the regime where
+# hyperplane LSH genuinely separates signal from background: per-plane
+# agreement p = 1 - arccos(0.9996)/pi ~ 0.991 vs ~0.5 for random pairs,
+# so m=8 planes give per-table collision 0.93 vs 1/256.
+_EMB_WITH_DUPS_SQL = """
+emb AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000 AS vec_id,
+         [CAST(embedding[i] AS DOUBLE) * (1 + 0.01 * (((i - 1) % 7) - 3))
+          for i in generate_series(1, len(embedding))] AS embedding
+  FROM embeddings WHERE vec_id % 5 = 0
+)
+"""
+
+NEARDUP_LSH_TABLES = 6
+NEARDUP_LSH_PLANES = 8
+NEARDUP_LSH_THRESHOLD = 0.9
+
+
+def _emb_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    pert = emb.filter(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: x.cast("double") * (1 + 0.01 * ((i % 7) - 3)),
+        ).alias("embedding"),
+    )
+    return base.unionByName(pert)
+
+
+def _neardup_lsh_sql(
+    threshold: float = NEARDUP_LSH_THRESHOLD,
+    n_tables: int = NEARDUP_LSH_TABLES,
+    m: int = NEARDUP_LSH_PLANES,
+    cap: int = NEARDUP_BUCKET_CAP,
+) -> str:
+    return f"""
+WITH {_EMB_WITH_DUPS_SQL.strip()},
+{_planes_cte(n_tables, m)},
+{_buckets_cte("emb")},
+kept AS (SELECT tbl, bucket FROM buckets GROUP BY tbl, bucket HAVING count(*) <= {cap}),
+b2 AS (SELECT buckets.* FROM buckets JOIN kept USING (tbl, bucket)),
+cand AS (
+  SELECT DISTINCT x.vid AS id_a, y.vid AS id_b
+  FROM b2 x JOIN b2 y ON x.tbl = y.tbl AND x.bucket = y.bucket AND x.vid < y.vid
+)
+SELECT CAST(c.id_a AS BIGINT) AS id_a, CAST(c.id_b AS BIGINT) AS id_b,
+       {_EMB_DOT} / ({_EMB_NORM_A} * {_EMB_NORM_B}) AS cosine
+FROM cand c
+JOIN emb a ON a.vec_id = c.id_a
+JOIN emb b ON b.vec_id = c.id_b
+WHERE {_EMB_DOT} / ({_EMB_NORM_A} * {_EMB_NORM_B}) >= {threshold}
+"""
+
+
+@_q("dedup_embedding_cosine_lsh", _neardup_lsh_sql())
+def dedup_embedding_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale-safe registered form of embedding near-dup (VERDICT r01
+    item 2): LSH bucket candidates (equi-join on (table, bucket), hot
+    buckets capped) -> exact cosine -> threshold. No all-pairs
+    BroadcastNestedLoopJoin anywhere in the plan (asserted by
+    tests/test_plans.py); the all-pairs triangle over the same fixture
+    is its recall oracle in tests/test_similarity.py."""
+    out = embedding_neardup_lsh(
+        _emb_with_dups(spark, sf_dir),
+        "embedding",
+        "vec_id",
+        threshold=NEARDUP_LSH_THRESHOLD,
+        n_tables=NEARDUP_LSH_TABLES,
+        planes_per_table=NEARDUP_LSH_PLANES,
+        dim=EMB_DIM,
+        max_bucket_width=NEARDUP_BUCKET_CAP,
+    )
+    return out.select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        "cosine",
     )

@@ -1,0 +1,79 @@
+"""Hot-key caps (VERDICT r01 item 3): a bucket/shingle shared by w
+boilerplate documents otherwise yields w^2/2 join rows -- the one shape
+that would not survive 100 TB. The caps drop over-wide buckets /
+over-frequent shingles BEFORE the self-join, bounding the worst key at
+cap^2/2 while keeping every genuine (rare-key) near-dup pair.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from etl_building_inspector_spark.operators.dedup import (
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+)
+
+BOILERPLATE = (
+    "this content is provided as is without warranty of any kind either "
+    "express or implied including but not limited to the implied warranties "
+    "of merchantability and fitness for a particular purpose"
+)
+
+DOC_A = "the quick brown fox jumps over the lazy dog near the river bank today"
+DOC_B = "the quick brown fox jumps over the lazy dog near the river bank"  # near-dup of A
+DOC_C = "completely unrelated text about spark physical plans and shuffle exchanges"
+
+
+@pytest.fixture(scope="module")
+def boilerplate_docs(spark):
+    rows = [(i, BOILERPLATE) for i in range(30)]
+    rows += [(100, DOC_A), (101, DOC_B), (200, DOC_C)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_minhash_cap_bounds_hot_buckets(spark, boilerplate_docs):
+    uncapped = minhash_lsh_pairs(boilerplate_docs, "text", "doc_id").collect()
+    capped = minhash_lsh_pairs(
+        boilerplate_docs, "text", "doc_id", max_bucket_width=5
+    ).collect()
+    # 30 identical docs collide in every band: 30*29/2 pairs uncapped
+    assert len(uncapped) >= 435
+    capped_pairs = {(r.id_a, r.id_b) for r in capped}
+    # the boilerplate blowup is gone...
+    assert len(capped_pairs) < 435
+    assert not any(a < 30 and b < 30 for a, b in capped_pairs)
+    # ...but the genuine rare-bucket near-dup pair survives
+    assert (100, 101) in capped_pairs
+
+
+def test_jaccard_df_cap_bounds_hot_shingles(spark, boilerplate_docs):
+    uncapped = ngram_jaccard_pairs(
+        boilerplate_docs, "text", "doc_id", threshold=0.5
+    ).collect()
+    capped = ngram_jaccard_pairs(
+        boilerplate_docs, "text", "doc_id", threshold=0.5, max_doc_freq=5
+    ).collect()
+    assert len(uncapped) >= 435
+    capped_pairs = {(r.id_a, r.id_b) for r in capped}
+    assert not any(a < 30 and b < 30 for a, b in capped_pairs)
+    assert (100, 101) in capped_pairs
+
+
+def test_embedding_bucket_cap(spark):
+    """Same cap on the embedding LSH candidate generator: a hot bucket
+    of identical vectors must not explode the candidate join."""
+    from etl_building_inspector_spark.operators.similarity import (
+        lsh_candidate_pairs,
+    )
+
+    hot = [(i, [1.0] * 64) for i in range(30)]  # identical -> same buckets
+    rare = [(100, [float(j % 5) - 2.0 for j in range(64)]),
+            (101, [(float(j % 5) - 2.0) * 1.01 for j in range(64)])]
+    df = spark.createDataFrame(hot + rare, "vec_id long, embedding array<double>")
+    capped = lsh_candidate_pairs(
+        df, n_tables=4, planes_per_table=6, max_bucket_width=5
+    ).collect()
+    pairs = {(r.id_a, r.id_b) for r in capped}
+    assert not any(a < 30 and b < 30 for a, b in pairs)
+    assert (100, 101) in pairs

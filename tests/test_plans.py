@@ -58,6 +58,15 @@ def test_ann_bruteforce_broadcasts_query_side(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
 
 
+def test_neardup_lsh_no_all_pairs_join(spark, sf_dir):
+    """The registered embedding near-dup must be the bucketed candidate
+    path (equi-join on (table, bucket)), never the O(n^2) nested-loop
+    triangle (VERDICT r01 item 2)."""
+    plan = _executed(spark, "dedup_embedding_cosine_lsh", sf_dir)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_agg_single_shuffle(spark, sf_dir):
     plan = _executed(spark, "agg_pricing_summary", sf_dir)
     # partial agg map-side, one exchange, final agg -- no extra shuffles
