@@ -142,10 +142,30 @@ def spatial_join_broadcast(
     )
 
 
+def adaptive_cell_size(
+    polygons: DataFrame, ring_col: str = "ring"
+) -> float:
+    """Derive the grid cell size from build-side bbox statistics: ONE
+    aggregate over the polygons (mean bbox width/height), cell = the
+    larger mean extent. The average polygon then covers ~2x2 cells
+    (bounded fan-out in the explode) while a cell stays small enough
+    that the equi-join prefilter keeps its selectivity -- the columnar
+    analog of the reference R-tree's auto-adaptation
+    (geo-indices.js:25-36). The single collected row is a plan-time
+    scalar, same class of driver-side constant as KMeans centroids in
+    cosine_topk_ivf."""
+    xmin, xmax, ymin, ymax = _bbox(F.col(ring_col))
+    row = polygons.agg(
+        F.avg(xmax - xmin).alias("dx"), F.avg(ymax - ymin).alias("dy")
+    ).collect()[0]
+    dims = [d for d in (row["dx"], row["dy"]) if d is not None and d > 0]
+    return max(dims) if dims else 1.0
+
+
 def spatial_join_grid(
     points: DataFrame,
     polygons: DataFrame,
-    cell_size: float,
+    cell_size: float | None = None,
     point_col: str = "point",
     ring_col: str = "ring",
     layer_col: str = "layer_id",
@@ -158,7 +178,12 @@ def spatial_join_grid(
     -- callers needing left-outer semantics anti-join the matches back
     (see plans/pipeline.py), because a left join on the exploded cell
     key would duplicate misses per cell.
+
+    `cell_size=None` (default) auto-adapts from build-side bbox stats
+    (adaptive_cell_size); pass a float to override.
     """
+    if cell_size is None:
+        cell_size = adaptive_cell_size(polygons, ring_col)
     xmin, xmax, ymin, ymax = _bbox(polygons[ring_col])
     cs = F.lit(float(cell_size))
     cells = F.flatten(

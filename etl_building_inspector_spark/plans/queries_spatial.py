@@ -144,10 +144,11 @@ WHERE {_PIP_SQL}
 def spatial_pip_join_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grid strategy: same semantics, shuffle join on (layer, cell) --
     the 100 TB path (no broadcast limit). Same oracle as the broadcast
-    variant by construction."""
+    variant by construction. Cell size auto-adapts from polygon bbox
+    stats (adaptive_cell_size -- no hand-chosen knob)."""
     points = _synth_points(spark, sf_dir)
     polys = _synth_polygons(spark, sf_dir)
-    out = spatial_join_grid(points, polys, cell_size=10.0)
+    out = spatial_join_grid(points, polys)
     return out.select("point_id", "poly_id")
 
 

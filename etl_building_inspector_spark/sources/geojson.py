@@ -36,6 +36,7 @@ RAW_GEOMETRY = T.StructType(
 
 RAW_CONSOLIDATED = T.StructType(
     [
+        T.StructField("_seq", T.LongType()),
         T.StructField("type", T.StringType()),
         T.StructField(
             "properties",
@@ -63,6 +64,7 @@ RAW_CONSOLIDATED = T.StructType(
 
 RAW_TOPONYMS = T.StructType(
     [
+        T.StructField("_seq", T.LongType()),
         T.StructField("type", T.StringType()),
         T.StructField(
             "properties",
@@ -102,16 +104,23 @@ RAW_SHEETS = T.StructType(
 )
 
 
-def featurecollection_to_jsonl(src: str, dst: str) -> int:
+def featurecollection_to_jsonl(src: str, dst: str, seq_start: int = 0) -> int:
     """Landing-side convert: one GeoJSON FeatureCollection document ->
     JSONL, one feature per line (driver-side, runs once per download;
-    the cluster never touches the unsplittable original)."""
+    the cluster never touches the unsplittable original). Each line is
+    stamped with an explicit `_seq` file-order column (see
+    landing._seq_line); for multi-file landing dirs chain the counter:
+    n = featurecollection_to_jsonl(a, f1); featurecollection_to_jsonl(
+    b, f2, seq_start=n)."""
     with open(src) as f:
         doc = json.load(f)
     feats = doc.get("features", [])
     with open(dst, "w") as out:
-        for feat in feats:
-            out.write(json.dumps(feat, separators=(",", ":")) + "\n")
+        for i, feat in enumerate(feats):
+            out.write(
+                json.dumps({"_seq": seq_start + i, **feat}, separators=(",", ":"))
+                + "\n"
+            )
     return len(feats)
 
 
@@ -132,18 +141,25 @@ def write_geojson_featurecollection(
 
 
 def read_consolidated(spark: SparkSession, path: str) -> DataFrame:
-    """Scan consolidated features; adds `_seq` (monotonic per input
-    order) for the keep-first dedup determinism (reference D1 is
-    first-in-FILE-order, building-inspector.js:97-100; Spark reads
-    JSONL splits in offset order so monotonically_increasing_id
-    preserves it)."""
+    """Scan consolidated features. `_seq` drives keep-first dedup
+    determinism (reference D1 is first-in-FILE-order,
+    building-inspector.js:97-100). Landed lines carry an explicit
+    `_seq` column written at download time (landing._seq_line) --
+    contractual across any split/partition/file-listing order. Legacy
+    landings without the column fall back to
+    monotonically_increasing_id, which tracks file order only within a
+    single file's splits (documented weaker guarantee)."""
     df = spark.read.schema(RAW_CONSOLIDATED).json(path)
-    return df.withColumn("_seq", F.monotonically_increasing_id())
+    return df.withColumn(
+        "_seq", F.coalesce(F.col("_seq"), F.monotonically_increasing_id())
+    )
 
 
 def read_toponyms(spark: SparkSession, path: str) -> DataFrame:
     df = spark.read.schema(RAW_TOPONYMS).json(path)
-    return df.withColumn("_seq", F.monotonically_increasing_id())
+    return df.withColumn(
+        "_seq", F.coalesce(F.col("_seq"), F.monotonically_increasing_id())
+    )
 
 
 def read_sheets(spark: SparkSession, path: str) -> DataFrame:

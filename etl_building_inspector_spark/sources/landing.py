@@ -59,16 +59,28 @@ def fetch_with_retry(
     raise RuntimeError(f"download failed after {retries + 1} attempts: {url}") from last
 
 
+def _seq_line(feat: dict, seq: int) -> str:
+    """One landed JSONL line. `_seq` (download arrival order) is
+    embedded IN the line: Spark plans split files and list directories
+    in non-contractual order, so read-side monotonically_increasing_id
+    cannot guarantee reference file-order semantics for keep-first
+    dedup (D1/D2). An explicit column can (VERDICT r01 item 4)."""
+    return json.dumps({"_seq": seq, **feat}, separators=(",", ":")) + "\n"
+
+
 def download_paginated(
     base_url: str,
     out_path: str,
     fetch_json: FetchJson = _default_fetch,
     sleep_s: float = DEFAULT_SLEEP_S,
     max_pages: int | None = None,
+    seq_start: int = 0,
 ) -> int:
     """S1: GET {base_url}/page/{n} from n=1; stop on the first page with
     empty/missing `features` (building-inspector.js:58-79). Features
-    append to out_path as JSONL. Returns feature count."""
+    append to out_path as JSONL with a global `_seq` arrival-order
+    column (continues from seq_start across multi-file landings).
+    Returns feature count."""
     n_features = 0
     page = 1
     with open(out_path, "w") as out:
@@ -78,8 +90,8 @@ def download_paginated(
             if not feats:
                 break
             for feat in feats:
-                out.write(json.dumps(feat, separators=(",", ":")) + "\n")
-            n_features += len(feats)
+                out.write(_seq_line(feat, seq_start + n_features))
+                n_features += 1
             page += 1
             if max_pages is not None and page > max_pages:
                 break
@@ -91,14 +103,16 @@ def download_unpaginated(
     url: str,
     out_path: str,
     fetch_json: FetchJson = _default_fetch,
+    seq_start: int = 0,
 ) -> int:
     """S4: single-document fetch -> JSONL (the reference pipes the raw
-    body to disk, :84-89; we row-ise it on the way down)."""
+    body to disk, :84-89; we row-ise it on the way down, stamping
+    `_seq` arrival order)."""
     doc = fetch_with_retry(url, fetch_json)
     feats = doc.get("features") or []
     with open(out_path, "w") as out:
-        for feat in feats:
-            out.write(json.dumps(feat, separators=(",", ":")) + "\n")
+        for i, feat in enumerate(feats):
+            out.write(_seq_line(feat, seq_start + i))
     return len(feats)
 
 

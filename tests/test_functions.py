@@ -160,7 +160,7 @@ def test_approx_error_bounds(spark, sf_dir):
         e = exact[flag]
         assert abs(a.approx_orders - e.n) / e.n < 0.10
         assert e.p40 <= a.approx_median_price <= e.p60
-        assert a.qty_quartiles[0] <= a.qty_quartiles[1]
+        assert a.qty_p25 <= a.qty_p75
 
 
 def test_hypertable_rollup_levels_lossless(spark, sf_dir):

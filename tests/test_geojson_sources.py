@@ -39,6 +39,54 @@ def test_featurecollection_jsonl_roundtrip(tmp_path, spark):
     assert sorted(f["properties"]["id"] for f in doc2["features"]) == list(range(5))
 
 
+def test_seq_deterministic_across_multifile_landing(tmp_path, spark):
+    """Keep-first dedup must match reference FILE order (building-
+    inspector.js:97-100) even when the landing dir holds many JSONL
+    files -- Spark's file listing / split planning order is not
+    contractual, so `_seq` is an explicit column embedded at landing
+    time, chained across files via seq_start (VERDICT r01 item 4)."""
+    import random
+
+    from etl_building_inspector_spark.operators.dedup import keep_first
+    from etl_building_inspector_spark.sources.geojson import read_consolidated
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    rng = random.Random(7)
+    seq = 0
+    expected_first: dict[int, str] = {}
+    for fi in range(6):
+        feats = []
+        for li in range(50):
+            bid = rng.randrange(40)  # ids repeat across files
+            marker = f"m{fi}-{li}"
+            feats.append(
+                {
+                    "type": "Feature",
+                    "properties": {"id": bid, "map_id": marker, "sheet_id": 1},
+                    "geometry": {"type": "GeometryCollection", "geometries": []},
+                }
+            )
+            expected_first.setdefault(bid, marker)
+        src = tmp_path / f"src{fi}.json"
+        src.write_text(json.dumps({"type": "FeatureCollection", "features": feats}))
+        seq += featurecollection_to_jsonl(
+            str(src), str(landing / f"part{fi}.jsonl"), seq_start=seq
+        )
+
+    df = read_consolidated(spark, str(landing))
+    # _seq comes from the embedded landing column, not read order
+    seqs = sorted(r._seq for r in df.select("_seq").collect())
+    assert seqs == list(range(300))
+    flat = df.select(
+        F.col("properties.id").alias("id"),
+        F.col("properties.map_id").alias("map_id"),
+        "_seq",
+    )
+    kept = keep_first(flat, keys=["id"], order_by=["_seq"]).collect()
+    assert {r.id: r.map_id for r in kept} == expected_first
+
+
 def test_point_in_polygon_with_holes(spark):
     """Donut polygon: outer 0..10 square with 4..6 hole. Point in the
     hole is OUTSIDE; point in the ring body is INSIDE."""
