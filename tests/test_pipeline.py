@@ -58,6 +58,37 @@ T_NO_INDEX = _toponym_id(12, [1.0, 1.0])
 T_NO_BOROUGH = _toponym_id(11, [52.0, 52.0])
 
 
+def test_js_num_rendering(spark):
+    """_js_num must agree with JS String(number) across the ranges
+    where Java Double.toString diverges (scientific-notation
+    thresholds, ADVICE r01): integers stay integral at any magnitude,
+    decimals in the shared-shortest-repr range pass through, and the
+    un-renderable range fails loudly instead of hashing a wrong id."""
+    from pyspark.sql import functions as F
+
+    from etl_building_inspector_spark.plans.pipeline import _js_num
+
+    cases = [
+        (40.0, "40"),
+        (-73.9876543, "-73.9876543"),
+        (0.5, "0.5"),
+        (-0.0, "0"),
+        (12345678.0, "12345678"),  # Java: 1.2345678E7; JS: 12345678
+        (1e15, "1000000000000000"),
+        (0.001, "0.001"),
+        (None, None),
+    ]
+    df = spark.createDataFrame([(v,) for v, _ in cases], "x double")
+    got = [r.s for r in df.select(_js_num(F.col("x")).alias("s")).collect()]
+    assert got == [want for _, want in cases]
+
+    import pytest as _pytest
+
+    bad = spark.createDataFrame([(1e-5,)], "x double")
+    with _pytest.raises(Exception, match="JS-compatible"):
+        bad.select(_js_num(F.col("x")).alias("s")).collect()
+
+
 def test_building_objects(records):
     buildings = {
         r.id: r
