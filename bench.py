@@ -53,6 +53,11 @@ HEADLINE = [
     "merge_upsert",
     "hypertable_rollup_daily",
     "sql_api_q3",
+    # round 2: corpus-curation additions
+    "decontaminate_ngram",
+    "tfidf_topk_terms",
+    "dedup_cluster_assign",
+    "quality_filter_composite",
 ]
 
 

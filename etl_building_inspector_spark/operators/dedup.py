@@ -282,3 +282,60 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over an undirected pair graph by min-label
+    propagation: every node's label converges to the smallest node id
+    reachable from it. Returns (node, component).
+
+    This is the dedup-clustering step that turns near-dup PAIRS (from
+    MinHash-LSH / Jaccard / embedding-LSH) into groups: keep
+    min(component), drop the rest.
+
+    Scale: each round is one shuffle join (symmetrized edges against
+    current labels) plus an algebraic min-aggregate — the classic
+    iterative-CC shape (Hash-to-Min, Vassilvitskii et al.); rounds
+    needed = graph diameter, and near-dup graphs are shallow (clusters
+    are cliques-ish, diameter 2-3). localCheckpoint() per round cuts
+    the lineage so plan size stays O(1) in rounds instead of
+    exponential; convergence is detected with a count of changed
+    labels — a scalar aggregate per round, the one legitimate
+    driver-side action in an iterative algorithm.
+    """
+    sym = edges.select(
+        F.col(src).alias("s"), F.col(dst).alias("d")
+    ).unionByName(edges.select(F.col(dst).alias("s"), F.col(src).alias("d")))
+    sym = track_persist(sym)
+    labels = (
+        sym.select(F.col("s").alias("node"))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neigh_min = (
+            sym.join(labels, sym["d"] == labels["node"])
+            .groupBy("s")
+            .agg(F.min("comp").alias("nmin"))
+        )
+        updated = (
+            labels.join(neigh_min, labels["node"] == neigh_min["s"], "left")
+            .select(
+                "node",
+                "comp",
+                F.least(
+                    F.col("comp"), F.coalesce(F.col("nmin"), F.col("comp"))
+                ).alias("new_comp"),
+            )
+        ).localCheckpoint()
+        changed = updated.filter(F.col("new_comp") != F.col("comp")).count()
+        labels = updated.select("node", F.col("new_comp").alias("comp"))
+        if changed == 0:
+            break
+    return labels.select(F.col("node"), F.col("comp").alias("component"))

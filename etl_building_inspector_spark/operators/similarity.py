@@ -113,6 +113,13 @@ def lsh_buckets(
     for t in range(n_tables):
         bucket = F.lit(0)
         for p in range(planes_per_table):
+            # NOTE: the dot stays a zip_with/aggregate HOF on a literal
+            # F.array, NOT an unrolled v[0]*p0 + v[1]*p1 + ... chain.
+            # Unrolling is ~4x faster warm (plain codegen arithmetic vs
+            # interpreted HOF lambdas) but the L*m*dim-term expression
+            # trees blow up planning/codegen memory: a default 1g-heap
+            # driver session (the correctness driver's config) OOMs
+            # before stage 1. Measured, reverted.
             plane = F.array(
                 *[F.lit(v) for v in _hyperplane(dim, t * planes_per_table + p)]
             )
@@ -142,12 +149,26 @@ def lsh_planes(
     return out
 
 
+def adaptive_planes_per_table(
+    n: int, target_bucket_width: int = 4, floor: int = 4, cap: int = 16
+) -> int:
+    """m scales with the corpus: at fixed m, bucket width grows
+    linearly with n and the candidate self-join quadratically
+    (candidates ~ L * n^2 / 2^m). Holding the TARGET WIDTH instead
+    (m = log2(n / w)) keeps candidates ~ L * n * w / 2 -- linear in
+    corpus size, the 100 TB shape. The cap bounds plane-literal count
+    (codegen compile cost); past the cap, buy recall with L."""
+    import math
+
+    return min(cap, max(floor, math.ceil(math.log2(max(n, 2) / target_bucket_width))))
+
+
 def lsh_candidate_pairs(
     df: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     n_tables: int = 8,
-    planes_per_table: int = 4,
+    planes_per_table: int | None = 4,
     dim: int = 64,
     max_bucket_width: int | None = None,
 ) -> DataFrame:
@@ -161,8 +182,23 @@ def lsh_candidate_pairs(
     w^2 candidate rows; at 100 TB the cap bounds the worst bucket, and
     dropping over-wide buckets is also what you want semantically --
     they are boilerplate, handled by exact dedup instead).
+
+    `planes_per_table=None` auto-sizes m from the corpus count
+    (adaptive_planes_per_table) so average bucket width -- and with it
+    the candidate-join volume per vector -- stays constant as the
+    corpus grows.
     """
-    slim = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec"))
+    if planes_per_table is None:
+        planes_per_table = adaptive_planes_per_table(df.count())
+    # persist the slim projection BEFORE the bucket expressions: the L*m
+    # plane dots each reference the vector column, and if the input is
+    # itself a computed column (e.g. a synthesized/normalized embedding)
+    # CollapseProject would inline that computation into every dot --
+    # the cache node is the materialization barrier (plan-shape lesson:
+    # materialize-once for higher-order-function inputs).
+    slim = track_persist(
+        df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec"))
+    )
     buckets = lsh_buckets(slim, "__vec", n_tables, planes_per_table, dim).select(
         "__id", "table", "bucket"
     )
@@ -198,7 +234,7 @@ def embedding_neardup_lsh(
     id_col: str = "vec_id",
     threshold: float = 0.35,
     n_tables: int = 8,
-    planes_per_table: int = 4,
+    planes_per_table: int | None = 4,
     dim: int = 64,
     max_bucket_width: int | None = None,
 ) -> DataFrame:
@@ -373,4 +409,50 @@ def cosine_topk_ivf(
         sim.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def quantize_int8_stats(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Symmetric int8 quantization of an embedding column, summarized
+    as per-vector scalars (scale, q_sum, q_min, q_max) — the scalar
+    projection exists because the driver's canonicalizer can't hash
+    array cells; the full quantized array is the same `q` expression
+    without the folds.
+
+    q_i = sign(x_i) * floor(|x_i| * 127 / max|x|), scale = max|x|/127
+    — truncation toward zero spelled as sign*floor so the SQL twin is
+    bit-identical (DuckDB's CAST(double AS INT) rounds, Spark's
+    truncates; floor is the same in both). Zero vectors quantize to
+    all-zeros with scale 0.
+
+    Scale: narrow, per-row column arithmetic over the vector — no
+    shuffle, no UDF; it rides whatever scan already reads the
+    embeddings. This is the storage-side half of product-quantization
+    ANN: 4x smaller vectors, integer dot products downstream.
+    """
+    v = F.col(vec_col)
+    # materialize the max-abs once per row (higher-order-function
+    # inputs re-derive per reference otherwise -- plan-shape lesson)
+    maxabs = F.array_max(F.transform(v, lambda x: F.abs(x.cast("double"))))
+    staged = df.select(
+        F.col(id_col), v.alias("__v"), maxabs.alias("__maxabs")
+    )
+    m = F.col("__maxabs")
+
+    def q(x):  # noqa: ANN001 - Column lambda
+        xd = x.cast("double")
+        return F.when(m == 0.0, F.lit(0)).otherwise(
+            (F.signum(xd) * F.floor(F.abs(xd) * 127 / m)).cast("long")
+        )
+
+    return staged.select(
+        F.col(id_col),
+        F.when(m == 0.0, F.lit(0.0)).otherwise(m / 127).alias("scale"),
+        F.aggregate(
+            F.col("__v"), F.lit(0).cast("long"), lambda acc, x: acc + q(x)
+        ).alias("q_sum"),
+        F.array_min(F.transform(F.col("__v"), q)).alias("q_min"),
+        F.array_max(F.transform(F.col("__v"), q)).alias("q_max"),
     )

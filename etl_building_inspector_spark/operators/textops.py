@@ -1,0 +1,224 @@
+"""Corpus-curation operators for the training-data pipeline surface:
+benchmark decontamination, PII redaction, repetition (Gopher-style)
+signals, TF-IDF term ranking, and deterministic hash-based sampling.
+
+All JVM-native column expressions / built-in joins and windows — no
+Python UDFs anywhere. Every operator's hashing is md5-derived and its
+arithmetic either integer or single-division double, so each has an
+exact DuckDB-SQL oracle (see plans/queries_llm2.py).
+
+100 TB design notes are inline per operator: the shapes here are
+broadcast-dim joins, map-side-combinable aggregations, and narrow
+projections — no all-pairs joins, no driver-side collects.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import shingles, tokens
+
+# --- PII patterns (shared with the SQL oracles; RE2/Java-portable:
+# no backreferences, no lookaround) --------------------------------------
+PII_EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+PII_IP_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE_RE = r"\b\d{3}-\d{4}\b"
+# Redaction order matters and is part of the contract: emails first
+# (their domain could otherwise be nibbled by the IP pattern), then
+# IPs (dotted quads), then bare phone fragments.
+PII_RULES: tuple[tuple[str, str], ...] = (
+    (PII_EMAIL_RE, "[EMAIL]"),
+    (PII_IP_RE, "[IP]"),
+    (PII_PHONE_RE, "[PHONE]"),
+)
+
+
+def pii_counts(text: Column | str) -> dict[str, Column]:
+    """Match counts per PII class (before redaction)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return {
+        "n_email": F.regexp_count(c, F.lit(PII_EMAIL_RE)),
+        "n_ip": F.regexp_count(c, F.lit(PII_IP_RE)),
+        "n_phone": F.regexp_count(c, F.lit(PII_PHONE_RE)),
+    }
+
+
+def redact_pii(text: Column | str) -> Column:
+    """Replace each PII class with its placeholder token, in the
+    PII_RULES order. Pure regexp_replace chain — narrow, codegen'd,
+    zero shuffle; at 100 TB this is a free rider on whatever scan
+    already touches the text column."""
+    c = F.col(text) if isinstance(text, str) else text
+    for pat, repl in PII_RULES:
+        c = F.regexp_replace(c, pat, repl)
+    return c
+
+
+def repetition_stats(
+    df: DataFrame, text_col: str, id_col: str, n: int = 2
+) -> DataFrame:
+    """Gopher-style repetition signals per document: n-gram count,
+    distinct n-gram count, the most-frequent n-gram's count, and the
+    derived duplicate-gram / top-gram fractions (null when the doc has
+    fewer than n tokens).
+
+    Scale: explode → two groupBys keyed by (doc, gram) then (doc).
+    Both aggregations are algebraic (count / max / sum) so map-side
+    partial aggregation bounds shuffle volume by the number of DISTINCT
+    (doc, gram) pairs per map task, not row count. The final left join
+    back to the doc list is on the id — same key as the agg output, so
+    AQE plans it shuffle-free on the agg side.
+    """
+    grams = df.select(
+        F.col(id_col), shingles(text_col, n).alias("__grams")
+    )
+    per_gram = (
+        grams.select(id_col, F.explode("__grams").alias("__g"))
+        .groupBy(id_col, "__g")
+        .agg(F.count("*").alias("__cnt"))
+    )
+    per_doc = per_gram.groupBy(id_col).agg(
+        F.sum("__cnt").alias("n_grams"),
+        F.count("*").alias("n_distinct_grams"),
+        F.max("__cnt").alias("top_gram_count"),
+    )
+    out = grams.select(id_col).join(per_doc, id_col, "left")
+    n_grams = F.coalesce(F.col("n_grams"), F.lit(0)).cast("long")
+    n_dist = F.coalesce(F.col("n_distinct_grams"), F.lit(0)).cast("long")
+    top = F.coalesce(F.col("top_gram_count"), F.lit(0)).cast("long")
+    return out.select(
+        F.col(id_col),
+        n_grams.alias("n_grams"),
+        n_dist.alias("n_distinct_grams"),
+        top.alias("top_gram_count"),
+        F.when(n_grams > 0, (n_grams - n_dist).cast("double") / n_grams).alias(
+            "dup_gram_frac"
+        ),
+        F.when(n_grams > 0, top.cast("double") / n_grams).alias(
+            "top_gram_frac"
+        ),
+    )
+
+
+def decontaminate_ngrams(
+    train: DataFrame,
+    benchmark: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 4,
+) -> DataFrame:
+    """Benchmark decontamination: per training doc, how many of its
+    DISTINCT word n-grams appear anywhere in the benchmark corpus
+    (the standard 13-gram-overlap check, with n parameterized for the
+    small fixture docs).
+
+    Scale: the benchmark n-gram set is the small side (eval suites are
+    MBs against a 100 TB train corpus) — distinct'd and broadcast, so
+    the probe is a broadcast hash semi-join on the exploded train
+    grams: no shuffle of the corpus. The per-doc count then groups on
+    the id with map-side combine. If a benchmark ever outgrew
+    broadcast, the same plan degrades gracefully to a shuffle join on
+    the gram hash.
+    """
+    tr = train.select(
+        F.col(id_col), F.array_distinct(shingles(text_col, n)).alias("__grams")
+    )
+    bench_grams = (
+        benchmark.select(
+            F.explode(F.array_distinct(shingles(text_col, n))).alias("__g")
+        )
+        .distinct()
+    )
+    hits = (
+        tr.select(id_col, F.explode("__grams").alias("__g"))
+        .join(F.broadcast(bench_grams), "__g")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("__hits"))
+    )
+    n_cont = F.coalesce(F.col("__hits"), F.lit(0)).cast("long")
+    return tr.join(hits, id_col, "left").select(
+        F.col(id_col),
+        F.size("__grams").cast("long").alias("n_shingles"),
+        n_cont.alias("n_contaminated"),
+        (n_cont > 0).alias("contaminated"),
+    )
+
+
+def tfidf_topk_terms(
+    df: DataFrame, text_col: str, id_col: str, k: int = 3
+) -> DataFrame:
+    """Top-k terms per document by TF-IDF.
+
+    The idf is the INTEGER milli-idf `floor(N * 1000 / df)` rather than
+    a float log: monotone in N/df (so rankings are log-equivalent at
+    fixed N), and — the reason it's integer — bit-portable to the SQL
+    oracle with no libm involvement. score = tf * idf_milli (bigint).
+    Ties break on the term string ascending, so top-k is fully
+    deterministic.
+
+    Scale: tf = groupBy(doc, term) with map-side combine; df =
+    groupBy(term) over the already-aggregated tf rows (one row per
+    doc-term, far smaller than token count); N joins in as a broadcast
+    1-row aggregate, NOT a driver-side .count() — the whole plan stays
+    lazy/distributed. The final window partitions by doc — same key as
+    tf's shuffle, so no extra exchange.
+    """
+    toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = df.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .join(F.broadcast(n_docs))
+        .withColumn(
+            "idf_milli",
+            F.floor(F.col("n_docs") * 1000 / F.col("df")).cast("long"),
+        )
+        .withColumn("score", (F.col("tf") * F.col("idf_milli")).cast("long"))
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(id_col, "term", "score", F.col("rk").cast("int").alias("rk"))
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    stratum_col: str,
+    id_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    salt: str = "sample",
+) -> DataFrame:
+    """Deterministic hash-Bernoulli sampling with a per-stratum rate:
+    keep a row iff u32(md5(salt:id)) < rate * 2^32. Reproducible
+    across engines, runs, and partitionings — unlike df.sample(),
+    which is seed-AND-partitioning dependent and so can't be
+    oracle-checked or replayed.
+
+    Scale: a narrow filter — no shuffle, no state; the decision is a
+    pure function of the row. Exactly what you want for carving
+    training mixes out of 100 TB: each executor decides locally, and
+    re-running with the same salt reproduces the same sample even
+    after repartitioning or file reordering. Thresholds are
+    precomputed integer literals, so the comparison is integer-only.
+    """
+    u32 = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    thresholds = {s: int(r * 2**32) for s, r in rates.items()}
+    thr = F.lit(int(default_rate * 2**32))
+    for s, t in sorted(thresholds.items()):
+        thr = F.when(F.col(stratum_col) == s, F.lit(t)).otherwise(thr)
+    return df.filter(u32 < thr)

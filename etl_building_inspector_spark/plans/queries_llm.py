@@ -627,14 +627,21 @@ def dedup_embedding_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets capped) -> exact cosine -> threshold. No all-pairs
     BroadcastNestedLoopJoin anywhere in the plan (asserted by
     tests/test_plans.py); the all-pairs triangle over the same fixture
-    is its recall oracle in tests/test_similarity.py."""
+    is its recall oracle in tests/test_similarity.py.
+
+    planes_per_table=None: m auto-sizes from the corpus count so the
+    candidate join stays linear in corpus size (SCALING.md). The
+    static DuckDB oracle is generated with NEARDUP_LSH_PLANES, which
+    MUST equal the adaptive m at the driver's correctness sf (0.01,
+    600 fixture vectors) -- pinned by
+    tests/test_similarity.py::test_neardup_adaptive_m_matches_oracle."""
     out = embedding_neardup_lsh(
         _emb_with_dups(spark, sf_dir),
         "embedding",
         "vec_id",
         threshold=NEARDUP_LSH_THRESHOLD,
         n_tables=NEARDUP_LSH_TABLES,
-        planes_per_table=NEARDUP_LSH_PLANES,
+        planes_per_table=None,
         dim=EMB_DIM,
         max_bucket_width=NEARDUP_BUCKET_CAP,
     )

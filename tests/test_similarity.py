@@ -124,6 +124,23 @@ def test_neardup_lsh_vs_triangle_oracle(spark, emb, sf_dir):
     assert recall >= 0.9
 
 
+def test_neardup_adaptive_m_matches_oracle(spark):
+    """The registered near-dup query auto-sizes m from the corpus, but
+    its DuckDB oracle is a static string generated with
+    NEARDUP_LSH_PLANES. They must agree at the driver's correctness
+    scale (sf0.01: 500 embeddings + 100 synthesized dups)."""
+    from etl_building_inspector_spark.operators.similarity import (
+        adaptive_planes_per_table,
+    )
+    from etl_building_inspector_spark.plans.queries_llm import (
+        NEARDUP_LSH_PLANES,
+        _emb_with_dups,
+    )
+
+    n = _emb_with_dups(spark, "/root/testdata/sf0.01").count()
+    assert adaptive_planes_per_table(n) == NEARDUP_LSH_PLANES
+
+
 def test_ivf_recall_reasonable(spark, emb):
     """IVF with 4/16 probes must beat random cell selection by a wide
     margin (random would give ~25% recall; nearest-centroid probing on
