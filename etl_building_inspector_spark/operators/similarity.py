@@ -34,6 +34,45 @@ def _norm(a: Column) -> Column:
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")))
 
 
+def cosine_arrow(df: DataFrame, a: str, b: str, out: str = "cosine") -> DataFrame:
+    """Arrow-vectorized cosine between two array columns — bit-exact
+    twin of the HOF expression dot/(sqrt(na)*sqrt(nb)) and of the
+    DuckDB list_reduce oracle: the kernel accumulates over DIMENSIONS
+    (same left-to-right IEEE fold as F.aggregate), np.sqrt is
+    IEEE-correctly-rounded hardware sqrt, and the final multiply/divide
+    mirror the expression order. Pinned by tests/test_similarity.py::
+    test_arrow_cosine_bit_identical_to_hof.
+
+    Why: Spark runs higher-order-function lambdas interpreted — three
+    64-element folds per row. On candidate-scoring joins (10^5-10^8
+    rows at scale) the Arrow kernel does the same arithmetic as ~3*dim
+    vectorized ops per batch. Narrow projection either way."""
+    from .._dist import ensure_workers_can_import
+
+    ensure_workers_can_import(df.sparkSession)
+
+    @F.pandas_udf("double")
+    def _cos(va, vb):  # type: ignore[no-untyped-def]
+        import numpy as np
+        import pandas as pd
+
+        if len(va) == 0:
+            return pd.Series([], dtype="float64")
+        # widen to float64, never narrow (see lsh_buckets_arrow)
+        A = np.stack(va.to_numpy()).astype(np.float64)
+        B = np.stack(vb.to_numpy()).astype(np.float64)
+        dot = np.zeros(len(A))
+        na = np.zeros(len(A))
+        nb = np.zeros(len(A))
+        for i in range(A.shape[1]):  # sequential over dims = HOF fold order
+            dot += A[:, i] * B[:, i]
+            na += A[:, i] * A[:, i]
+            nb += B[:, i] * B[:, i]
+        return pd.Series(dot / (np.sqrt(na) * np.sqrt(nb)))
+
+    return df.withColumn(out, _cos(F.col(a), F.col(b)))
+
+
 def with_cosine(df: DataFrame, a: str, b: str, out: str = "cosine") -> DataFrame:
     # unrounded: identical sequential folds yield bit-identical doubles
     # in Spark and the DuckDB list_reduce oracle; round() is not
@@ -103,12 +142,22 @@ def lsh_buckets(
     n_tables: int = 6,
     planes_per_table: int = 4,
     dim: int = 64,
+    impl: str = "hof",
 ) -> DataFrame:
     """Multi-table random-hyperplane LSH: one (table, bucket) row per
     input row per table. Standard L-tables-of-m-planes construction --
     per-table collision prob is p^m (p = 1 - angle/pi), union over L
     tables gives recall 1-(1-p^m)^L. Hyperplane constants are literals
-    folded into the plan; the explode is the only fan-out (x L)."""
+    folded into the plan; the explode is the only fan-out (x L).
+
+    impl='arrow' routes the plane dots through the vectorized
+    pandas_udf kernel (lsh_buckets_arrow) -- bit-identical output,
+    measured faster on wide L*m geometries where the interpreted
+    HOF fold dominates. 'hof' stays the default (zero Python
+    dependency surface for library users who never call
+    ensure_workers_can_import)."""
+    if impl == "arrow":
+        return lsh_buckets_arrow(df, vec_col, n_tables, planes_per_table, dim)
     entries = []
     for t in range(n_tables):
         bucket = F.lit(0)
@@ -133,6 +182,71 @@ def lsh_buckets(
     return df.withColumn("__tb", F.explode(F.array(*entries))).select(
         "*", F.col("__tb.table").alias("table"), F.col("__tb.bucket").alias("bucket")
     ).drop("__tb")
+
+
+def lsh_buckets_arrow(
+    df: DataFrame,
+    vec_col: str,
+    n_tables: int = 6,
+    planes_per_table: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """Arrow-vectorized twin of lsh_buckets: all L*m plane dots for a
+    batch of vectors in one numpy pass inside a pandas_udf.
+
+    BIT-EXACT with the HOF path and the DuckDB oracle by construction:
+    the accumulator loops over DIMENSIONS (not planes/rows), so each
+    scalar dot is the same left-to-right IEEE sequence
+    0.0 + x0*p0 + x1*p1 + ... that F.aggregate and list_reduce run --
+    numpy elementwise ops are per-element IEEE, and float32->float64
+    widening is exact. No BLAS dot (pairwise/FMA reassociation) is
+    involved. Pinned by tests/test_similarity.py::
+    test_arrow_buckets_bit_identical_to_hof.
+
+    Why it's faster: Spark evaluates higher-order-function lambdas
+    interpreted per element (L*m*dim lambda dispatches per row); here
+    the same arithmetic is dim vectorized multiply-adds per Arrow
+    batch. Scale shape is unchanged -- narrow projection, the explode
+    to (table, bucket) rows happens after the kernel.
+    """
+    import pandas as pd  # noqa: F401 (kernel signature)
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    from .._dist import ensure_workers_can_import
+
+    ensure_workers_can_import(df.sparkSession)
+
+    planes = lsh_planes(n_tables, planes_per_table, dim)
+    plane_rows = [vec for _t, _bit, vec in planes]  # t-major, p ascending
+    bit_weights = [bit for _t, bit, _vec in planes]
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def _buckets_of(v):  # type: ignore[no-untyped-def]
+        import numpy as np
+        import pandas as pd
+
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        pt = np.asarray(plane_rows, dtype=np.float64).T  # (dim, K)
+        w = np.asarray(bit_weights, dtype=np.int64)
+        # widen to float64, NEVER narrow: float32 storage widens
+        # exactly (same as Spark's cast('double')); synthesized
+        # double-typed vectors pass through untouched. Forcing float32
+        # first would silently round double inputs the HOF path keeps.
+        e = np.stack(v.to_numpy()).astype(np.float64)  # (n, dim)
+        acc = np.zeros((e.shape[0], pt.shape[1]))
+        for i in range(pt.shape[0]):  # sequential over dims = HOF fold order
+            acc += e[:, i : i + 1] * pt[i : i + 1, :]
+        buckets = ((acc > 0) * w[None, :]).reshape(
+            e.shape[0], n_tables, planes_per_table
+        ).sum(axis=2).astype(np.int32)
+        return pd.Series(list(buckets))
+
+    return (
+        df.withColumn("__b", _buckets_of(F.col(vec_col)))
+        .select("*", F.posexplode("__b").alias("table", "bucket"))
+        .drop("__b")
+    )
 
 
 def lsh_planes(
@@ -171,6 +285,7 @@ def lsh_candidate_pairs(
     planes_per_table: int | None = 4,
     dim: int = 64,
     max_bucket_width: int | None = None,
+    impl: str = "hof",
 ) -> DataFrame:
     """Distinct candidate pairs (id_a < id_b) that collide in at least
     one LSH (table, bucket). The scale-safe candidate generator for
@@ -199,9 +314,9 @@ def lsh_candidate_pairs(
     slim = track_persist(
         df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec"))
     )
-    buckets = lsh_buckets(slim, "__vec", n_tables, planes_per_table, dim).select(
-        "__id", "table", "bucket"
-    )
+    buckets = lsh_buckets(
+        slim, "__vec", n_tables, planes_per_table, dim, impl=impl
+    ).select("__id", "table", "bucket")
     # self-join would recompute the L x m dot products per side;
     # persist the slim (id, table, bucket) projection (tracked for
     # release -- see _cache.release_persisted()).
@@ -237,6 +352,7 @@ def embedding_neardup_lsh(
     planes_per_table: int | None = 4,
     dim: int = 64,
     max_bucket_width: int | None = None,
+    impl: str = "hof",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, the 100 TB shape: LSH
     bucket candidates (equi-join, linear in collisions) -> exact cosine
@@ -244,21 +360,32 @@ def embedding_neardup_lsh(
     the all-pairs triangle (queries_llm.dedup_embedding_cosine), which
     serves as its recall oracle in tests/test_similarity.py. Emits a
     SUBSET of the triangle's pairs (recall < 1 tuned by (L, m)), never
-    a superset, and never a BroadcastNestedLoopJoin (plan-asserted)."""
+    a superset, and never a BroadcastNestedLoopJoin (plan-asserted).
+
+    impl='arrow' runs plane dots AND candidate cosines through the
+    vectorized Arrow kernels (bit-identical by construction — see
+    lsh_buckets_arrow / cosine_arrow)."""
     cand = lsh_candidate_pairs(
-        df, vec_col, id_col, n_tables, planes_per_table, dim, max_bucket_width
+        df,
+        vec_col,
+        id_col,
+        n_tables,
+        planes_per_table,
+        dim,
+        max_bucket_width,
+        impl=impl,
     )
     va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
     vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
-    scored = (
-        cand.join(va, "id_a")
-        .join(vb, "id_b")
-        .withColumn(
+    joined = cand.join(va, "id_a").join(vb, "id_b")
+    if impl == "arrow":
+        scored = cosine_arrow(joined, "__va", "__vb", "cosine")
+    else:
+        scored = joined.withColumn(
             "cosine",
             _dot(F.col("__va"), F.col("__vb"))
             / (_norm(F.col("__va")) * _norm(F.col("__vb"))),
         )
-    )
     return scored.filter(F.col("cosine") >= threshold).select(
         "id_a", "id_b", "cosine"
     )

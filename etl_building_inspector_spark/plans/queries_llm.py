@@ -644,6 +644,10 @@ def dedup_embedding_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         planes_per_table=None,
         dim=EMB_DIM,
         max_bucket_width=NEARDUP_BUCKET_CAP,
+        # Arrow kernels for plane dots + candidate cosines: bit-exact
+        # with the HOF path / DuckDB oracle (sequential-over-dims
+        # accumulation; pinned in tests), ~2-3x warm on this query.
+        impl="arrow",
     )
     return out.select(
         F.col("id_a").cast("long").alias("id_a"),

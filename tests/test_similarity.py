@@ -156,3 +156,42 @@ def test_ivf_recall_reasonable(spark, emb):
     approx_pairs = {(r.query_id, r.neighbor_id) for r in approx}
     recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
     assert recall >= 0.5
+
+
+def test_arrow_buckets_bit_identical_to_hof(spark, emb):
+    """The vectorized Arrow bucket kernel must emit EXACTLY the HOF
+    path's (id, table, bucket) rows — same IEEE fold order over dims
+    (float32 storage widened exactly)."""
+    from etl_building_inspector_spark.operators.similarity import (
+        lsh_buckets,
+        lsh_buckets_arrow,
+    )
+
+    a = lsh_buckets(emb, "embedding", 6, 8).select("vec_id", "table", "bucket")
+    b = lsh_buckets_arrow(emb, "embedding", 6, 8).select(
+        "vec_id", "table", "bucket"
+    )
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_arrow_cosine_bit_identical_to_hof(spark, sf_dir):
+    """cosine_arrow must match the HOF expression bit-for-bit on
+    DOUBLE-typed synthesized vectors too (the kernel widens, never
+    narrows — forcing float32 would round these)."""
+    from etl_building_inspector_spark.operators.similarity import (
+        cosine_arrow,
+        with_cosine,
+    )
+    from etl_building_inspector_spark.plans.queries_llm import _emb_with_dups
+
+    src = _emb_with_dups(spark, sf_dir).limit(200)
+    a = src.alias("a").select(
+        F.col("vec_id").alias("ia"), F.col("embedding").alias("va")
+    )
+    b = src.alias("b").select(
+        F.col("vec_id").alias("ib"), F.col("embedding").alias("vb")
+    )
+    pairs = a.join(b, F.col("ia") + 1 == F.col("ib"))
+    hof = with_cosine(pairs, "va", "vb").select("ia", "ib", "cosine")
+    arw = cosine_arrow(pairs, "va", "vb").select("ia", "ib", "cosine")
+    assert hof.exceptAll(arw).count() == 0 and arw.exceptAll(hof).count() == 0
