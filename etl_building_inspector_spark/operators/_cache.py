@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 _PERSISTED: list[DataFrame] = []
+_CHECKPOINTED: list[DataFrame] = []
 
 
 def track_persist(df: DataFrame) -> DataFrame:
@@ -21,9 +22,38 @@ def track_persist(df: DataFrame) -> DataFrame:
     return p
 
 
+def track_local_checkpoint(df: DataFrame) -> DataFrame:
+    """localCheckpoint (eager) whose blocks release_persisted() can
+    free. localCheckpoint truncates lineage by materializing to block
+    storage, but PySpark exposes no unpersist for it -- the blocks
+    linger until JVM GC, which in a long-lived session (bench/driver
+    loops, iterative algorithms) accumulates dead blocks and evicts
+    live caches. We keep the handle and free it explicitly."""
+    out = df.localCheckpoint()
+    _CHECKPOINTED.append(out)
+    return out
+
+
+def free_local_checkpoint(df: DataFrame) -> None:
+    """Drop a checkpointed DataFrame's blocks NOW (the df becomes
+    unusable -- only call on superseded intermediates). The analyzed
+    plan of a localCheckpoint()ed frame is a LogicalRDD; its .rdd()
+    is the materialized RDD holding the blocks."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass  # plan shape changed across Spark versions: leak, don't crash
+    try:
+        _CHECKPOINTED.remove(df)
+    except ValueError:
+        pass
+
+
 def release_persisted() -> int:
     """Unpersist every tracked intermediate; returns how many."""
-    n = len(_PERSISTED)
+    n = len(_PERSISTED) + len(_CHECKPOINTED)
     while _PERSISTED:
         _PERSISTED.pop().unpersist()
+    while _CHECKPOINTED:
+        free_local_checkpoint(_CHECKPOINTED[-1])
     return n

@@ -308,23 +308,25 @@ def connected_components(
     labels — a scalar aggregate per round, the one legitimate
     driver-side action in an iterative algorithm.
     """
+    from ._cache import free_local_checkpoint, track_local_checkpoint
+
     sym = edges.select(
         F.col(src).alias("s"), F.col(dst).alias("d")
     ).unionByName(edges.select(F.col(dst).alias("s"), F.col(src).alias("d")))
     sym = track_persist(sym)
-    labels = (
+    checkpointed = track_local_checkpoint(
         sym.select(F.col("s").alias("node"))
         .distinct()
         .withColumn("comp", F.col("node"))
-        .localCheckpoint()
     )
+    labels = checkpointed
     for _ in range(max_iter):
         neigh_min = (
             sym.join(labels, sym["d"] == labels["node"])
             .groupBy("s")
             .agg(F.min("comp").alias("nmin"))
         )
-        updated = (
+        updated = track_local_checkpoint(
             labels.join(neigh_min, labels["node"] == neigh_min["s"], "left")
             .select(
                 "node",
@@ -333,9 +335,17 @@ def connected_components(
                     F.col("comp"), F.coalesce(F.col("nmin"), F.col("comp"))
                 ).alias("new_comp"),
             )
-        ).localCheckpoint()
+        )
+        # the new checkpoint is materialized (eager); the previous
+        # round's blocks are dead weight from here on -- free them so
+        # an iterative run holds at most 2 rounds of state, not
+        # O(rounds) (which evicted live caches in long sessions).
+        free_local_checkpoint(checkpointed)
+        checkpointed = updated
         changed = updated.filter(F.col("new_comp") != F.col("comp")).count()
         labels = updated.select("node", F.col("new_comp").alias("comp"))
         if changed == 0:
             break
+    # the final round's checkpoint stays tracked: release_persisted()
+    # frees it after the caller materializes the result.
     return labels.select(F.col("node"), F.col("comp").alias("component"))

@@ -400,6 +400,7 @@ def cosine_topk_lsh(
     n_tables: int = 6,
     planes_per_table: int = 4,
     dim: int = 64,
+    impl: str = "hof",
 ) -> DataFrame:
     """ANN top-k: candidates from any shared (table, bucket), exact
     cosine on the deduped candidate set.
@@ -409,6 +410,12 @@ def cosine_topk_lsh(
     path: the corpus-side buckets are computed once (persist/write
     them), queries touch L buckets each, and recall is tuned with
     (L, m) instead of memory.
+
+    impl='arrow': plane dots + candidate cosines through the vectorized
+    pandas_udf kernels (bit-identical — see lsh_buckets_arrow). The HOF
+    path folds L*m*dim literal multiply-adds into one whole-stage-
+    codegen expression whose COMPILE time dominates this query
+    (~3s per fresh plan, data-independent); the arrow plan is tiny.
     """
     c = lsh_buckets(
         corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")),
@@ -416,6 +423,7 @@ def cosine_topk_lsh(
         n_tables,
         planes_per_table,
         dim,
+        impl=impl,
     )
     q = lsh_buckets(
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")),
@@ -423,6 +431,7 @@ def cosine_topk_lsh(
         n_tables,
         planes_per_table,
         dim,
+        impl=impl,
     )
     joined = (
         c.join(F.broadcast(q), ["table", "bucket"])
@@ -430,14 +439,19 @@ def cosine_topk_lsh(
         # a pair can collide in several tables -> dedup before scoring
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-    sim = joined.select(
-        "query_id",
-        "neighbor_id",
-        (
-            _dot(F.col("__qvec"), F.col("__cvec"))
-            / (_norm(F.col("__qvec")) * _norm(F.col("__cvec")))
-        ).alias("cosine"),
-    )
+    if impl == "arrow":
+        sim = cosine_arrow(joined, "__qvec", "__cvec", "cosine").select(
+            "query_id", "neighbor_id", "cosine"
+        )
+    else:
+        sim = joined.select(
+            "query_id",
+            "neighbor_id",
+            (
+                _dot(F.col("__qvec"), F.col("__cvec"))
+                / (_norm(F.col("__qvec")) * _norm(F.col("__cvec")))
+            ).alias("cosine"),
+        )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )

@@ -498,6 +498,10 @@ def ann_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_tables=ANN_LSH_TABLES,
         planes_per_table=ANN_LSH_PLANES,
         dim=EMB_DIM,
+        # arrow kernels: bit-identical buckets/cosines (pinned in
+        # tests); avoids the ~3s data-independent codegen compile of
+        # the 8x3x64-literal HOF expression that dominated this query.
+        impl="arrow",
     )
     return out.select(
         F.col("query_id").cast("long").alias("query_id"),
