@@ -58,6 +58,10 @@ HEADLINE = [
     "tfidf_topk_terms",
     "dedup_cluster_assign",
     "quality_filter_composite",
+    # round 2 batch 2: training-batch assembly
+    "pack_concat_chunks",
+    "pack_greedy_bins",
+    "decontaminate_bloom",
 ]
 
 

@@ -222,3 +222,138 @@ def stratified_sample(
     for s, t in sorted(thresholds.items()):
         thr = F.when(F.col(stratum_col) == s, F.lit(t)).otherwise(thr)
     return df.filter(u32 < thr)
+
+
+def _bloom_build(grams: list[str], num_bits: int, k_hashes: int):
+    """Build a bitarray Bloom filter over gram strings with md5
+    double-hashing (h1 + i*h2, the Kirsch-Mitzenmacher construction).
+    Driver-side: the benchmark gram set is the SMALL side by contract
+    (eval suites are MBs against a 100 TB corpus)."""
+    import hashlib
+
+    import numpy as np
+
+    bits = np.zeros((num_bits + 7) // 8, dtype=np.uint8)
+    for g in grams:
+        d = hashlib.md5(g.encode("utf-8")).digest()
+        h1 = int.from_bytes(d[:8], "big")
+        h2 = int.from_bytes(d[8:], "big") | 1
+        for i in range(k_hashes):
+            p = (h1 + i * h2) % num_bits
+            bits[p >> 3] |= 1 << (p & 7)
+    return bits
+
+
+def bloom_decontaminate(
+    train: DataFrame,
+    benchmark: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 4,
+    num_bits: int = 1 << 20,
+    k_hashes: int = 5,
+) -> DataFrame:
+    """Benchmark decontamination with a Bloom-filter PREFILTER and an
+    exact confirm join — same output as decontaminate_ngrams (bit-for-
+    bit: false positives are eliminated by the confirm join; the bloom
+    can only pass a superset of true hits), so the exact-SQL oracle
+    still applies.
+
+    Why a bloom when the broadcast semi-join already works: the
+    broadcast side is the full gram STRINGS (~GBs for a large eval
+    suite); the bloom is `num_bits/8` bytes regardless (128 KiB at the
+    default) and the prefilter drops the overwhelmingly-clean corpus
+    grams BEFORE the join, so the shuffle/probe volume collapses from
+    |train grams| to |bloom hits| ~= |true hits| + fp_rate*|grams|.
+    The membership test is an Arrow-batched pandas_udf over the
+    broadcast bitarray — numpy byte indexing, no JVM<->driver chatter.
+    """
+    import numpy as np
+
+    from .._dist import ensure_workers_can_import
+
+    ensure_workers_can_import(train.sparkSession)
+
+    bench_grams = (
+        benchmark.select(
+            F.explode(F.array_distinct(shingles(text_col, n))).alias("__g")
+        )
+        .distinct()
+    )
+    gram_list = [r["__g"] for r in bench_grams.collect()]  # small side
+    bits = _bloom_build(gram_list, num_bits, k_hashes)
+    bc = train.sparkSession.sparkContext.broadcast(bits)
+    nb, kh = int(num_bits), int(k_hashes)
+
+    @F.pandas_udf("boolean")
+    def _might_contain(s):  # type: ignore[no-untyped-def]
+        import hashlib
+
+        import pandas as pd
+
+        arr = bc.value
+        out = np.empty(len(s), dtype=bool)
+        for i, g in enumerate(s):
+            d = hashlib.md5(g.encode("utf-8")).digest()
+            h1 = int.from_bytes(d[:8], "big")
+            h2 = int.from_bytes(d[8:], "big") | 1
+            hit = True
+            for j in range(kh):
+                p = (h1 + j * h2) % nb
+                if not (arr[p >> 3] >> (p & 7)) & 1:
+                    hit = False
+                    break
+            out[i] = hit
+        return pd.Series(out)
+
+    tr = train.select(
+        F.col(id_col), F.array_distinct(shingles(text_col, n)).alias("__grams")
+    )
+    pre = (
+        tr.select(id_col, F.explode("__grams").alias("__g"))
+        .filter(_might_contain(F.col("__g")))
+    )
+    hits = (
+        pre.join(F.broadcast(bench_grams), "__g")  # exact confirm: kills FPs
+        .groupBy(id_col)
+        .agg(F.count("*").alias("__hits"))
+    )
+    n_cont = F.coalesce(F.col("__hits"), F.lit(0)).cast("long")
+    return tr.join(hits, id_col, "left").select(
+        F.col(id_col),
+        F.size("__grams").cast("long").alias("n_shingles"),
+        n_cont.alias("n_contaminated"),
+        (n_cont > 0).alias("contaminated"),
+    )
+
+
+def domain_cap(
+    df: DataFrame,
+    domain_col: str,
+    id_col: str,
+    cap: int,
+    salt: str = "cap",
+) -> DataFrame:
+    """Per-domain document cap: deterministically rank each domain's
+    docs by (md5(salt:id), id) and flag rank <= cap. The md5 orders
+    docs pseudo-randomly WITHIN a domain, so the cap keeps an unbiased
+    sample rather than the lowest ids; the id tiebreak makes it total.
+
+    The workhorse of domain balancing (a handful of template-heavy
+    hosts otherwise dominate a web corpus). One hash-partitioned
+    window per domain; skew note: a pathological mega-domain serializes
+    its own rank() — cap it upstream with a cheap groupBy count filter
+    if a single domain exceeds task-memory row counts.
+    """
+    rk = F.row_number().over(
+        Window.partitionBy(domain_col).orderBy(
+            F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))),
+            F.col(id_col),
+        )
+    )
+    return df.select(
+        F.col(id_col),
+        F.col(domain_col),
+        rk.cast("long").alias("cap_rank"),
+        (rk <= cap).alias("kept"),
+    )

@@ -1,0 +1,260 @@
+"""Training-batch assembly queries (round 2, batch 2): sequence
+packing (concat-chunk and greedy bins), per-domain caps, data-mixture
+resampling to target proportions, and Bloom-prefiltered benchmark
+decontamination.
+
+Same single-source-of-truth discipline as queries_llm2: every SQL
+oracle is generated from the exact constants the Spark plan uses.
+Float portability: mixture rates are chains of single IEEE divisions
+of bit-identical operands (see queries_core.py docstring); everything
+else is integer arithmetic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.packing import pack_concat_chunks, pack_greedy
+from ..operators.textops import bloom_decontaminate, domain_cap
+from ..sources.tables import load_table
+from .queries_llm import _TOKS
+from .queries_llm2 import DECON_BENCH_MOD, DECON_N
+
+QUERIES: dict = {}
+ORACLES: dict[str, str] = {}
+
+
+def _q(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLES[name] = sql
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing: concatenate-and-chunk
+# ---------------------------------------------------------------------------
+
+PACK_CHUNK_TOKENS = 256
+PACK_BUDGET = 256
+
+
+def _concat_chunks_sql() -> str:
+    c = PACK_CHUNK_TOKENS
+    return f"""
+WITH t AS (SELECT doc_id, len({_TOKS}) AS n_tokens FROM documents),
+o AS (SELECT doc_id, n_tokens,
+  COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_offset
+FROM t)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+  CAST(n_tokens AS BIGINT) AS n_tokens,
+  CAST(start_offset AS BIGINT) AS start_offset,
+  CAST(start_offset // {c} AS BIGINT) AS chunk_first,
+  CAST(CASE WHEN n_tokens = 0 THEN start_offset // {c}
+            ELSE (start_offset + n_tokens - 1) // {c} END AS BIGINT)
+    AS chunk_last,
+  CAST(start_offset % {c} AS BIGINT) AS offset_in_chunk
+FROM o
+"""
+
+
+@_q("pack_concat_chunks", _concat_chunks_sql())
+def pack_concat_chunks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style packing: corpus laid end-to-end in doc_id order, cut
+    every PACK_CHUNK_TOKENS tokens. The oracle's single global window
+    is the SEMANTICS; the Spark plan computes the same prefix sum
+    distributed (per-shard windows + tiny base-offset table — see
+    operators/packing.pack_concat_chunks)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return pack_concat_chunks(
+        docs, "text", "doc_id", chunk_tokens=PACK_CHUNK_TOKENS, shard_span=64
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing: greedy per-group bins
+# ---------------------------------------------------------------------------
+
+
+def _greedy_sql() -> str:
+    b = PACK_BUDGET
+    return f"""
+WITH RECURSIVE t AS (
+  SELECT source, doc_id, len({_TOKS}) AS n_tokens,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM documents),
+pack AS (
+  SELECT source, doc_id, n_tokens, rn,
+         CAST(0 AS BIGINT) AS bin, n_tokens AS fill
+  FROM t WHERE rn = 1
+  UNION ALL
+  SELECT t.source, t.doc_id, t.n_tokens, t.rn,
+         CASE WHEN p.fill + t.n_tokens <= {b} THEN p.bin ELSE p.bin + 1 END,
+         CASE WHEN p.fill + t.n_tokens <= {b} THEN p.fill + t.n_tokens
+              ELSE t.n_tokens END
+  FROM pack p JOIN t ON t.source = p.source AND t.rn = p.rn + 1)
+SELECT source AS grp, CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(bin AS BIGINT) AS bin, CAST(fill AS BIGINT) AS bin_fill
+FROM pack
+"""
+
+
+@_q("pack_greedy_bins", _greedy_sql())
+def pack_greedy_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-fit-sequential packing per source group (docs never
+    straddle a context boundary). Spark walks each group inside
+    applyInPandas; the oracle replays the identical walk as a
+    recursive CTE — bin ids and fills are value-checked exactly."""
+    docs = load_table(spark, sf_dir, "documents")
+    return pack_greedy(docs, "text", "doc_id", "source", budget=PACK_BUDGET)
+
+
+# ---------------------------------------------------------------------------
+# Per-domain cap
+# ---------------------------------------------------------------------------
+
+DOMAIN_CAP = 100
+CAP_SALT = "cap"
+
+
+def _cap_sql() -> str:
+    return f"""
+WITH r AS (SELECT doc_id, source,
+  row_number() OVER (PARTITION BY source ORDER BY
+    md5(concat('{CAP_SALT}:', CAST(doc_id AS VARCHAR))), doc_id) AS rk
+FROM documents)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+       CAST(rk AS BIGINT) AS cap_rank, rk <= {DOMAIN_CAP} AS kept
+FROM r
+"""
+
+
+@_q("domain_cap_sample", _cap_sql())
+def domain_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain balancing: keep at most DOMAIN_CAP docs per source,
+    chosen by salted-hash rank (unbiased within the domain,
+    deterministic across runs/partitionings)."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = domain_cap(docs, "source", "doc_id", DOMAIN_CAP, CAP_SALT)
+    return out.withColumn("doc_id", F.col("doc_id").cast("long"))
+
+
+# ---------------------------------------------------------------------------
+# Mixture resampling to target proportions
+# ---------------------------------------------------------------------------
+
+MIX_TARGETS = {"en": 0.5, "zh": 0.3}
+MIX_DEFAULT = 0.2
+MIX_SALT = "mix"
+
+
+def _mix_sql() -> str:
+    cases = " ".join(
+        f"WHEN lang = '{s}' THEN {t!r}" for s, t in sorted(MIX_TARGETS.items())
+    )
+    target = f"CASE {cases} ELSE {MIX_DEFAULT!r} END"
+    u32 = (
+        "CAST(concat('0x', substr(md5(concat('"
+        + MIX_SALT
+        + ":', CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT)"
+    )
+    return f"""
+WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+w AS (SELECT lang, n, CAST({target} AS DOUBLE) / n AS ratio FROM c),
+m AS (SELECT max(ratio) AS mx FROM w),
+r AS (SELECT lang, ratio / mx AS rate FROM w, m)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id, d.lang, r.rate AS rate,
+       {u32} < CAST(floor(r.rate * 4294967296.0) AS BIGINT) AS kept
+FROM documents d JOIN r USING (lang)
+"""
+
+
+@_q("mixture_resample", _mix_sql())
+def mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data mixing: resample so surviving docs approach the TARGET
+    language proportions (en 50%, zh 30%, others 20%). Per-lang rates
+    are derived FROM the data (rate = normalized target/actual ratio,
+    the most-underrepresented lang keeps everything), then applied as
+    a hash-Bernoulli filter — the same reproducible-sampling contract
+    as sample_stratified, but with rates computed by the engine.
+
+    Scale: the rate table is one row per lang (broadcast); the filter
+    is a narrow row-local expression. Float portability: ratio and
+    rate are successive single divisions of bit-identical operands;
+    the threshold uses floor() (truncation semantics differ between
+    engines' double->int casts — floor does not)."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count("*").alias("n"))
+    target = F.lit(float(MIX_DEFAULT))
+    for s, t in sorted(MIX_TARGETS.items()):
+        target = F.when(F.col("lang") == s, F.lit(float(t))).otherwise(target)
+    w = counts.select("lang", (target / F.col("n")).alias("ratio"))
+    mx = w.agg(F.max("ratio").alias("mx"))
+    rates = w.crossJoin(F.broadcast(mx)).select(
+        "lang", (F.col("ratio") / F.col("mx")).alias("rate")
+    )
+    u32 = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(MIX_SALT + ":"), F.col("doc_id").cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return (
+        docs.join(F.broadcast(rates), "lang")
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "lang",
+            "rate",
+            (u32 < F.floor(F.col("rate") * F.lit(4294967296.0)).cast("long")).alias(
+                "kept"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-prefiltered decontamination (exact semantics)
+# ---------------------------------------------------------------------------
+
+
+def _bloom_decon_sql() -> str:
+    # identical to decontaminate_ngram's oracle: the bloom is a
+    # prefilter, the confirm join restores exactness.
+    from .queries_llm import _shingles_sql
+
+    return f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+sh AS (SELECT doc_id, list_distinct({_shingles_sql("toks", DECON_N)}) AS grams FROM t),
+bench AS (SELECT DISTINCT unnest(grams) AS g FROM sh WHERE doc_id % {DECON_BENCH_MOD} = 0),
+train AS (SELECT * FROM sh WHERE doc_id % {DECON_BENCH_MOD} <> 0),
+ex AS (SELECT doc_id, unnest(grams) AS g FROM train),
+hits AS (SELECT doc_id, count(*) AS n FROM ex JOIN bench USING (g) GROUP BY 1)
+SELECT CAST(train.doc_id AS BIGINT) AS doc_id,
+  CAST(len(grams) AS BIGINT) AS n_shingles,
+  CAST(coalesce(n, 0) AS BIGINT) AS n_contaminated,
+  coalesce(n, 0) > 0 AS contaminated
+FROM train LEFT JOIN hits USING (doc_id)
+"""
+
+
+@_q("decontaminate_bloom", _bloom_decon_sql())
+def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """decontaminate_ngram's exact output through the 100 TB-shaped
+    path: a 128 KiB broadcast Bloom filter prefilters corpus grams
+    before the (now tiny) exact confirm join. Same oracle as the
+    exact query — the bloom adds no approximation to the RESULT, only
+    removes probe volume (see operators/textops.bloom_decontaminate)."""
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % DECON_BENCH_MOD == 0)
+    train = docs.filter(F.col("doc_id") % DECON_BENCH_MOD != 0)
+    out = bloom_decontaminate(train, bench, "text", "doc_id", n=DECON_N)
+    return out.withColumn("doc_id", F.col("doc_id").cast("long"))

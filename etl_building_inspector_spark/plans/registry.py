@@ -19,6 +19,7 @@ from . import (
     queries_domain,
     queries_llm,
     queries_llm2,
+    queries_llm3,
     queries_spatial,
     queries_surface,
     queries_surface2,
@@ -45,6 +46,7 @@ for mod in (
     queries_domain,
     queries_llm,
     queries_llm2,
+    queries_llm3,
     queries_spatial,
     queries_surface,
     queries_surface2,
