@@ -44,6 +44,37 @@ def token_count(col: Column | str) -> Column:
     return F.size(tokens(col))
 
 
+# BPE-ish pretokenizer: letter runs, single digits, single punctuation
+# marks — the GPT-2 pretokenize shape reduced to an RE2/Java-portable
+# class regex (no \p, no lookarounds, so the DuckDB oracle runs the
+# SAME pattern).
+BPE_PIECE_RE = r"[a-z]+|[0-9]|[^a-z0-9\s]"
+
+
+def bpe_pieces(col: Column | str) -> Column:
+    """array<string> of BPE-style pretokenizer pieces of lower(text)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(F.lower(c), F.lit(BPE_PIECE_RE), 0)
+
+
+def bpe_token_estimate(col: Column | str) -> Column:
+    """Estimated BPE token count without a vocab: each digit or
+    punctuation piece is one token; a letter run of length n is
+    ceil(n/4) tokens (~4 chars/token, the standard English BPE rate).
+    Pure column expression (one regex pass + one integer fold) — the
+    cheap pre-tokenizer-level budget signal used for packing/pricing
+    before a real tokenizer runs."""
+    return F.aggregate(
+        bpe_pieces(col),
+        F.lit(0).cast("long"),
+        lambda acc, p: acc
+        + F.when(
+            F.substring(p, 1, 1).between("a", "z"),
+            F.floor((F.length(p) + 3) / 4).cast("long"),
+        ).otherwise(F.lit(1).cast("long")),
+    )
+
+
 def shingles(col: Column | str, n: int = 3) -> Column:
     """Word n-gram shingles as array<string>; empty array when the
     document has fewer than n tokens.

@@ -222,6 +222,47 @@ def mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# BPE-ish token estimate
+# ---------------------------------------------------------------------------
+
+
+def _bpe_sql() -> str:
+    from ..functions.text import BPE_PIECE_RE
+
+    pieces = f"regexp_extract_all(lower(text), '{BPE_PIECE_RE}')"
+    est = (
+        f"list_reduce(list_transform({pieces}, p -> CASE "
+        "WHEN substr(p,1,1) BETWEEN 'a' AND 'z' THEN (length(p)+3)//4 "
+        "ELSE 1 END), (a,b) -> a + b)"
+    )
+    return f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+  CAST(len({pieces}) AS BIGINT) AS n_pieces,
+  CAST(CASE WHEN len({pieces}) = 0 THEN 0 ELSE {est} END AS BIGINT)
+    AS bpe_tokens,
+  CAST(len({_TOKS}) AS BIGINT) AS ws_tokens
+FROM documents
+"""
+
+
+@_q("text_bpe_token_estimate", _bpe_sql())
+def text_bpe_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token budgets at pre-tokenizer fidelity: BPE-style pieces
+    (letter runs / digits / punctuation, RE2+Java-portable pattern)
+    and a ceil(len/4) subword estimate, next to the whitespace count.
+    One regex pass + one integer fold per row — narrow, no shuffle."""
+    from ..functions.text import bpe_pieces, bpe_token_estimate, token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.size(bpe_pieces("text")).cast("long").alias("n_pieces"),
+        bpe_token_estimate("text").alias("bpe_tokens"),
+        token_count("text").cast("long").alias("ws_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Bloom-prefiltered decontamination (exact semantics)
 # ---------------------------------------------------------------------------
 

@@ -134,6 +134,69 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def streaming_dedup(
+    events: DataFrame,
+    keys: list[str] | None = None,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exact dedup with BOUNDED state:
+    dropDuplicatesWithinWatermark keeps a key only until the watermark
+    passes it, so state is O(keys per watermark horizon) instead of
+    O(all keys ever) — the difference between a dedup that runs
+    forever on an unbounded firehose and one that OOMs. The streaming
+    twin of the batch D1 keep-first dedup (same key contract); at
+    100 TB/day this is the ingest-side guard in front of the corpus-
+    level MinHash/SimHash passes."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        keys or ["event_id"]
+    )
+
+
+def stream_stream_click_purchase_join(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    horizon: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join: purchase attributed to the same
+    user's click within `horizon` before it (the streaming twin of the
+    batch as-of join, relaxed to all-matches-in-range — streaming
+    cannot pick "latest" without a window after the join).
+
+    Both sides are watermarked and the join carries a TIME-RANGE
+    predicate, so Spark derives state-eviction watermarks per side:
+    a click is dropped from state once no future purchase can reach
+    it. Without the range condition the state would grow unboundedly
+    — the condition IS the scale design."""
+    c = clicks.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    p = purchases.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    return c.join(
+        p,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (
+            F.col("click_ts")
+            >= F.col("purchase_ts") - F.expr(f"INTERVAL {horizon}")
+        ),
+    ).select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "click_ts",
+        "purchase_id",
+        "purchase_ts",
+        "purchase_value",
+    )
+
+
 def run_to_memory(df: DataFrame, name: str) -> DataFrame:
     """Drive a bounded stream to completion synchronously; returns the
     materialized result table (complete output mode)."""

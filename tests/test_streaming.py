@@ -165,3 +165,111 @@ def test_foreach_batch_exactly_once_sink(spark, event_dir, tmp_path_factory):
     src_count = spark.read.parquet(event_dir).count()
     assert written.count() == src_count
     assert written.select("event_id").distinct().count() == src_count
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path_factory):
+    """dropDuplicatesWithinWatermark: duplicates inside the watermark
+    horizon collapse to one row; the key state is evicted after the
+    watermark passes, which is what bounds it (we verify the dedup
+    semantics and that the query runs append-mode across batches)."""
+    import datetime as dt
+
+    from etl_building_inspector_spark.streaming.events import streaming_dedup
+
+    d = str(tmp_path_factory.mktemp("dedup_events"))
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string"
+    )
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def write_batch(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(d)
+
+    # batch 1: event 1 twice (in-horizon dup) + event 2
+    write_batch([
+        (1, t0, 1, "click", 1.0, "{}"),
+        (1, t0 + dt.timedelta(seconds=30), 1, "click", 1.0, "{}"),
+        (2, t0 + dt.timedelta(minutes=1), 1, "click", 2.0, "{}"),
+    ])
+    stream = spark.readStream.schema(schema).parquet(d)
+    q = (
+        streaming_dedup(stream, ["event_id"], watermark="10 minutes")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_stream")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: event 1 AGAIN within the horizon (still dropped) and
+        # a fresh event 3 advancing the watermark
+        write_batch([
+            (1, t0 + dt.timedelta(minutes=2), 1, "click", 1.0, "{}"),
+            (3, t0 + dt.timedelta(minutes=3), 1, "click", 3.0, "{}"),
+        ])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.sql("SELECT event_id FROM dedup_stream").collect()
+    ids = sorted(r.event_id for r in rows)
+    assert ids == [1, 2, 3]
+
+
+def test_stream_stream_join_matches_batch(spark, event_dir):
+    """Stream-stream range join must produce exactly the batch join's
+    pairs once both streams are exhausted."""
+    from etl_building_inspector_spark.streaming.events import (
+        stream_stream_click_purchase_join,
+    )
+
+    ev = spark.read.parquet(event_dir)
+    types = [r[0] for r in ev.select("event_type").distinct().collect()]
+    ct, pt = sorted(types)[0], sorted(types)[-1]
+
+    clicks_s = read_event_stream(spark, event_dir).filter(
+        F.col("event_type") == ct
+    )
+    purch_s = read_event_stream(spark, event_dir).filter(
+        F.col("event_type") == pt
+    )
+    joined = stream_stream_click_purchase_join(
+        clicks_s, purch_s, horizon="1 hour", watermark="24 hours"
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ss_join")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r.click_id, r.purchase_id)
+        for r in spark.sql("SELECT * FROM ss_join").collect()
+    }
+    c = ev.filter(F.col("event_type") == ct).select(
+        F.col("user_id").alias("cu"),
+        F.col("event_id").alias("cid"),
+        F.col("ts").alias("cts"),
+    )
+    p = ev.filter(F.col("event_type") == pt).select(
+        F.col("user_id").alias("pu"),
+        F.col("event_id").alias("pid"),
+        F.col("ts").alias("pts"),
+    )
+    want = {
+        (r.cid, r.pid)
+        for r in c.join(
+            p,
+            (F.col("cu") == F.col("pu"))
+            & (F.col("cts") <= F.col("pts"))
+            & (F.col("cts") >= F.col("pts") - F.expr("INTERVAL 1 hour")),
+        ).collect()
+    }
+    assert got == want
+    assert len(want) > 0

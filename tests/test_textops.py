@@ -245,3 +245,24 @@ def test_quantize_int8_bounds(spark):
         (F.col("q_max") >= 126) | (F.col("q_min") <= -126)
     ).count()
     assert hits == 50
+
+
+def test_bpe_token_estimate_pinned(spark):
+    """Hand-computed: 'Hello, world 42 foo-barbazqux!' ->
+    pieces [hello , world 4 2 foo - barbazqux !] ->
+    2 + 1 + 2 + 1 + 1 + 1 + 1 + 3 + 1 = 13."""
+    from etl_building_inspector_spark.functions.text import (
+        bpe_pieces,
+        bpe_token_estimate,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("Hello, world 42 foo-barbazqux!",), ("",)], ["text"]
+    )
+    rows = df.select(
+        F.size(bpe_pieces("text")).alias("n"),
+        bpe_token_estimate("text").alias("est"),
+    ).collect()
+    assert (rows[0].n, rows[0].est) == (9, 13)
+    assert (rows[1].n, rows[1].est) == (0, 0)
