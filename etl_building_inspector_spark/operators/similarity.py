@@ -597,3 +597,89 @@ def quantize_int8_stats(
         F.array_min(F.transform(F.col("__v"), q)).alias("q_min"),
         F.array_max(F.transform(F.col("__v"), q)).alias("q_max"),
     )
+
+
+def cosine_topk_ivf_sampled(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    salt: str = "cent",
+) -> DataFrame:
+    """IVF ANN with DETERMINISTIC sampled centroids: the centroid set
+    is the n_centroids corpus vectors ranked first by md5(salt:id) --
+    an unbiased, engine-portable sample, so unlike the KMeans variant
+    (cosine_topk_ivf) the whole pipeline has an exact DuckDB oracle.
+    Sampled centroids are the standard cheap IVF bootstrap (KMeans
+    refines recall for the same probe budget but changes nothing
+    structurally).
+
+    Shape (identical to the KMeans IVF): centroids broadcast
+    everywhere; corpus assigns to argmax-cosine centroid (16x widen,
+    window reduce); queries probe their n_probe nearest centroids;
+    exact cosine + top-k over candidates only. Probes touch
+    ~n_probe/n_centroids of the corpus.
+    """
+    w_cent = Window.orderBy(
+        F.md5(F.concat(F.lit(salt + ":"), F.col("cent_id").cast("string"))),
+        F.col("cent_id"),
+    )
+    cent = (
+        corpus.select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("__cv"))
+        .withColumn("__rk", F.row_number().over(w_cent))
+        .filter(F.col("__rk") <= n_centroids)
+        .drop("__rk")
+    )
+
+    def _cos(a: Column, b: Column) -> Column:
+        return _dot(a, b) / (_norm(a) * _norm(b))
+
+    w_assign = Window.partitionBy("__id").orderBy(
+        F.col("__cc").desc(), F.col("cent_id").asc()
+    )
+    assign = (
+        corpus.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+        .crossJoin(F.broadcast(cent))
+        .withColumn("__cc", _cos(F.col("__v"), F.col("__cv")))
+        .withColumn("__arnk", F.row_number().over(w_assign))
+        .filter(F.col("__arnk") == 1)
+        .select(F.col("__id").alias("neighbor_id"), "cent_id")
+    )
+    w_probe = Window.partitionBy("query_id").orderBy(
+        F.col("__qc").desc(), F.col("cent_id").asc()
+    )
+    probes = (
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
+        .crossJoin(F.broadcast(cent))
+        .withColumn("__qc", _cos(F.col("__qv"), F.col("__cv")))
+        .withColumn("__prnk", F.row_number().over(w_probe))
+        .filter(F.col("__prnk") <= n_probe)
+        .select("query_id", "cent_id")
+    )
+    cand = (
+        probes.join(assign, "cent_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+    )
+    qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
+    nv = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__nv"))
+    sims = (
+        cand.join(F.broadcast(qv), "query_id")
+        .join(nv, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            _cos(F.col("__qv"), F.col("__nv")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

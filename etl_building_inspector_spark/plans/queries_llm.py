@@ -511,6 +511,84 @@ def ann_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivf_sampled_sql(
+    k: int = 5, n_queries: int = 10, nc: int = 16, n_probe: int = 6
+) -> str:
+    cos_ec = (
+        "list_reduce([CAST(e.embedding[i] AS DOUBLE) * CAST(c.cvec[i] AS DOUBLE) "
+        "for i in generate_series(1, len(e.embedding))], (x, y) -> x + y)"
+        " / ("
+        "sqrt(list_reduce([CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE) "
+        "for i in generate_series(1, len(e.embedding))], (x, y) -> x + y))"
+        " * "
+        "sqrt(list_reduce([CAST(c.cvec[i] AS DOUBLE) * CAST(c.cvec[i] AS DOUBLE) "
+        "for i in generate_series(1, len(c.cvec))], (x, y) -> x + y)))"
+    )
+    return f"""
+WITH r AS (
+  SELECT vec_id, embedding,
+         row_number() OVER (ORDER BY
+           md5(concat('cent:', CAST(vec_id AS VARCHAR))), vec_id) AS rk
+  FROM embeddings),
+cent AS (SELECT vec_id AS cent_id, embedding AS cvec FROM r WHERE rk <= {nc}),
+assign AS (
+  SELECT vec_id AS neighbor_id, cent_id FROM (
+    SELECT e.vec_id, c.cent_id,
+      row_number() OVER (PARTITION BY e.vec_id
+        ORDER BY {cos_ec} DESC, c.cent_id) AS arnk
+    FROM embeddings e CROSS JOIN cent c) WHERE arnk = 1),
+qp AS (
+  SELECT query_id, cent_id FROM (
+    SELECT e.vec_id AS query_id, c.cent_id,
+      row_number() OVER (PARTITION BY e.vec_id
+        ORDER BY {cos_ec} DESC, c.cent_id) AS prnk
+    FROM embeddings e CROSS JOIN cent c
+    WHERE e.vec_id < {n_queries}) WHERE prnk <= {n_probe}),
+cand AS (
+  SELECT qp.query_id, a.neighbor_id
+  FROM qp JOIN assign a USING (cent_id)
+  WHERE qp.query_id <> a.neighbor_id),
+sims AS (
+  SELECT query_id, neighbor_id,
+         {_EMB_DOT} / ({_EMB_NORM_A} * {_EMB_NORM_B}) AS cosine
+  FROM cand
+  JOIN embeddings a ON a.vec_id = query_id
+  JOIN embeddings b ON b.vec_id = neighbor_id)
+SELECT CAST(query_id AS BIGINT) AS query_id,
+       CAST(neighbor_id AS BIGINT) AS neighbor_id,
+       cosine,
+       CAST(row_number() OVER (
+         PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+       ) AS BIGINT) AS rank
+FROM sims
+QUALIFY rank <= {k}
+"""
+
+
+@_q("ann_cosine_ivf_sampled", _ivf_sampled_sql())
+def ann_cosine_ivf_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with md5-sampled centroids: same inverted-file shape as
+    the KMeans variant but fully deterministic, so the whole pipeline
+    (centroid choice -> assignment -> probes -> exact rescoring) has an
+    exact DuckDB oracle instead of a rows-only check."""
+    from ..operators.similarity import cosine_topk_ivf_sampled
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    out = cosine_topk_ivf_sampled(
+        # (16, 6): random uniform 64-dim vectors are IVF's worst case
+        # (cosines concentrate near 0); 6/16 probes holds recall ~0.56
+        # vs brute force while still skipping 62% of the corpus.
+        emb, queries, "embedding", "vec_id", k=5, n_centroids=16, n_probe=6
+    )
+    return out.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("neighbor_id").cast("long").alias("neighbor_id"),
+        "cosine",
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 @_q("ann_cosine_ivf")  # rows-only: KMeans centroids aren't SQL-expressible
 def ann_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN (KMeans coarse quantization + multi-probe); recall vs

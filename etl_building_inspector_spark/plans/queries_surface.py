@@ -430,7 +430,43 @@ def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_q("p7_base62_surrogate")
+def _b62_sql() -> str:
+    """DuckDB twin of base62(int(md5_hex, 16)): parse the two hex
+    halves into an unsigned 128-bit int, then recursive-CTE divmod by
+    62 (depth <= 22) — was rows-only in round 1 because 'base62 of a
+    128-bit int is not SQL-expressible'; UHUGEINT makes it so."""
+    from ..functions.ids import _B62
+
+    two64 = "18446744073709551616::UHUGEINT"
+    return f"""
+WITH RECURSIVE seed AS (
+  SELECT p_partkey, md5(concat_ws(',', p_name, p_brand)) AS h FROM part
+),
+init AS (
+  SELECT p_partkey,
+    (('0x'||substr(h,1,16))::UBIGINT)::UHUGEINT * {two64}
+    + (('0x'||substr(h,17,16))::UBIGINT)::UHUGEINT AS n,
+    '' AS acc
+  FROM seed
+),
+steps AS (
+  SELECT p_partkey, n, acc FROM init
+  UNION ALL
+  SELECT p_partkey, n // 62,
+         substr('{_B62}', (n % 62)::INT + 1, 1) || acc
+  FROM steps WHERE n > 0
+),
+done AS (
+  SELECT p_partkey, CASE WHEN acc = '' THEN '0' ELSE acc END AS b62
+  FROM steps WHERE n = 0
+)
+SELECT CAST(p_partkey AS BIGINT) AS part_key,
+       'part-' || p_partkey::VARCHAR || '-' || b62 AS surrogate_id
+FROM done
+"""
+
+
+@_q("p7_base62_surrogate", _b62_sql())
 def p7_base62_surrogate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .._dist import ensure_workers_can_import
     from ..functions.ids import base62_of_hex, md5_surrogate

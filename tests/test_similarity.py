@@ -195,3 +195,22 @@ def test_arrow_cosine_bit_identical_to_hof(spark, sf_dir):
     hof = with_cosine(pairs, "va", "vb").select("ia", "ib", "cosine")
     arw = cosine_arrow(pairs, "va", "vb").select("ia", "ib", "cosine")
     assert hof.exceptAll(arw).count() == 0 and arw.exceptAll(hof).count() == 0
+
+
+def test_ivf_sampled_recall_reasonable(spark, emb):
+    """Sampled-centroid IVF (the oracle-backed variant) must keep
+    useful recall vs brute force at (16 centroids, 6 probes)."""
+    from etl_building_inspector_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        cosine_topk_ivf_sampled,
+    )
+
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = cosine_topk_bruteforce(emb, queries, k=5).collect()
+    approx = cosine_topk_ivf_sampled(
+        emb, queries, k=5, n_centroids=16, n_probe=6
+    ).collect()
+    exact_pairs = {(r.query_id, r.neighbor_id) for r in exact}
+    approx_pairs = {(r.query_id, r.neighbor_id) for r in approx}
+    recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
+    assert recall >= 0.5
