@@ -103,6 +103,36 @@ def fingerprint(col: Column | str) -> Column:
     return F.md5(normalize_text(col))
 
 
+def _u32_of(c: Column) -> Column:
+    return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long")
+
+
+def winnow_fingerprints(
+    col: Column | str, k: int = 3, w: int = 4
+) -> Column:
+    """Winnowing fingerprint sketch (Schleimer/Wilkerson/Aiken, MOSS):
+    hash every word k-gram to a u32, slide a window of w consecutive
+    hashes, keep each window's MINIMUM, distinct the kept set. The
+    rolling-hash document fingerprint: guarantees any shared substring
+    of >= k+w-1 tokens contributes at least one common fingerprint,
+    while storing ~2/(w+1) of the hashes.
+
+    Pure column expressions — the w window minima come from w SHIFTED
+    SLICES folded with elementwise least() (the same shape that made
+    shingling 4.4x faster than per-position slice(); see
+    shingles())."""
+    sh = shingles(col, k)
+    h = F.transform(sh, _u32_of)
+    m = F.size(h) - (w - 1)
+    parts = [F.slice(h, j + 1, m) for j in range(w)]
+    mins = parts[0]
+    for p in parts[1:]:
+        mins = F.zip_with(mins, p, lambda a, b: F.least(a, b))
+    return F.when(F.size(h) < w, F.array_distinct(h)).otherwise(
+        F.array_distinct(mins)
+    )
+
+
 def lang_scores(col: Column | str, toks: Column | None = None) -> dict[str, Column]:
     """Stopword-hit count per language over the token array. Pass a
     pre-materialized token column via `toks` when computing several

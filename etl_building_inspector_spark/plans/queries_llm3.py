@@ -263,6 +263,54 @@ def text_bpe_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Winnowing (rolling-hash) fingerprints
+# ---------------------------------------------------------------------------
+
+WINNOW_K = 3
+WINNOW_W = 4
+
+
+def _winnow_sql() -> str:
+    from .queries_llm import _shingles_sql
+
+    k, w = WINNOW_K, WINNOW_W
+    u32 = "CAST(concat('0x', substr(md5(x), 1, 8)) AS BIGINT)"
+    return f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+sh AS (SELECT doc_id, {_shingles_sql("toks", k)} AS sh FROM t),
+h AS (SELECT doc_id, list_transform(sh, x -> {u32}) AS h FROM sh),
+m AS (SELECT doc_id,
+  CASE WHEN len(h) < {w} THEN list_distinct(h)
+       ELSE list_distinct([list_min(h[i:i+{w - 1}])
+             for i in generate_series(1, len(h) - {w - 1})]) END AS fps
+FROM h)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(unnest(fps) AS BIGINT) AS fp
+FROM m
+"""
+
+
+@_q("text_winnow_fingerprints", _winnow_sql())
+def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (k=3-gram u32 hashes, window
+    w=4 minima, MOSS-style): the rolling-hash sketch that guarantees
+    any shared run of >= k+w-1 tokens produces a common fingerprint.
+    Narrow per-row array math (shifted-slice least() folds), then one
+    explode — the sketch-build side of substring-level dedup; joining
+    fp against fp finds cross-document overlap without any self-join
+    of full texts."""
+    from ..functions.text import winnow_fingerprints
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.explode(
+            winnow_fingerprints("text", WINNOW_K, WINNOW_W)
+        ).alias("fp"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Bloom-prefiltered decontamination (exact semantics)
 # ---------------------------------------------------------------------------
 

@@ -207,3 +207,28 @@ def correlated_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the predicate uses a strict > with values far from ties."""
     register_views(spark, sf_dir)
     return spark.sql(_CORRELATED_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Lateral correlated subquery (SQL:2016 LATERAL / Catalyst
+# DecorrelateInnerQuery): per-customer top-3 orders WITHOUT a window --
+# the subquery's sort+limit runs per outer row logically; Catalyst
+# decorrelates it into a ranked join, which is exactly the rewrite a
+# hand-written row_number() would produce.
+# ---------------------------------------------------------------------------
+
+_LATERAL_SQL = """
+SELECT CAST(c.c_custkey AS BIGINT) AS cust_key,
+       CAST(o.o_orderkey AS BIGINT) AS order_key,
+       o.o_totalprice AS total_price
+FROM customer c,
+LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+         WHERE o_custkey = c.c_custkey
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 3) o
+"""
+
+
+@_q("lateral_topk_orders", _LATERAL_SQL)
+def lateral_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(_LATERAL_SQL)

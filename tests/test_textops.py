@@ -266,3 +266,30 @@ def test_bpe_token_estimate_pinned(spark):
     ).collect()
     assert (rows[0].n, rows[0].est) == (9, 13)
     assert (rows[1].n, rows[1].est) == (0, 0)
+
+
+def test_winnow_shared_substring_guarantee(spark):
+    """Winnowing guarantee: two docs sharing a run of >= k+w-1 tokens
+    (here 3+4-1=6) must share at least one fingerprint; disjoint-vocab
+    docs share none."""
+    from etl_building_inspector_spark.functions.text import (
+        winnow_fingerprints,
+    )
+    from pyspark.sql import functions as F
+
+    shared = "alpha beta gamma delta epsilon zeta"
+    rows = [
+        (1, f"one two three {shared} four five"),
+        (2, f"six seven {shared} eight nine ten"),
+        (3, "completely different words entirely unrelated here now"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = df.select(
+        "doc_id", F.explode(winnow_fingerprints("text", 3, 4)).alias("fp")
+    ).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r.doc_id, set()).add(r.fp)
+    assert by_doc[1] & by_doc[2]
+    assert not (by_doc[1] & by_doc[3])
+    assert not (by_doc[2] & by_doc[3])
