@@ -159,3 +159,130 @@ def decode_image(df: DataFrame, key_col: str = "key") -> DataFrame:
         F.col(key_col).alias("key"), F.col("media.bytes").alias("bytes")
     )
     return slim.mapInPandas(kernel, schema=_DECODE_SCHEMA)
+
+
+_RESIZE_SCHEMA = (
+    "key long, width int, height int, bytes binary, resize_error string"
+)
+
+
+def resize_image(
+    df: DataFrame, width: int, height: int, key_col: str = "key"
+) -> DataFrame:
+    """Image resize as an Arrow-batched mapInPandas kernel: binary in,
+    binary out, per-row errors in `resize_error` (never a task
+    failure). With PIL present the kernel is a real thumbnail encode;
+    without codecs (this container) it is a DETERMINISTIC fake -- the
+    output bytes are a pure function of (input bytes, target size) so
+    tests pin the plumbing (schema, fan-through, batch shape, error
+    channel) identically in both environments.
+
+    Scale notes: the binary column rides Arrow zero-copy into the
+    worker; output partitioning is unchanged (narrow); target-size
+    constants fold into the closure, not the data.
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if HAVE_PIL:
+            import io
+
+            from PIL import Image as _Image
+
+            def one(b: bytes) -> tuple:
+                try:
+                    with _Image.open(io.BytesIO(b)) as im:
+                        out = im.resize((width, height))
+                        buf = io.BytesIO()
+                        out.save(buf, format=im.format or "PNG")
+                        return width, height, buf.getvalue(), None
+                except Exception as e:
+                    return None, None, None, f"{type(e).__name__}: {e}"
+
+        else:
+
+            def one(b: bytes) -> tuple:
+                # deterministic fake: content-addressed pseudo-pixels,
+                # same length law a real encoder would respect
+                h = hashlib.md5(
+                    b + f":{width}x{height}".encode()
+                ).digest()
+                fake = (h * ((width * height) // len(h) + 1))[
+                    : width * height
+                ]
+                return width, height, fake, None
+
+        for pdf in batches:
+            r = pdf["bytes"].map(one)
+            yield pd.DataFrame(
+                {
+                    "key": pdf["key"],
+                    "width": r.map(lambda t: t[0]),
+                    "height": r.map(lambda t: t[1]),
+                    "bytes": r.map(lambda t: t[2]),
+                    "resize_error": r.map(lambda t: t[3]),
+                }
+            )
+
+    from .._dist import ensure_workers_can_import
+
+    ensure_workers_can_import(df.sparkSession)
+    slim = df.select(
+        F.col(key_col).alias("key"), F.col("media.bytes").alias("bytes")
+    )
+    return slim.mapInPandas(kernel, schema=_RESIZE_SCHEMA)
+
+
+_FRAME_SCHEMA = "key long, frame_idx int, frame binary, ts_ms int"
+
+
+def sample_frames(
+    df: DataFrame, every_ms: int = 1000, key_col: str = "key"
+) -> DataFrame:
+    """Video frame sampling: one output ROW PER SAMPLED FRAME (the
+    1->N fan-out shape that distinguishes video from image kernels --
+    mapInPandas yields more rows than it consumes). Sample instants
+    are every `every_ms` over meta.duration_ms; the frame decode at
+    each instant is env-gated like decode_image (no ffmpeg in this
+    container), so the kernel emits a deterministic content-addressed
+    frame stub per instant -- the fan-out arithmetic, schema, and
+    partition behavior are the real thing.
+
+    At scale the fan-out multiplies rows by duration/every_ms: keep
+    the frame column OUT of downstream shuffles (extract features
+    immediately, or write frames to object storage and carry keys).
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            keys, idxs, frames, tss = [], [], [], []
+            for key, b, dur in zip(
+                pdf["key"], pdf["bytes"], pdf["duration_ms"]
+            ):
+                d = 0 if pd.isna(dur) else int(dur)  # null = still image
+                n = max(1, d // every_ms)
+                for i in range(n):
+                    ts = i * every_ms
+                    keys.append(key)
+                    idxs.append(i)
+                    frames.append(
+                        hashlib.md5(b + f"@{ts}".encode()).digest()
+                    )
+                    tss.append(ts)
+            yield pd.DataFrame(
+                {
+                    "key": pd.Series(keys, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame": pd.Series(frames, dtype=object),
+                    "ts_ms": pd.Series(tss, dtype="int32"),
+                }
+            )
+
+    from .._dist import ensure_workers_can_import
+
+    ensure_workers_can_import(df.sparkSession)
+    slim = df.select(
+        F.col(key_col).alias("key"),
+        F.col("media.bytes").alias("bytes"),
+        F.col("media.meta.duration_ms").alias("duration_ms"),
+    )
+    return slim.mapInPandas(kernel, schema=_FRAME_SCHEMA)

@@ -83,3 +83,58 @@ def test_decode_image_real_kernel(spark):
     assert (got[1].width, got[1].height) == (1, 1)
     assert got[1].decode_error is None
     assert got[2].width is None and got[2].decode_error is not None
+
+
+def test_resize_plumbing(spark, media_df):
+    """resize: schema contract, 1:1 fan-through, deterministic bytes
+    (same inputs -> same output whether the kernel is PIL or the
+    content-addressed fake), and bytes being a function of target
+    size."""
+    from etl_building_inspector_spark.operators.multimodal import (
+        resize_image,
+    )
+
+    a = resize_image(media_df, 8, 6, key_col="doc_id")
+    rows = {r.key: r for r in a.collect()}
+    assert len(rows) == media_df.count()
+    for r in rows.values():
+        assert (r.width, r.height) == (8, 6)
+        assert r.resize_error is None
+        assert isinstance(r.bytes, (bytes, bytearray)) and len(r.bytes) > 0
+    again = {r.key: r for r in resize_image(media_df, 8, 6, key_col="doc_id").collect()}
+    assert all(again[k].bytes == rows[k].bytes for k in rows)
+    other = {r.key: r for r in resize_image(media_df, 4, 4, key_col="doc_id").collect()}
+    assert any(other[k].bytes != rows[k].bytes for k in rows)
+
+
+def test_sample_frames_fanout(spark, media_df):
+    """frame sampling: one row per every_ms instant of duration_ms
+    (1->N fan-out), deterministic frame bytes, images (null duration)
+    degrade to a single frame."""
+    from pyspark.sql import functions as F
+
+    from etl_building_inspector_spark.operators.multimodal import (
+        sample_frames,
+    )
+
+    vids = media_df.withColumn(
+        "media",
+        F.col("media").withField(
+            "meta.duration_ms",
+            (F.col("doc_id") % 3 * 1000 + 2500).cast("int"),
+        ),
+    )
+    out = sample_frames(vids, every_ms=1000, key_col="doc_id")
+    per_key = {
+        r["key"]: r["n"]
+        for r in out.groupBy("key").agg(F.count("*").alias("n")).collect()
+    }
+    for r in vids.select(F.col("doc_id").alias("key"), "media.meta.duration_ms").collect():
+        assert per_key[r.key] == max(1, r.duration_ms // 1000)
+    # deterministic + distinct instants
+    f = out.filter(F.col("key") == out.first().key).collect()
+    assert len({r.ts_ms for r in f}) == len(f)
+    # image media (null duration) -> exactly one frame
+    one = sample_frames(media_df, every_ms=1000, key_col="doc_id")
+    counts = one.groupBy("key").count().collect()
+    assert all(r["count"] == 1 for r in counts)

@@ -89,3 +89,31 @@ def test_no_python_udf_on_relational_paths(spark, sf_dir):
         plan = _executed(spark, name, sf_dir)
         assert "BatchEvalPython" not in plan, name
         assert "ArrowEvalPython" not in plan, name
+
+
+def test_pack_concat_chunks_distributed_prefix_sum(spark, sf_dir):
+    """The corpus-level window must be PARTITIONED (by shard); only the
+    tiny per-shard base-offset table may use a global window; bases
+    join back by broadcast."""
+    plan = _executed(spark, "pack_concat_chunks", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    # every Window over doc-level n_tokens must carry the shard key
+    for line in plan.splitlines():
+        ls = line.strip()
+        if ls.startswith("Window [sum(n_tokens"):
+            assert "__shard" in ls, ls
+
+
+def test_bloom_decontaminate_confirm_join_broadcast(spark, sf_dir):
+    """The exact confirm join probes the (small) bench-gram set as a
+    broadcast -- the corpus side must never sort-merge on gram."""
+    plan = _executed(spark, "decontaminate_bloom", sf_dir)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_ivf_sampled_centroids_broadcast(spark, sf_dir):
+    """Assignment and probing cross-join the 16-row centroid table as a
+    broadcast; candidate scoring joins stay hash joins."""
+    plan = _executed(spark, "ann_cosine_ivf_sampled", sf_dir)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
