@@ -256,6 +256,18 @@ def ngram_jaccard_pairs(
             .select("sh")
         )
         sh = sh.join(rare, "sh", "left_semi")
+    # shuffle on 8-byte md5-derived keys instead of multi-word shingle
+    # strings: measured 2x on the self-join at sf0.1, and shuffle WIDTH
+    # is the real 100 TB cost. 60-bit keys make collisions (merged
+    # shingles) negligible at fixture scale and a standard
+    # hashing-trick approximation at corpus scale; the oracle applies
+    # the IDENTICAL hash, so results stay bit-equal.
+    sh = sh.select(
+        id_col,
+        F.conv(F.substring(F.md5("sh"), 1, 15), 16, 10)
+        .cast("long")
+        .alias("sh"),
+    )
     # referenced 3x (sizes + both join sides): compute once (tracked
     # persist, released by _cache.release_persisted between queries)
     sh = track_persist(sh)

@@ -623,15 +623,18 @@ def cosine_topk_ivf_sampled(
     exact cosine + top-k over candidates only. Probes touch
     ~n_probe/n_centroids of the corpus.
     """
-    w_cent = Window.orderBy(
-        F.md5(F.concat(F.lit(salt + ":"), F.col("cent_id").cast("string"))),
-        F.col("cent_id"),
-    )
+    # top-n_centroids by md5 rank via sort+limit, NOT a global window:
+    # Catalyst compiles orderBy+limit to TakeOrderedAndProject
+    # (per-partition heap + n_centroids-row merge), while an
+    # unpartitioned row_number() would drag the whole corpus through
+    # one task.
     cent = (
         corpus.select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("__cv"))
-        .withColumn("__rk", F.row_number().over(w_cent))
-        .filter(F.col("__rk") <= n_centroids)
-        .drop("__rk")
+        .orderBy(
+            F.md5(F.concat(F.lit(salt + ":"), F.col("cent_id").cast("string"))),
+            F.col("cent_id"),
+        )
+        .limit(n_centroids)
     )
 
     def _cos(a: Column, b: Column) -> Column:

@@ -322,7 +322,9 @@ WITH {_DOCS_WITH_DUPS_SQL.strip()},
 t AS (SELECT doc_id, {_TOKS} AS toks FROM docs),
 sh0 AS (SELECT doc_id, unnest(list_distinct({_shingles_sql("toks", n)})) AS s FROM t),
 dfreq AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) <= {df_cap}),
-sh AS (SELECT sh0.* FROM sh0 JOIN dfreq USING (s)),
+sh AS (SELECT sh0.doc_id,
+              CAST(concat('0x', substr(md5(sh0.s), 1, 15)) AS BIGINT) AS s
+       FROM sh0 JOIN dfreq USING (s)),
 sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
 shared AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
