@@ -62,6 +62,8 @@ HEADLINE = [
     "pack_concat_chunks",
     "pack_greedy_bins",
     "decontaminate_bloom",
+    "text_winnow_fingerprints",
+    "ann_cosine_ivf_sampled",
 ]
 
 

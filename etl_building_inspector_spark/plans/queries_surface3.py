@@ -232,3 +232,33 @@ LATERAL (SELECT o_orderkey, o_totalprice FROM orders
 def lateral_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
     return spark.sql(_LATERAL_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Spark 4 VARIANT: semi-structured columns without schema-on-write.
+# parse_json -> an indexed binary encoding; variant_get extracts typed
+# values with lazy paths (vs get_json_object's per-call string parse).
+# The oracle reads the same JSON relationally in DuckDB.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "variant_extraction",
+    """
+SELECT CAST(event_id AS BIGINT) AS event_id,
+       CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+       CAST(NULL AS BIGINT) AS missing_val,
+       json_extract(props, '$.k') IS NOT NULL AS has_k
+FROM events
+""",
+)
+def variant_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "v", F.parse_json(F.col("props"))
+    )
+    return ev.select(
+        F.col("event_id").cast("long").alias("event_id"),
+        F.expr("variant_get(v, '$.k', 'long')").alias("k"),
+        F.expr("variant_get(v, '$.missing', 'long')").alias("missing_val"),
+        F.expr("variant_get(v, '$.k', 'long') IS NOT NULL").alias("has_k"),
+    )
