@@ -134,6 +134,114 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def expiring_sessions(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Timeout-expired sessionization via applyInPandasWithState +
+    EventTimeTimeout: the state-lifecycle twin of session_windows().
+
+    Per-user state is one (start, end, n) triple. Each update merges
+    the batch's events and re-arms an event-time timeout at
+    session_end + gap; when the watermark passes that point the
+    timeout FIRES, the closed session is emitted exactly once (append
+    semantics), and state.remove() drops the row — so state is
+    O(users active within the gap horizon), never O(all users ever).
+    This is the pattern for custom stateful ops the built-in
+    session_window can't express (e.g. sessions that also carry
+    running custom aggregates or emit side records on close)."""
+    from pyspark.sql.streaming.state import GroupState
+
+    gap_us = _duration_to_us(gap)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("session_start", T.TimestampType()),
+            T.StructField("session_end", T.TimestampType()),
+            T.StructField("n_events", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("start_us", T.LongType()),
+            T.StructField("end_us", T.LongType()),
+            T.StructField("n", T.LongType()),
+        ]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        if state.hasTimedOut:
+            start_us, end_us, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "session_start": [pd.to_datetime(start_us, unit="us")],
+                    "session_end": [pd.to_datetime(end_us, unit="us")],
+                    "n_events": [n],
+                }
+            )
+            return
+        start_us, end_us, n = (
+            state.get if state.exists else (None, None, 0)
+        )
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            ts_us = pdf["ts"].astype("int64") // 1000  # ns -> us
+            lo, hi = int(ts_us.min()), int(ts_us.max())
+            start_us = lo if start_us is None else min(start_us, lo)
+            end_us = hi if end_us is None else max(end_us, hi)
+            n += len(pdf)
+        state.update((start_us, end_us, n))
+        # close the session once the watermark passes end + gap
+        state.setTimeoutTimestamp((end_us + gap_us) // 1000)
+        yield pd.DataFrame(
+            {
+                "user_id": pd.Series([], dtype="int64"),
+                "session_start": pd.Series([], dtype="datetime64[us]"),
+                "session_end": pd.Series([], dtype="datetime64[us]"),
+                "n_events": pd.Series([], dtype="int64"),
+            }
+        )
+
+    from .._dist import ensure_workers_can_import
+
+    ensure_workers_can_import(events.sparkSession)
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf="EventTimeTimeout",
+        )
+    )
+
+
+def _duration_to_us(s: str) -> int:
+    """'30 minutes' -> microseconds (the tiny subset of Spark's
+    CalendarInterval grammar these operators use)."""
+    qty, unit = s.split()
+    per = {
+        "second": 1_000_000,
+        "seconds": 1_000_000,
+        "minute": 60_000_000,
+        "minutes": 60_000_000,
+        "hour": 3_600_000_000,
+        "hours": 3_600_000_000,
+        "day": 86_400_000_000,
+        "days": 86_400_000_000,
+    }[unit]
+    return int(qty) * per
+
+
 def streaming_dedup(
     events: DataFrame,
     keys: list[str] | None = None,

@@ -167,6 +167,62 @@ def test_foreach_batch_exactly_once_sink(spark, event_dir, tmp_path_factory):
     assert written.select("event_id").distinct().count() == src_count
 
 
+def test_expiring_sessions_timeout_lifecycle(spark, tmp_path_factory):
+    """applyInPandasWithState + EventTimeTimeout: a session is emitted
+    exactly once when the watermark passes session_end + gap (state
+    removed), and a still-open session is NOT emitted."""
+    import datetime as dt
+
+    from etl_building_inspector_spark.streaming.events import expiring_sessions
+
+    d = str(tmp_path_factory.mktemp("sess_events"))
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string"
+    )
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def write_batch(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(d)
+
+    # batch 1: user 1 (two events 10 min apart => one session), user 2
+    write_batch([
+        (1, t0, 1, "click", 1.0, "{}"),
+        (2, t0 + dt.timedelta(minutes=10), 1, "click", 1.0, "{}"),
+        (3, t0, 2, "click", 1.0, "{}"),
+    ])
+    stream = spark.readStream.schema(schema).parquet(d)
+    q = (
+        expiring_sessions(stream, gap="30 minutes", watermark="10 minutes")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("exp_sessions")
+        .start()
+    )
+    try:
+        q.processAllAvailable()  # watermark still at batch-0 floor
+        # batch 2: user 3 far in the future -> watermark for the NEXT
+        # batch jumps past user 1/2's session_end + gap
+        write_batch([(4, t0 + dt.timedelta(hours=5), 3, "click", 1.0, "{}")])
+        q.processAllAvailable()
+        # batch 3: nudge event time forward so batch 3 runs with the
+        # advanced watermark and fires the timeouts for users 1 and 2
+        # (user 3's timeout at 5:31 stays unexpired: watermark 4:51)
+        write_batch([(5, t0 + dt.timedelta(hours=5, minutes=1), 3, "click", 1.0, "{}")])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = {r.user_id: r for r in spark.sql("SELECT * FROM exp_sessions").collect()}
+    assert set(rows) == {1, 2}, f"expected closed sessions for 1,2 got {sorted(rows)}"
+    assert rows[1].session_start == t0
+    assert rows[1].session_end == t0 + dt.timedelta(minutes=10)
+    assert rows[1].n_events == 2
+    assert rows[2].session_start == rows[2].session_end == t0
+    assert rows[2].n_events == 1
+
+
 def test_streaming_dedup_within_watermark(spark, tmp_path_factory):
     """dropDuplicatesWithinWatermark: duplicates inside the watermark
     horizon collapse to one row; the key state is evicted after the
