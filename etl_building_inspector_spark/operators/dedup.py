@@ -361,3 +361,101 @@ def connected_components(
     # the final round's checkpoint stays tracked: release_persisted()
     # frees it after the caller materializes the result.
     return labels.select(F.col("node"), F.col("comp").alias("component"))
+
+
+def connected_components_alternating(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components by alternating large-star / small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14). Same (node, component=min reachable id) contract as
+    connected_components(); different scale profile.
+
+    Why a second algorithm: min-label propagation needs rounds ~ graph
+    DIAMETER and re-shuffles the FULL edge set every round — fine for
+    shallow near-dup cliques, wrong for long chains (transitive dup
+    paths) or high-degree hubs. Large-star/small-star converges in
+    O(log n) rounds regardless of diameter, and each round REWRITES
+    the edge set toward stars, so the shuffled volume shrinks as it
+    converges instead of staying constant.
+
+    Per round, two pure groupBy+join passes over the current edges:
+      large-star: every neighbor v > u links to min(N(u) ∪ {u})
+      small-star: every neighbor v ≤ u links to min(N⁻(u) ∪ {u})
+    Both are map-side-combinable min-aggregates keyed by node — no
+    driver-side state beyond the scalar convergence count.
+    """
+    from ._cache import free_local_checkpoint, track_local_checkpoint
+
+    ein = edges.select(
+        F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
+    )
+    nodes = track_local_checkpoint(
+        ein.select(F.col("u").alias("node"))
+        .unionByName(ein.select(F.col("v").alias("node")))
+        .distinct()
+    )
+    e0 = ein.filter(F.col("u") != F.col("v"))
+    # canonical orientation (hi, lo): dedups the undirected edge set
+    cur = track_local_checkpoint(
+        e0.select(
+            F.greatest("u", "v").alias("hi"), F.least("u", "v").alias("lo")
+        ).distinct()
+    )
+    for _ in range(max_iter):
+        sym = cur.select(F.col("hi").alias("u"), F.col("lo").alias("v")).unionByName(
+            cur.select(F.col("lo").alias("u"), F.col("hi").alias("v"))
+        )
+        # large-star: m(u) = min over N(u) ∪ {u}; attach every LARGER
+        # neighbor to it. Keeps hub fan-out bounded: a degree-k node
+        # emits k edges total, never k² candidate pairs.
+        lmin = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("mv"))
+            .select("u", F.least("mv", "u").alias("m"))
+        )
+        large = (
+            sym.join(lmin, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("hi"), F.col("m").alias("lo"))
+            .filter(F.col("hi") != F.col("lo"))
+        )
+        # small-star over the large-star output: m(hi) = min smaller
+        # neighbor; re-link every smaller neighbor AND hi itself to m.
+        smin = large.groupBy("hi").agg(F.min("lo").alias("m"))
+        small = (
+            large.join(smin, "hi")
+            .select(F.col("lo").alias("a"), F.col("m").alias("b"))
+            .filter(F.col("a") != F.col("b"))
+            .unionByName(
+                smin.select(F.col("hi").alias("a"), F.col("m").alias("b"))
+            )
+            .select(
+                F.greatest("a", "b").alias("hi"), F.least("a", "b").alias("lo")
+            )
+            .distinct()
+        )
+        nxt = track_local_checkpoint(small)
+        # converged iff the (distinct, canonical) edge sets are equal:
+        # same cardinality and nothing new. Count on a checkpointed
+        # frame is a cheap scalar scan, no recompute.
+        changed = (
+            nxt.count() != cur.count()
+            or nxt.exceptAll(cur).limit(1).count() > 0
+        )
+        free_local_checkpoint(cur)
+        cur = nxt
+        if not changed:
+            break
+    # converged: `cur` is a forest of stars (hi -> component min).
+    # Isolated original nodes (self-loop-only inputs) label themselves.
+    out = (
+        nodes.join(cur, nodes["node"] == cur["hi"], "left")
+        .select(
+            "node", F.coalesce(F.col("lo"), F.col("node")).alias("component")
+        )
+    )
+    return out

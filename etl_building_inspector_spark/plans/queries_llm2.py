@@ -379,6 +379,26 @@ def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q("dedup_cluster_assign_lss", _cluster_sql())
+def dedup_cluster_assign_lss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same clustering contract as dedup_cluster_assign, computed by
+    the ALTERNATING large-star/small-star algorithm instead of
+    min-label propagation — O(log n) rounds independent of graph
+    diameter, edge set shrinks toward stars each round (see
+    operators/dedup.connected_components_alternating). Shares the
+    exact recursive-CTE oracle, so both iterative strategies are
+    value-checked against the same CC semantics."""
+    from ..operators.dedup import connected_components_alternating
+
+    docs = _docs_with_dups(spark, sf_dir)
+    pairs = minhash_lsh_pairs(docs, "text", "doc_id").select("id_a", "id_b")
+    out = connected_components_alternating(pairs, "id_a", "id_b")
+    return out.select(
+        F.col("node").cast("long").alias("doc_id"),
+        F.col("component").cast("long").alias("component"),
+    )
+
+
 def _keep_sql() -> str:
     return f"""
 WITH RECURSIVE {_cc_ctes()},

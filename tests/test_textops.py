@@ -49,6 +49,38 @@ def test_cc_two_components_and_isolated_pair(spark):
     assert out == {10: 10, 11: 10, 12: 10, 20: 20, 21: 20, 30: 30, 31: 30}
 
 
+def test_cc_alternating_matches_min_label(spark):
+    """large-star/small-star must agree with min-label propagation on
+    adversarial shapes: a LONG PATH (diameter 19 — where min-label
+    needs ~19 rounds and alternating needs O(log n)), a high-degree
+    HUB, a clique, random unions, an isolated self-loop node, and
+    reversed/duplicated edges."""
+    import random
+
+    from etl_building_inspector_spark.operators.dedup import (
+        connected_components_alternating,
+    )
+
+    rng = random.Random(7)
+    path = [(i, i + 1) for i in range(100, 119)]
+    hub = [(200, 200 + i) for i in range(1, 30)]
+    clique = [(300 + a, 300 + b) for a in range(5) for b in range(a + 1, 5)]
+    rand = [
+        (400 + rng.randrange(40), 400 + rng.randrange(40)) for _ in range(60)
+    ]
+    edges = path + hub + clique + rand + [(999, 999), (119, 100), (1, 2), (1, 2)]
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    base = {
+        r["node"]: r["component"] for r in connected_components(df).collect()
+    }
+    alt = {
+        r["node"]: r["component"]
+        for r in connected_components_alternating(df).collect()
+    }
+    assert alt == base
+    assert alt[119] == 100 and alt[229] == 200 and alt[999] == 999
+
+
 # --- PII ------------------------------------------------------------------
 
 
