@@ -221,6 +221,81 @@ def simhash(df: DataFrame, text_col: str, bits: int = 16) -> DataFrame:
     return staged.withColumn("simhash", total).select(*df.columns, "simhash")
 
 
+def simhash_hamming_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    bits: int = 32,
+    bands: int = 4,
+    max_hamming: int = 3,
+    max_bucket_width: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance with banded
+    blocking: (id_a, id_b, hamming) for all pairs with
+    popcount(simhash_a XOR simhash_b) <= max_hamming.
+
+    Unlike MinHash LSH this blocking is EXACT, not approximate: by
+    pigeonhole, two hashes differing in <= bands-1 bits agree on at
+    least one of `bands` disjoint bit-slices, so every qualifying pair
+    (max_hamming <= bands-1) lands in some shared bucket. The
+    bucket-join recall proof is `assert max_hamming < bands`.
+
+    Plan shape mirrors minhash_lsh_pairs: narrow signature, explode to
+    one (band, slice) row per doc per band, shuffle equi-join on the
+    slice key, exact popcount filter after. At 100 TB use bits=64 with
+    16-bit slices (4 bands) so buckets stay selective; the
+    max_bucket_width cap bounds the identical-boilerplate worst case
+    the same way (those belong to exact_dedup anyway).
+    """
+    assert max_hamming < bands, "banding is only lossless for hamming < bands"
+    band_bits = bits // bands
+    sh = simhash(df.select(id_col, text_col), text_col, bits=bits).select(
+        id_col, "simhash"
+    )
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftright(F.col("simhash"), b * band_bits)
+            .bitwiseAND(F.lit((1 << band_bits) - 1))
+            .alias("key"),
+        )
+        for b in range(bands)
+    ]
+    buckets = sh.select(
+        F.col(id_col), F.col("simhash"), F.explode(F.array(*band_cols)).alias("bk")
+    ).select(
+        id_col, "simhash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+    buckets = track_persist(buckets)
+    if max_bucket_width is not None:
+        keep = (
+            buckets.groupBy("band", "key")
+            .count()
+            .filter(F.col("count") <= max_bucket_width)
+            .select("band", "key")
+        )
+        buckets = buckets.join(keep, ["band", "key"], "left_semi")
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).cast("long").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str,

@@ -27,6 +27,7 @@ from ..operators.dedup import (
     minhash_signature,
     ngram_jaccard_pairs,
     simhash,
+    simhash_hamming_pairs,
 )
 from ..operators.similarity import (
     cosine_topk_bruteforce,
@@ -311,6 +312,44 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(docs, "text", bits=16).select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.col("simhash").cast("long").alias("simhash"),
+    )
+
+
+def _simhash_pairs_sql(bits: int = 32, max_hamming: int = 3) -> str:
+    """Brute-force twin of the banded hamming join: banding with
+    max_hamming < bands is lossless (pigeonhole over disjoint bit
+    slices), so the O(n^2) threshold join IS the exact semantics."""
+    h = "CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT)"
+    terms = []
+    for b in range(bits):
+        vote = (
+            f"list_sum(list_transform(toks, tok -> "
+            f"CASE WHEN ({h} >> {b}) & 1 = 1 THEN 1 ELSE -1 END))"
+        )
+        terms.append(f"(CASE WHEN {vote} > 0 THEN {2**b} ELSE 0 END)")
+    total = "\n  + ".join(terms)
+    return f"""
+WITH {_DOCS_WITH_DUPS_SQL.strip()},
+t AS (SELECT doc_id, {_TOKS} AS toks FROM docs),
+s AS (SELECT doc_id, CAST({total} AS BIGINT) AS simhash FROM t)
+SELECT CAST(a.doc_id AS BIGINT) AS id_a,
+       CAST(b.doc_id AS BIGINT) AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+"""
+
+
+@_q("dedup_simhash_hamming_pairs", _simhash_pairs_sql())
+def dedup_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup PAIRS: banded bit-slice blocking + exact
+    popcount(xor) filter (operators/dedup.simhash_hamming_pairs).
+    The blocking is exact for hamming <= bands-1, so the DuckDB twin
+    is the brute-force threshold join — a rare case where an LSH-style
+    candidate scheme has a value-exact oracle, not just recall."""
+    docs = _docs_with_dups(spark, sf_dir)
+    return simhash_hamming_pairs(
+        docs, "text", "doc_id", bits=32, bands=4, max_hamming=3
     )
 
 

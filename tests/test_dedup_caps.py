@@ -12,6 +12,7 @@ import pytest
 from etl_building_inspector_spark.operators.dedup import (
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
+    simhash_hamming_pairs,
 )
 
 BOILERPLATE = (
@@ -57,6 +58,46 @@ def test_jaccard_df_cap_bounds_hot_shingles(spark, boilerplate_docs):
     assert len(uncapped) >= 435
     capped_pairs = {(r.id_a, r.id_b) for r in capped}
     assert not any(a < 30 and b < 30 for a, b in capped_pairs)
+    assert (100, 101) in capped_pairs
+
+
+def test_simhash_hamming_cap_and_exact_recall(spark, boilerplate_docs):
+    """Banded hamming join: identical boilerplate (hamming 0) floods
+    every band bucket; the width cap removes it while the genuine
+    near-dup pair survives in a rare bucket. Also pins the pigeonhole
+    guarantee: uncapped pairs == brute-force pairs at the threshold."""
+    from pyspark.sql import functions as F
+
+    from etl_building_inspector_spark.operators.dedup import simhash
+
+    uncapped = simhash_hamming_pairs(
+        boilerplate_docs, "text", "doc_id", bits=32, bands=4, max_hamming=3
+    ).collect()
+    # brute force over the same signatures
+    sh = simhash(boilerplate_docs, "text", bits=32).select("doc_id", "simhash")
+    a, b = sh.alias("a"), sh.alias("b")
+    brute = (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).cast("long").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 3)
+        .collect()
+    )
+    assert {(r.id_a, r.id_b, r.hamming) for r in uncapped} == {
+        (r.id_a, r.id_b, r.hamming) for r in brute
+    }
+    assert len(uncapped) >= 435  # 30 identical docs, hamming 0
+    capped = simhash_hamming_pairs(
+        boilerplate_docs, "text", "doc_id", bits=32, bands=4,
+        max_hamming=3, max_bucket_width=5,
+    ).collect()
+    capped_pairs = {(r.id_a, r.id_b) for r in capped}
+    assert not any(a_ < 30 and b_ < 30 for a_, b_ in capped_pairs)
     assert (100, 101) in capped_pairs
 
 
