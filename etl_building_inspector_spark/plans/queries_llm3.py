@@ -347,3 +347,59 @@ def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     train = docs.filter(F.col("doc_id") % DECON_BENCH_MOD != 0)
     out = bloom_decontaminate(train, bench, "text", "doc_id", n=DECON_N)
     return out.withColumn("doc_id", F.col("doc_id").cast("long"))
+
+
+# ---------------------------------------------------------------------------
+# Document chunking: overlapping token windows (RAG / pretraining
+# context assembly). One posexplode over a sequence of window starts;
+# the slice is materialized ONCE per chunk (HOF materialize-once
+# lesson) and both length and text derive from it.
+# ---------------------------------------------------------------------------
+
+CHUNK_SIZE = 64
+CHUNK_STRIDE = 48  # overlap = CHUNK_SIZE - CHUNK_STRIDE = 16 tokens
+
+
+def _chunk_sql() -> str:
+    return f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+s AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+x AS (SELECT doc_id, toks,
+        unnest(generate_series(1, greatest(n, 1), {CHUNK_STRIDE})) AS start
+      FROM s)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST((start - 1) // {CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
+       CAST(start AS BIGINT) AS start_pos,
+       CAST(len(toks[start:start + {CHUNK_SIZE - 1}]) AS BIGINT) AS chunk_len,
+       array_to_string(toks[start:start + {CHUNK_SIZE - 1}], ' ') AS chunk_text
+FROM x
+"""
+
+
+@_q("text_chunk_windows", _chunk_sql())
+def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding token windows per document: size CHUNK_SIZE, stride
+    CHUNK_STRIDE (tail windows truncate, never pad). Narrow except
+    the fan-out itself — no shuffle, no UDF; at 100 TB this is a
+    map-only stage whose output feeds pack_* / shard export."""
+    from ..functions.text import tokens
+
+    t = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", tokens("text").alias("toks"))
+        .withColumn("n", F.size("toks"))
+    )
+    x = t.select(
+        "doc_id",
+        "toks",
+        F.posexplode(
+            F.sequence(F.lit(1), F.greatest("n", F.lit(1)), F.lit(CHUNK_STRIDE))
+        ).alias("chunk_idx", "start"),
+    ).withColumn("chunk", F.slice("toks", F.col("start"), F.lit(CHUNK_SIZE)))
+    return x.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.col("start").cast("long").alias("start_pos"),
+        F.size("chunk").cast("long").alias("chunk_len"),
+        F.concat_ws(" ", "chunk").alias("chunk_text"),
+    )

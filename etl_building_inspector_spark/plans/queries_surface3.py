@@ -262,3 +262,86 @@ def variant_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("variant_get(v, '$.missing', 'long')").alias("missing_val"),
         F.expr("variant_get(v, '$.k', 'long') IS NOT NULL").alias("has_k"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Skew mitigation surface: the salted rewrites are invisible to the
+# result (oracles are the PLAIN join / PLAIN group-by), visible to the
+# shuffle. See operators/skew.py for the 100 TB rationale.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "j_skew_salted_join",
+    """
+SELECT CAST(l.l_orderkey AS BIGINT) AS order_key,
+       CAST(l.l_linenumber AS BIGINT) AS line_number,
+       CAST(l.l_suppkey AS BIGINT) AS supp_key,
+       s.s_name AS supp_name
+FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+""",
+)
+def j_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inner join with the fact side salted over 8 sub-keys and the
+    dimension replicated 8x — the rewrite for a power-law join key
+    whose dimension outgrew broadcast. Result-identical to the plain
+    join (the oracle)."""
+    from ..operators.skew import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", F.col("l_suppkey").alias("suppkey")
+    )
+    sup = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("suppkey"), "s_name"
+    )
+    out = salted_join(li, sup, "suppkey", "l_orderkey", n_salts=8)
+    return out.select(
+        F.col("l_orderkey").cast("long").alias("order_key"),
+        F.col("l_linenumber").cast("long").alias("line_number"),
+        F.col("suppkey").cast("long").alias("supp_key"),
+        F.col("s_name").alias("supp_name"),
+    )
+
+
+@_q(
+    "agg_skew_salted",
+    """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+         AS value_cents,
+       CAST(min(user_id) AS BIGINT) AS min_user,
+       CAST(max(user_id) AS BIGINT) AS max_user
+FROM events
+GROUP BY event_type
+""",
+)
+def agg_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation over event_type — 5 distinct keys,
+    the worst reduce-side skew shape. Partial agg on (key, salt=16),
+    merge on key; every partial is decomposable (count merges as sum).
+    Money stays in integer cents pre-sum (portability rule)."""
+    from ..operators.skew import salted_twophase_agg
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "value_cents_row", F.round(F.col("value") * 100, 0).cast("long")
+    )
+    out = salted_twophase_agg(
+        ev,
+        "event_type",
+        "event_id",
+        {
+            "n_events": (F.count("*"), "sum"),
+            "value_cents": (F.sum("value_cents_row"), "sum"),
+            "min_user": (F.min("user_id"), "min"),
+            "max_user": (F.max("user_id"), "max"),
+        },
+        n_salts=16,
+    )
+    return out.select(
+        "event_type",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("value_cents").cast("long").alias("value_cents"),
+        F.col("min_user").cast("long").alias("min_user"),
+        F.col("max_user").cast("long").alias("max_user"),
+    )
