@@ -117,3 +117,27 @@ def test_ivf_sampled_centroids_broadcast(spark, sf_dir):
     plan = _executed(spark, "ann_cosine_ivf_sampled", sf_dir)
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_simhash_hamming_no_all_pairs(spark, sf_dir):
+    """Banded hamming pairs must join on the (band, slice) equi-key --
+    never a nested-loop over all doc pairs -- and stay JVM-side."""
+    plan = _executed(spark, "dedup_simhash_hamming_pairs", sf_dir)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_chunk_windows_no_shuffle(spark, sf_dir):
+    """Sliding-window chunking is map-only: scan -> generate -> project,
+    zero exchanges."""
+    plan = _executed(spark, "text_chunk_windows", sf_dir)
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_salted_agg_two_exchanges_only(spark, sf_dir):
+    """Two-phase salted agg: exactly the (key, salt) exchange and the
+    final key exchange -- a third shuffle means the rewrite regressed."""
+    plan = _executed(spark, "agg_skew_salted", sf_dir)
+    assert plan.count("Exchange") == 2
