@@ -64,6 +64,10 @@ HEADLINE = [
     "decontaminate_bloom",
     "text_winnow_fingerprints",
     "ann_cosine_ivf_sampled",
+    # round 2 batch 3: hamming near-dup, chunking, skew rewrites
+    "dedup_simhash_hamming_pairs",
+    "text_chunk_windows",
+    "agg_skew_salted",
 ]
 
 
