@@ -466,3 +466,56 @@ def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     out = quantize_int8_stats(emb, "embedding", "vec_id")
     return out.withColumn("vec_id", F.col("vec_id").cast("long"))
+
+
+# ---------------------------------------------------------------------------
+# Bounded BFS over the near-dup pair graph: hop distance from a seed
+# set (contamination blast radius / neighborhood expansion).
+# ---------------------------------------------------------------------------
+
+BFS_SEED_MOD = 50
+BFS_MAX_HOPS = 3
+
+
+def _bfs_sql() -> str:
+    pairs = _minhash_lsh_sql().strip()
+    return f"""
+WITH RECURSIVE {_DOCS_WITH_DUPS_SQL.strip()},
+pairs AS (
+{pairs}
+),
+sym AS (
+  SELECT id_a AS s, id_b AS d FROM pairs
+  UNION ALL
+  SELECT id_b AS s, id_a AS d FROM pairs
+),
+seeds AS (SELECT DISTINCT doc_id AS node FROM docs
+          WHERE doc_id % {BFS_SEED_MOD} = 0),
+walk AS (
+  SELECT node, 0 AS dist FROM seeds
+  UNION ALL
+  SELECT sym.d AS node, walk.dist + 1 AS dist
+  FROM walk JOIN sym ON sym.s = walk.node
+  WHERE walk.dist < {BFS_MAX_HOPS}
+)
+SELECT CAST(node AS BIGINT) AS doc_id, CAST(min(dist) AS BIGINT) AS hops
+FROM walk GROUP BY node
+"""
+
+
+@_q("graph_bfs_hops", _bfs_sql())
+def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min hop distance (<= BFS_MAX_HOPS) from seed docs over the
+    MinHash-LSH pair graph — frontier-only delta iteration
+    (operators/graph.bfs_hops); the oracle replays it as a bounded
+    recursive CTE with min(dist)."""
+    from ..operators.graph import bfs_hops
+
+    docs = _docs_with_dups(spark, sf_dir)
+    pairs = minhash_lsh_pairs(docs, "text", "doc_id").select("id_a", "id_b")
+    seeds = docs.filter(F.col("doc_id") % BFS_SEED_MOD == 0).select("doc_id")
+    out = bfs_hops(pairs, seeds, max_hops=BFS_MAX_HOPS)
+    return out.select(
+        F.col("node").cast("long").alias("doc_id"),
+        F.col("hops").cast("long").alias("hops"),
+    )

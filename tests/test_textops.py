@@ -81,6 +81,19 @@ def test_cc_alternating_matches_min_label(spark):
     assert alt[119] == 100 and alt[229] == 200 and alt[999] == 999
 
 
+def test_bfs_hops_hand_graph(spark):
+    """Path 1-2-3-4-5 with seed {1}: hops bounded at 3 (node 5 absent);
+    seed isolated node 99 gets 0; unreachable component {10,11} absent."""
+    from etl_building_inspector_spark.operators.graph import bfs_hops
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11)], ["id_a", "id_b"]
+    )
+    seeds = spark.createDataFrame([(1,), (99,)], ["doc_id"])
+    out = {r.node: r.hops for r in bfs_hops(edges, seeds, max_hops=3).collect()}
+    assert out == {1: 0, 99: 0, 2: 1, 3: 2, 4: 3}
+
+
 # --- PII ------------------------------------------------------------------
 
 
