@@ -108,7 +108,7 @@ def _u32_of(c: Column) -> Column:
 
 
 def winnow_fingerprints(
-    col: Column | str, k: int = 3, w: int = 4
+    col: Column | str, k: int = 3, w: int = 4, hashes: Column | None = None
 ) -> Column:
     """Winnowing fingerprint sketch (Schleimer/Wilkerson/Aiken, MOSS):
     hash every word k-gram to a u32, slide a window of w consecutive
@@ -120,9 +120,15 @@ def winnow_fingerprints(
     Pure column expressions — the w window minima come from w SHIFTED
     SLICES folded with elementwise least() (the same shape that made
     shingling 4.4x faster than per-position slice(); see
-    shingles())."""
-    sh = shingles(col, k)
-    h = F.transform(sh, _u32_of)
+    shingles()).
+
+    `h` below is referenced w+2 times; inline that's w+2 interpreted
+    re-evaluations of the whole shingle+md5 pipeline (HOFs skip
+    codegen subexpression elimination — materialize-once lesson).
+    Pass `hashes` as a PRE-MATERIALIZED column
+    (df.withColumn("__h", transform(shingles(c,k), u32_of))) so the
+    references are attribute reads; measured 6x warm at sf0.1."""
+    h = hashes if hashes is not None else F.transform(shingles(col, k), _u32_of)
     m = F.size(h) - (w - 1)
     parts = [F.slice(h, j + 1, m) for j in range(w)]
     mins = parts[0]

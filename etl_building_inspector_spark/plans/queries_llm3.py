@@ -299,13 +299,18 @@ def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode — the sketch-build side of substring-level dedup; joining
     fp against fp finds cross-document overlap without any self-join
     of full texts."""
-    from ..functions.text import winnow_fingerprints
+    from ..functions.text import _u32_of, shingles, winnow_fingerprints
 
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
+    staged = docs.withColumn(
+        "__h", F.transform(shingles("text", WINNOW_K), _u32_of)
+    )
+    return staged.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.explode(
-            winnow_fingerprints("text", WINNOW_K, WINNOW_W)
+            winnow_fingerprints(
+                "text", WINNOW_K, WINNOW_W, hashes=F.col("__h")
+            )
         ).alias("fp"),
     )
 
