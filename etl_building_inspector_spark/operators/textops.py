@@ -121,25 +121,32 @@ def decontaminate_ngrams(
     broadcast, the same plan degrades gracefully to a shuffle join on
     the gram hash.
     """
-    tr = train.select(
-        F.col(id_col), F.array_distinct(shingles(text_col, n)).alias("__grams")
-    )
     bench_grams = (
         benchmark.select(
             F.explode(F.array_distinct(shingles(text_col, n))).alias("__g")
         )
         .distinct()
     )
-    hits = (
-        tr.select(id_col, F.explode("__grams").alias("__g"))
-        .join(F.broadcast(bench_grams), "__g")
-        .groupBy(id_col)
-        .agg(F.count("*").alias("__hits"))
-    )
-    n_cont = F.coalesce(F.col("__hits"), F.lit(0)).cast("long")
-    return tr.join(hits, id_col, "left").select(
+    # single pass over train: the doc's gram count rides the explode
+    # (explode_outer keeps gram-less docs), the broadcast left join
+    # marks benchmark grams, one groupBy re-assembles per-doc counts.
+    # No self-reference of the shingle pipeline -- it runs ONCE
+    # (materialize-once lesson; the previous tr-join-hits shape
+    # computed it twice).
+    ex = train.select(
         F.col(id_col),
-        F.size("__grams").cast("long").alias("n_shingles"),
+        F.array_distinct(shingles(text_col, n)).alias("__grams"),
+    ).select(
+        id_col,
+        F.size("__grams").alias("__n"),
+        F.explode_outer("__grams").alias("__g"),
+    )
+    probe = ex.join(
+        F.broadcast(bench_grams.withColumn("__hit", F.lit(1))), "__g", "left"
+    )
+    n_cont = F.sum(F.coalesce(F.col("__hit"), F.lit(0))).cast("long")
+    return probe.groupBy(id_col).agg(
+        F.max("__n").cast("long").alias("n_shingles"),
         n_cont.alias("n_contaminated"),
         (n_cont > 0).alias("contaminated"),
     )
@@ -306,8 +313,16 @@ def bloom_decontaminate(
             out[i] = hit
         return pd.Series(out)
 
-    tr = train.select(
-        F.col(id_col), F.array_distinct(shingles(text_col, n)).alias("__grams")
+    # tr is referenced twice (bloom-filtered probe + doc-total join);
+    # persist the slim (id, grams) projection so the shingle pipeline
+    # runs once (self-join persist pattern; released by
+    # _cache.release_persisted between queries).
+    from ._cache import track_persist
+
+    tr = track_persist(
+        train.select(
+            F.col(id_col), F.array_distinct(shingles(text_col, n)).alias("__grams")
+        )
     )
     pre = (
         tr.select(id_col, F.explode("__grams").alias("__g"))
