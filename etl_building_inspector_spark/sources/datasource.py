@@ -26,7 +26,12 @@ import json
 import os
 from collections.abc import Iterator
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 FORMAT_NAME = "building_inspector"
 
@@ -46,6 +51,9 @@ class BuildingInspectorDataSource(DataSource):
 
     def reader(self, schema) -> DataSourceReader:
         return _Reader(self.options)
+
+    def simpleStreamReader(self, schema) -> SimpleDataSourceStreamReader:
+        return _StreamReader(self.options)
 
 
 class _Reader(DataSourceReader):
@@ -86,6 +94,55 @@ class _Reader(DataSourceReader):
                 yield (json.dumps(feat, separators=(",", ":")),)
             page += 1
             time.sleep(self.sleep_s)
+
+
+class _StreamReader(SimpleDataSourceStreamReader):
+    """Incremental pagination as a STREAM: the API-as-unbounded-source
+    view of reference S1. Offset = number of page files consumed (the
+    page sequence is append-only, like the API's page space); each
+    micro-batch reads only pages that arrived since the last offset.
+
+    Exactly-once across restarts comes from the offset contract:
+    `read` advances and prefetches, `readBetweenOffsets` deterministically
+    replays a committed range after recovery (same sorted file list
+    slice). At production scale the landing step appends page files to
+    object storage and this source tails them; the downstream plan is
+    identical to the batch path (from_json + pipeline).
+    """
+
+    def __init__(self, options):
+        self.pages_dir = options.get("pages_dir")
+        if not self.pages_dir:
+            raise ValueError("streaming building_inspector needs pages_dir")
+
+    def _files(self) -> list[str]:
+        return sorted(glob.glob(os.path.join(self.pages_dir, "page-*.json")))
+
+    @staticmethod
+    def _rows(files) -> Iterator[tuple]:
+        # iter(list), NOT a generator: the prefetch cache copy.copy()s
+        # and pickles the iterator (datasource_internal.getCache), and
+        # CPython list_iterators support both while generators support
+        # neither
+        out = []
+        for path in files:
+            with open(path) as f:
+                doc = json.load(f)
+            for feat in doc.get("features") or []:
+                out.append((json.dumps(feat, separators=(",", ":")),))
+        return iter(out)
+
+    def initialOffset(self) -> dict:
+        return {"page_count": 0}
+
+    def read(self, start: dict):
+        files = self._files()
+        n0 = int(start["page_count"])
+        return self._rows(files[n0:]), {"page_count": len(files)}
+
+    def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
+        files = self._files()
+        return self._rows(files[int(start["page_count"]) : int(end["page_count"])])
 
 
 def register(spark) -> None:

@@ -51,3 +51,41 @@ def test_datasource_empty_dir(spark, tmp_path):
         .load()
     )
     assert df.count() == 0
+
+
+def test_datasource_streaming_incremental_pages(spark, tmp_path):
+    """simpleStreamReader: pages arriving between micro-batches are
+    read exactly once (offset = consumed page count); already-consumed
+    pages are never re-emitted."""
+    _write_pages(tmp_path, n_pages=2, feats_per_page=3)
+    register(spark)
+    stream = (
+        spark.readStream.format(FORMAT_NAME)
+        .option("pages_dir", str(tmp_path))
+        .load()
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("bi_stream")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        n1 = spark.sql("SELECT count(*) n FROM bi_stream").collect()[0].n
+        assert n1 == 6  # pages 1-2
+        # a new page lands (the API grew)
+        doc = {
+            "features": [
+                {"type": "Feature", "properties": {"id": 300 + i}}
+                for i in range(3)
+            ]
+        }
+        (tmp_path / "page-3.json").write_text(json.dumps(doc))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.sql("SELECT value FROM bi_stream").collect()
+    ids = sorted(json.loads(r.value)["properties"]["id"] for r in rows)
+    assert len(ids) == 9  # no re-emission of pages 1-2
+    assert ids[-3:] == [300, 301, 302]
