@@ -329,3 +329,62 @@ def test_stream_stream_join_matches_batch(spark, event_dir):
     }
     assert got == want
     assert len(want) > 0
+
+
+def test_scd2_streaming_cdc(spark, tmp_path_factory):
+    """foreachBatch SCD2 maintenance: two micro-batches of updates
+    produce versioned snapshots whose final state equals applying the
+    updates in batch order (history closed, latest open); re-delivered
+    epochs are no-ops (epoch gating)."""
+    import datetime as dt
+
+    from etl_building_inspector_spark.streaming.cdc import (
+        init_dim,
+        read_dim,
+        scd2_foreach_batch,
+    )
+
+    dim_dir = str(tmp_path_factory.mktemp("dim"))
+    src = str(tmp_path_factory.mktemp("cdc_updates"))
+    init_dim(
+        spark.createDataFrame(
+            [(1, "alpha"), (2, "beta")], "k long, attr string"
+        ),
+        dim_dir,
+    )
+    schema = "k long, attr string, __effective timestamp"
+    t1 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    t2 = dt.datetime(2024, 1, 1, 11, 0, 0)
+
+    def write_batch(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    write_batch([(1, "alpha2", t1)])
+    stream = spark.readStream.schema(schema).parquet(src)
+    fb = scd2_foreach_batch(dim_dir, "k")
+    q = stream.writeStream.foreachBatch(fb).start()
+    try:
+        q.processAllAvailable()
+        write_batch([(1, "alpha3", t2), (3, "gamma", t2)])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    dim = read_dim(spark, dim_dir)
+    cur = {r.k: r.attr for r in dim.filter("is_current").collect()}
+    assert cur == {1: "alpha3", 2: "beta", 3: "gamma"}
+    hist1 = sorted(
+        (r.attr, r.valid_to)
+        for r in dim.filter("k = 1 AND NOT is_current").collect()
+    )
+    assert [a for a, _ in hist1] == ["alpha", "alpha2"]
+    assert [vt for _, vt in hist1] == [t1, t2]  # closed at update times
+    # re-delivery of an already-committed epoch is a no-op
+    from etl_building_inspector_spark.streaming.cdc import latest_version
+
+    v_before = latest_version(dim_dir)
+    batch1 = spark.read.parquet(src).limit(1)
+    fb(batch1, 0)  # epoch 0 already committed
+    assert latest_version(dim_dir) == v_before
