@@ -24,6 +24,74 @@ from pyspark.sql import functions as F
 from ._cache import free_local_checkpoint, track_local_checkpoint, track_persist
 
 
+def triangle_count(edges: DataFrame, src: str = "u", dst: str = "v") -> DataFrame:
+    """Global triangle count over an undirected graph, returned as a
+    one-row DataFrame (`n_triangles` bigint).
+
+    Scale shape (Schank-Wagner orientation / Suri-Vassilvitskii MR-3):
+    orient every undirected edge from its lower-(degree, id) endpoint
+    to the higher one. The orientation is acyclic and bounds every
+    node's OUT-degree by O(sqrt(m)), so the wedge self-join
+    materializes at most O(m^1.5) candidate rows instead of
+    sum(deg^2) -- the difference between feasible and not on a
+    power-law co-occurrence graph (one hub of degree d contributes
+    d^2 wedges unoriented but only O(m) oriented). Each triangle is
+    counted exactly once: the acyclic orientation gives it a unique
+    source node holding both out-edges. All three joins are equi-joins
+    on node ids (shuffle-partitionable, AQE-skew-splittable); the
+    closing-edge probe reuses the persisted canonical edge set.
+    """
+    e = (
+        edges.select(
+            F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
+        .distinct()
+    )
+    e = track_persist(e)
+    deg = (
+        e.select(F.col("a").alias("n"))
+        .unionByName(e.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").alias("deg"))
+    )
+    oriented = (
+        e.join(deg.select(F.col("n").alias("a"), F.col("deg").alias("da")), "a")
+        .join(deg.select(F.col("n").alias("b"), F.col("deg").alias("db")), "b")
+        .select(
+            F.when(
+                (F.col("da") < F.col("db"))
+                | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))),
+                F.col("a"),
+            )
+            .otherwise(F.col("b"))
+            .alias("x"),
+            F.when(
+                (F.col("da") < F.col("db"))
+                | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))),
+                F.col("b"),
+            )
+            .otherwise(F.col("a"))
+            .alias("y"),
+        )
+    )
+    oriented = track_persist(oriented)
+    e1 = oriented.select(F.col("x"), F.col("y"))
+    e2 = oriented.select(F.col("x").alias("x2"), F.col("y").alias("z"))
+    wedges = (
+        e1.join(e2, F.col("x") == F.col("x2"))
+        .filter(F.col("y") < F.col("z"))  # unordered head pair, once
+        .select(
+            F.least("y", "z").alias("ca"), F.greatest("y", "z").alias("cb")
+        )
+    )
+    closed = wedges.join(
+        e, (F.col("ca") == F.col("a")) & (F.col("cb") == F.col("b"))
+    )
+    return closed.agg(F.count("*").cast("long").alias("n_triangles"))
+
+
 def bfs_hops(
     edges: DataFrame,
     seeds: DataFrame,

@@ -1,0 +1,302 @@
+"""Fourth surface batch: TPC-H-style correlated-subquery shapes
+(EXISTS / NOT EXISTS / scalar-in-HAVING -- the Catalyst decorrelation
+surface beyond queries_surface3's scalar + LATERAL), the deterministic
+sampling suite (bottom-k reservoir, per-group caps, hash split), a
+corpus n-gram frequency profile, and triangle counting over a
+co-occurrence graph.
+
+Portability discipline as everywhere else: money compared in integer
+cents, ties broken by explicit id columns, md5-hash sampling identical
+on both engines, no floating aggregates whose value depends on sum
+order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.sampling import (
+    bottom_k_sample,
+    group_bottom_k,
+    hash_split,
+)
+from ..sources.tables import load_table, register_views
+
+QUERIES: dict = {}
+ORACLES: dict[str, str] = {}
+
+
+def _q(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLES[name] = sql
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q11 shape: scalar subquery in HAVING (uncorrelated). Integer
+# cents on BOTH sides of the comparison (share threshold expressed as
+# *25 instead of >0.04* so the predicate never touches a float).
+# ---------------------------------------------------------------------------
+
+_Q11_SQL = """
+SELECT p.p_brand AS brand,
+       CAST(sum(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
+FROM part p JOIN lineitem l ON p.p_partkey = l.l_partkey
+GROUP BY p.p_brand
+HAVING sum(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)) * 25 >
+  (SELECT sum(CAST(round(l2.l_extendedprice * 100, 0) AS BIGINT))
+   FROM lineitem l2)
+"""
+
+
+@_q("sql_api_q11ish", _Q11_SQL)
+def sql_api_q11ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brands holding >4% of total revenue -- Q11's "important stock"
+    shape. Catalyst evaluates the uncorrelated scalar subquery once
+    (one extra job) and folds it into the HAVING filter; the main agg
+    is a single hash-partitioned shuffle on p_brand."""
+    register_views(spark, sf_dir)
+    return spark.sql(_Q11_SQL)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q21 shape: EXISTS + NOT EXISTS, both correlated on the outer
+# row's order AND comparing against the outer row's shipdate.
+# Decorrelates into a left-semi and a left-anti join.
+# ---------------------------------------------------------------------------
+
+_Q21_SQL = """
+SELECT s.s_name AS supp_name, CAST(count(*) AS BIGINT) AS numwait
+FROM supplier s
+JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+JOIN orders o ON o.o_orderkey = l1.l_orderkey
+WHERE o.o_orderstatus = 'F'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > l1.l_shipdate)
+GROUP BY s.s_name
+ORDER BY numwait DESC, s.s_name
+LIMIT 50
+"""
+
+
+@_q("sql_api_q21ish", _Q21_SQL)
+def sql_api_q21ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers who shipped the strictly-last line of multi-supplier
+    finished orders (Q21's "kept the order waiting" shape, adapted to
+    the fixture's shipdate column). Two correlated existentials over
+    the same fact table; Catalyst turns them into semi/anti joins keyed
+    on l_orderkey -- the same shuffle key as the main join, so AQE can
+    coalesce the exchanges. Date comparisons are exact (no floats)."""
+    register_views(spark, sf_dir)
+    return spark.sql(_Q21_SQL)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q22 shape: NOT EXISTS anti join + uncorrelated scalar
+# subqueries. The above-average-balance predicate is integer-exact:
+# bal_cents * count(positive) > sum(positive cents) avoids a float avg
+# whose value could depend on accumulation order.
+# ---------------------------------------------------------------------------
+
+_Q22_SQL = """
+WITH pos AS (
+  SELECT CAST(round(c_acctbal * 100, 0) AS BIGINT) AS bal_cents
+  FROM customer WHERE c_acctbal > 0.0
+)
+SELECT c.c_mktsegment AS segment,
+       CAST(count(*) AS BIGINT) AS numcust,
+       CAST(sum(CAST(round(c.c_acctbal * 100, 0) AS BIGINT)) AS BIGINT)
+         AS totbal_cents
+FROM customer c
+WHERE CAST(round(c.c_acctbal * 100, 0) AS BIGINT) * (SELECT count(*) FROM pos)
+      > (SELECT sum(bal_cents) FROM pos)
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderstatus = 'O')
+GROUP BY c.c_mktsegment
+"""
+
+
+@_q("sql_api_q22ish", _Q22_SQL)
+def sql_api_q22ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Well-funded customers with no OPEN orders (Q22 without the
+    phone prefixes the fixture lacks): CTE + two uncorrelated scalar
+    subqueries + NOT EXISTS. The anti join broadcasts orders' custkey
+    projection when small; at scale it degrades to a shuffled
+    left-anti on o_custkey."""
+    register_views(spark, sf_dir)
+    return spark.sql(_Q22_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Sampling suite (operators/sampling.py). All hash-deterministic,
+# hence exactly oracle-checkable -- see the module docstring for the
+# 100 TB argument per shape.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "sample_bottomk",
+    """
+SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+       CAST(n_chars AS BIGINT) AS n_chars
+FROM documents
+ORDER BY md5('rsv:' || CAST(doc_id AS VARCHAR)), doc_id
+LIMIT 100
+""",
+)
+def sample_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-100 uniform document sample via bottom-k on a salted
+    hash -- the deterministic reservoir. TakeOrderedAndProject: per-
+    partition k-heaps, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return bottom_k_sample(docs, "doc_id", 100, salt="rsv").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "source",
+        F.col("n_chars").cast("long").alias("n_chars"),
+    )
+
+
+@_q(
+    "sample_group_bottomk",
+    """
+SELECT doc_id, source, rn FROM (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+         CAST(row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5('grp:' || CAST(doc_id AS VARCHAR)), doc_id
+         ) AS BIGINT) AS rn
+  FROM documents) t
+WHERE rn <= 10
+""",
+)
+def sample_group_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source cap: a uniform 10-document sample from every source
+    (the per-domain cap of a web-corpus mix, made reproducible). One
+    shuffle on source; rank exposed so downstream can take nested
+    prefixes (rn<=5 is a uniform 5-sample of the same draw)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return group_bottom_k(docs, "source", "doc_id", 10, salt="grp").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "source", "rn"
+    )
+
+
+@_q(
+    "split_train_valid_test",
+    """
+SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+  CASE WHEN pct < 80 THEN 'train' WHEN pct < 90 THEN 'valid'
+       ELSE 'test' END AS split
+FROM (SELECT doc_id, source,
+        CAST(concat('0x', substr(md5('split:' || CAST(doc_id AS VARCHAR)),
+                                 1, 8)) AS BIGINT) % 100 AS pct
+      FROM documents) t
+""",
+)
+def split_train_valid_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 split assignment -- a pure projection
+    (no shuffle, no RNG state) that survives resharding and engine
+    swaps, unlike randomSplit whose assignment is partitioning-
+    dependent."""
+    docs = load_table(spark, sf_dir, "documents")
+    return hash_split(docs, "doc_id", salt="split").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "source", "split"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus n-gram profile: top word-trigrams (boilerplate detection /
+# contamination analysis input). Narrow explode + one agg shuffle;
+# rank-20 boundary ties broken by the gram string itself.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "text_ngram_topk",
+    """
+SELECT gram, CAST(count(*) AS BIGINT) AS n
+FROM (
+  SELECT unnest(list_transform(range(1, len(w) - 1),
+                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS gram
+  FROM (SELECT string_split(text, ' ') AS w FROM documents) s
+  WHERE len(w) >= 3
+) g
+GROUP BY gram ORDER BY n DESC, gram LIMIT 20
+""",
+)
+def text_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 word trigrams across the corpus. The trigram array is
+    built with a HOF over the split -- no UDF, fully codegen'd -- then
+    exploded into one partial-aggregated count (map-side combine makes
+    the shuffle carry distinct grams per partition, not rows)."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    tri = F.when(
+        F.size(w) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - 2),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(w, i),
+                F.element_at(w, i + 1),
+                F.element_at(w, i + 2),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        docs.select(F.explode(tri).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count("*").cast("long").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("gram").asc())
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting over the part co-purchase graph (parts appearing
+# in the same order). The oracle counts id-ordered closed wedges; the
+# Spark operator uses degree orientation (operators/graph.py) -- same
+# count, O(m^1.5) bound instead of sum(deg^2).
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "graph_triangle_count",
+    """
+WITH e AS (
+  SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS u,
+                  greatest(a.l_partkey, b.l_partkey) AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+)
+SELECT CAST(count(*) AS BIGINT) AS n_triangles
+FROM e e1 JOIN e e2 ON e2.u = e1.v JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+""",
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangles in the co-purchase graph -- the clustering-coefficient
+    numerator used to characterize near-dup graphs before choosing a
+    clustering strategy (dense pockets favor CC, sparse favor pair
+    review)."""
+    from ..operators.graph import triangle_count
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select("l_orderkey", F.col("l_partkey").alias("u"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("v"))
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("u") != F.col("v"))
+        .select("u", "v")
+    )
+    return triangle_count(edges, "u", "v")

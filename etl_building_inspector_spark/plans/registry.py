@@ -24,6 +24,7 @@ from . import (
     queries_surface,
     queries_surface2,
     queries_surface3,
+    queries_surface4,
 )
 
 QUERIES: dict = {}
@@ -51,6 +52,7 @@ for mod in (
     queries_surface,
     queries_surface2,
     queries_surface3,
+    queries_surface4,
 ):
     QUERIES.update({k: _released(v) for k, v in mod.QUERIES.items()})
     ORACLES.update(mod.ORACLES)

@@ -141,3 +141,36 @@ def test_salted_agg_two_exchanges_only(spark, sf_dir):
     final key exchange -- a third shuffle means the rewrite regressed."""
     plan = _executed(spark, "agg_skew_salted", sf_dir)
     assert plan.count("Exchange") == 2
+
+
+def test_bottom_k_sample_is_take_ordered(spark, sf_dir):
+    """Bottom-k sampling must compile to TakeOrderedAndProject (per-
+    partition k-heaps merged on the driver) -- a global Sort would be
+    a full shuffle of the corpus for 100 rows."""
+    plan = _executed(spark, "sample_bottomk", sf_dir)
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_hash_split_no_shuffle(spark, sf_dir):
+    """Split assignment is a pure projection: zero exchanges, no UDF."""
+    plan = _executed(spark, "split_train_valid_test", sf_dir)
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_triangle_count_equi_joins_only(spark, sf_dir):
+    """Every join in the triangle pipeline is an equi-join on node ids;
+    a nested-loop or cartesian means the orientation rewrite broke."""
+    plan = _executed(spark, "graph_triangle_count", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_ngram_topk_partial_agg(spark, sf_dir):
+    """The trigram count must partial-aggregate before its single
+    exchange (map-side combine) and stay JVM-side (HOF, no UDF)."""
+    plan = _executed(spark, "text_ngram_topk", sf_dir)
+    assert "partial_count" in plan or "HashAggregate" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
