@@ -87,6 +87,60 @@ def scd2_foreach_batch(dim_dir: str, key: str, ts_col: str = "__effective"):
     return apply_batch
 
 
+def pointintime_enrich_foreach_batch(
+    dim_dir: str, key: str, ts_col: str, out_dir: str
+):
+    """Stream enrichment against a SLOWLY CHANGING dimension with
+    point-in-time correctness (the feature-store as-of join).
+
+    Structured Streaming's stream-static join plans the static side
+    ONCE at query start — a dim updated mid-stream is silently stale.
+    This foreachBatch re-resolves the `_LATEST` SCD2 snapshot every
+    micro-batch, then joins each event to the dim VERSION VALID AT THE
+    EVENT'S OWN TIMESTAMP (key equality + valid_from <= ts < valid_to
+    over the full version history), not the version current at
+    processing time. That asymmetry is what prevents label leakage in
+    training pipelines: a late-arriving event enriches with the
+    attributes the entity had when the event happened, even if the dim
+    has changed since.
+
+    Scale: the dim (with history) broadcasts; the range predicate is a
+    post-filter on the key-equi broadcast hash join, so per batch the
+    cost is one narrow pass over the batch. Output partitions by
+    epoch and overwrites its own epoch dir — idempotent re-delivery,
+    same recipe as the SCD2 writer.
+    """
+
+    def apply_batch(batch: DataFrame, epoch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        spark = batch.sparkSession
+        dim = read_dim(spark, dim_dir)
+        attrs = [
+            c
+            for c in dim.columns
+            if c not in (key, "valid_from", "valid_to", "is_current")
+        ]
+        b, d = batch.alias("b"), dim.alias("d")
+        cond = (
+            (F.col(f"b.{ts_col}") >= F.coalesce(
+                F.col("d.valid_from"), F.lit("1970-01-01").cast("timestamp")
+            ))
+            & (
+                F.col("d.valid_to").isNull()
+                | (F.col(f"b.{ts_col}") < F.col("d.valid_to"))
+            )
+        )
+        enriched = b.join(
+            F.broadcast(d), (F.col(f"b.{key}") == F.col(f"d.{key}")) & cond, "left"
+        ).select("b.*", *[F.col(f"d.{c}").alias(c) for c in attrs])
+        enriched.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"epoch={epoch_id}")
+        )
+
+    return apply_batch
+
+
 def _commit_pointer(dim_dir: str, version: int, epoch: int) -> None:
     ptr = os.path.join(dim_dir, "_LATEST")
     tmp = ptr + ".tmp"

@@ -388,3 +388,58 @@ def test_scd2_streaming_cdc(spark, tmp_path_factory):
     batch1 = spark.read.parquet(src).limit(1)
     fb(batch1, 0)  # epoch 0 already committed
     assert latest_version(dim_dir) == v_before
+
+
+def test_pointintime_enrich_slowly_changing_dim(spark, tmp_path_factory):
+    """Streaming enrichment against a dim that changes MID-STREAM must
+    be point-in-time correct: each event joins the dim version valid at
+    its own event time, and batches after the dim update see the new
+    version only for events timestamped after the change."""
+    import datetime as dt
+
+    from etl_building_inspector_spark.streaming.cdc import (
+        init_dim,
+        pointintime_enrich_foreach_batch,
+        scd2_foreach_batch,
+    )
+
+    dim_dir = str(tmp_path_factory.mktemp("ptdim"))
+    src = str(tmp_path_factory.mktemp("pt_events"))
+    out = str(tmp_path_factory.mktemp("pt_out"))
+    init_dim(
+        spark.createDataFrame([(1, "bronze"), (2, "gold")], "k long, tier string"),
+        dim_dir,
+    )
+    t1 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    t2 = dt.datetime(2024, 1, 1, 11, 0, 0)
+    t3 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    schema = "event_id long, k long, ts timestamp"
+
+    def write_events(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    write_events([(100, 1, t1), (101, 2, t1)])
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = stream.writeStream.foreachBatch(
+        pointintime_enrich_foreach_batch(dim_dir, "k", "ts", out)
+    ).start()
+    try:
+        q.processAllAvailable()
+        # dim changes at t2: user 1 bronze -> silver
+        upd = spark.createDataFrame([(1, "silver", t2)],
+                                    "k long, tier string, __effective timestamp")
+        scd2_foreach_batch(dim_dir, "k")(upd, 0)
+        # batch 2 carries one event BEFORE the change and one after
+        write_events([(102, 1, t1), (103, 1, t3), (104, 9, t3)])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    rows = {r.event_id: r.tier for r in spark.read.parquet(out + "/epoch=*").collect()}
+    assert rows[100] == "bronze"  # enriched before the change
+    assert rows[101] == "gold"
+    assert rows[102] == "bronze"  # late event: version valid at t1, not current
+    assert rows[103] == "silver"  # post-change event gets the new version
+    assert rows[104] is None  # unknown key survives (left join)
