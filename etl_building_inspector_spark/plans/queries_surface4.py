@@ -300,3 +300,130 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("u", "v")
     )
     return triangle_count(edges, "u", "v")
+
+
+# ---------------------------------------------------------------------------
+# Importance (weighted Bernoulli) sampling: per-row keep probability
+# proportional to document length, decided by the same u32 hash as the
+# uniform samplers. The comparison is cross-multiplied into pure
+# integer arithmetic (u32 * 600 < n_chars * 2^32) so both engines
+# evaluate it exactly.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "sample_weighted",
+    """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(n_chars AS BIGINT) AS n_chars
+FROM documents
+WHERE CAST(concat('0x', substr(md5('wsam:' || CAST(doc_id AS VARCHAR)),
+                               1, 8)) AS BIGINT) * 600
+      < CAST(n_chars AS BIGINT) * 4294967296
+""",
+)
+def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-proportional importance sampling (keep probability
+    n_chars/600, capped at 1 implicitly since n_chars <= 553 here) --
+    the quality-weighted downsampling step of a curation mix, made
+    hash-deterministic so the draw is reproducible and oracle-exact.
+    Narrow filter: no shuffle, no RNG state."""
+    from ..operators.sampling import sample_hash_u32
+
+    docs = load_table(spark, sf_dir, "documents")
+    keep = sample_hash_u32("doc_id", "wsam") * 600 < F.col("n_chars").cast(
+        "long"
+    ) * F.lit(4294967296).cast("long")
+    return docs.filter(keep).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Token-budget fill: per source, admit documents in quality order until
+# the source's token budget is spent. One running-sum window per
+# source; integer token estimates so the cut is exact.
+# ---------------------------------------------------------------------------
+
+_BUDGET_SQL = """
+SELECT doc_id, source, est_tokens, cum_tokens
+FROM (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+         CAST((n_chars + 3) // 4 AS BIGINT) AS est_tokens,
+         CAST(sum((n_chars + 3) // 4) OVER (
+           PARTITION BY source
+           ORDER BY n_chars DESC, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS BIGINT) AS cum_tokens
+  FROM documents) t
+WHERE cum_tokens <= 1500
+"""
+
+
+@_q("budget_fill_by_quality", _BUDGET_SQL)
+def budget_fill_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill a 1500-token budget per source, admitting longer (proxy:
+    higher-quality) documents first. The running sum is a single
+    window over (source) -- one hash shuffle; each group sorts only
+    its own rows. At 100 TB the per-source sort is the cost -- bounded
+    by the largest source, and AQE splits skewed sources' sort spills,
+    not the whole corpus."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    est = ((F.col("n_chars").cast("long") + 3) / 4).cast("long")
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.col("n_chars").desc(), F.col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    staged = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "source",
+        est.alias("est_tokens"),
+        F.sum(est).over(w).cast("long").alias("cum_tokens"),
+    )
+    return staged.filter(F.col("cum_tokens") <= 1500)
+
+
+# ---------------------------------------------------------------------------
+# Width-bucket histogram of order values: integer cents // width. The
+# aggregation-side twin of window_distribution's rank view.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "agg_histogram",
+    """
+SELECT bucket,
+       CAST(bucket * 500 AS BIGINT) AS lo_dollars,
+       CAST((bucket + 1) * 500 AS BIGINT) AS hi_dollars,
+       CAST(count(*) AS BIGINT) AS n
+FROM (SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT) // 50000 AS bucket
+      FROM orders) t
+GROUP BY bucket
+ORDER BY bucket
+""",
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram ($500 buckets) of order totals -- the
+    profiling primitive behind length/quality distribution reports.
+    Integer cents then integer division: exact on both engines; one
+    partial-aggregated shuffle on the bucket id."""
+    o = load_table(spark, sf_dir, "orders")
+    bucket = F.floor(
+        F.round(F.col("o_totalprice") * 100, 0).cast("long") / 50000
+    ).cast("long")
+    return (
+        o.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").cast("long").alias("n"))
+        .select(
+            "bucket",
+            (F.col("bucket") * 500).cast("long").alias("lo_dollars"),
+            ((F.col("bucket") + 1) * 500).cast("long").alias("hi_dollars"),
+            "n",
+        )
+        .orderBy("bucket")
+    )
