@@ -92,6 +92,81 @@ def triangle_count(edges: DataFrame, src: str = "u", dst: str = "v") -> DataFram
     return closed.agg(F.count("*").cast("long").alias("n_triangles"))
 
 
+def pagerank_integer(
+    edges: DataFrame,
+    src: str = "s",
+    dst: str = "d",
+    iterations: int = 5,
+    scale: int = 10**12,
+) -> DataFrame:
+    """PageRank with fixed-point INTEGER arithmetic: every rank is a
+    bigint in units of 1/scale, every contribution is an integer
+    division. Integer addition is associative, so the result is
+    bit-identical regardless of partitioning, summation order, or
+    engine -- which makes an iterative float-ish algorithm exactly
+    oracle-checkable (the DuckDB twin unrolls the same iterations).
+
+    r_0(v)    = scale // n
+    r_{t+1}(v)= base + sum_{u->v} (85 * r_t(u)) div (100 * outdeg(u))
+    base      = (15 * (scale // n)) // 100
+
+    Dangling nodes (outdeg 0) leak their mass -- documented deviation
+    from the stochastic-matrix formulation; fine for relative ranking.
+
+    Scale shape: per iteration one equi-join of ranks onto edges
+    (shuffle keyed on src, or map-side if edges are pre-partitioned by
+    src and reused across iterations -- the persisted edge set keeps
+    its partitioning) plus one partial-aggregated shuffle on dst.
+    localCheckpoint per round truncates the 5-deep lineage; superseded
+    rounds' blocks are freed. n and base are scalar driver values
+    (one count action), not per-row state.
+    """
+    e = (
+        edges.select(
+            F.col(src).cast("long").alias("s"), F.col(dst).cast("long").alias("d")
+        )
+        .filter(F.col("s") != F.col("d"))
+        .distinct()
+    )
+    e = track_persist(e)
+    nodes = (
+        e.select(F.col("s").alias("node"))
+        .unionByName(e.select(F.col("d").alias("node")))
+        .distinct()
+    )
+    nodes = track_persist(nodes)
+    outdeg = e.groupBy("s").agg(F.count("*").alias("od"))
+    outdeg = track_persist(outdeg)
+    n = nodes.count()
+    r0 = scale // n
+    base = (15 * r0) // 100
+    ranks = track_local_checkpoint(
+        nodes.withColumn("r", F.lit(r0).cast("long"))
+    )
+    for _ in range(iterations):
+        contrib = (
+            e.join(ranks, e["s"] == ranks["node"])
+            .join(outdeg, "s")
+            .select(
+                F.col("d").alias("node"),
+                F.expr("(85 * r) div (100 * od)").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("c"))
+        )
+        nxt = track_local_checkpoint(
+            nodes.join(contrib, "node", "left").select(
+                "node",
+                (F.lit(base) + F.coalesce(F.col("c"), F.lit(0)))
+                .cast("long")
+                .alias("r"),
+            )
+        )
+        free_local_checkpoint(ranks)
+        ranks = nxt
+    return ranks
+
+
 def bfs_hops(
     edges: DataFrame,
     seeds: DataFrame,

@@ -427,3 +427,110 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# Integer-arithmetic PageRank over the symmetrized co-purchase graph.
+# Fixed-point bigint ranks make the ITERATIVE algorithm exactly
+# oracle-checkable: integer adds are associative, so partitioning and
+# summation order cannot perturb the result. The DuckDB twin unrolls
+# the same four iterations as chained CTEs (recursive CTEs disallow
+# aggregation in the recursive term).
+# ---------------------------------------------------------------------------
+
+_PR_SCALE = 10**12
+_PR_ITER = 4
+
+
+def _pagerank_sql(iterations: int = _PR_ITER, scale: int = _PR_SCALE) -> str:
+    r0 = f"({scale} // (SELECT count(*) FROM nodes))"
+    parts = [
+        f"""
+WITH e0 AS (
+  SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS u,
+                  greatest(a.l_partkey, b.l_partkey) AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+),
+e AS (SELECT u AS s, v AS d FROM e0 UNION ALL SELECT v AS s, u AS d FROM e0),
+nodes AS (SELECT DISTINCT s AS node FROM e),
+outdeg AS (SELECT s, count(*) AS od FROM e GROUP BY s),
+pr0 AS (SELECT node, {r0} AS r FROM nodes)"""
+    ]
+    for k in range(1, iterations + 1):
+        parts.append(
+            f""",
+pr{k} AS (
+  SELECT n.node,
+         CAST((15 * {r0}) // 100 + COALESCE(c.csum, 0) AS BIGINT) AS r
+  FROM nodes n LEFT JOIN (
+    SELECT e.d AS node, sum((85 * p.r) // (100 * o.od)) AS csum
+    FROM e JOIN pr{k - 1} p ON e.s = p.node JOIN outdeg o ON o.s = e.s
+    GROUP BY e.d) c ON n.node = c.node)"""
+        )
+    parts.append(
+        f"""
+SELECT CAST(node AS BIGINT) AS node, CAST(r AS BIGINT) AS rank_scaled
+FROM pr{iterations}"""
+    )
+    return "".join(parts)
+
+
+def _copurchase_sym_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select("l_orderkey", F.col("l_partkey").alias("u"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("v"))
+    e0 = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+    )
+    return e0.select(F.col("u").alias("s"), F.col("v").alias("d")).unionByName(
+        e0.select(F.col("v").alias("s"), F.col("u").alias("d"))
+    )
+
+
+@_q("graph_pagerank", _pagerank_sql())
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Four fixed-point PageRank iterations over part co-purchases --
+    the relevance prior of a near-dup/citation graph. See
+    operators/graph.pagerank_integer for the determinism and shuffle
+    story."""
+    from ..operators.graph import pagerank_integer
+
+    e = _copurchase_sym_edges(spark, sf_dir)
+    out = pagerank_integer(e, "s", "d", iterations=_PR_ITER, scale=_PR_SCALE)
+    return out.select(
+        F.col("node").cast("long").alias("node"),
+        F.col("r").cast("long").alias("rank_scaled"),
+    )
+
+
+@_q(
+    "graph_degree_distribution",
+    """
+WITH e0 AS (
+  SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS u,
+                  greatest(a.l_partkey, b.l_partkey) AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+),
+e AS (SELECT u AS s FROM e0 UNION ALL SELECT v AS s FROM e0)
+SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes
+FROM (SELECT s, CAST(count(*) AS BIGINT) AS degree FROM e GROUP BY s) t
+GROUP BY degree ORDER BY degree
+""",
+)
+def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree histogram of the co-purchase graph -- the profile that
+    decides hot-key caps and skew strategy before running pair
+    generation (a power-law tail here predicts LSH bucket blowups).
+    Two partial-aggregated shuffles, both on small keys."""
+    e = _copurchase_sym_edges(spark, sf_dir)
+    deg = e.groupBy("s").agg(F.count("*").cast("long").alias("degree"))
+    return (
+        deg.groupBy("degree")
+        .agg(F.count("*").cast("long").alias("n_nodes"))
+        .orderBy("degree")
+    )
