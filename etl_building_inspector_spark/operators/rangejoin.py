@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.timeutil import epoch_micros
+
 
 def range_join_bucketed(
     left: DataFrame,
@@ -30,18 +32,23 @@ def range_join_bucketed(
 ) -> DataFrame:
     """Inner range join on |left_key - right_key| <= window_seconds
     (timestamp columns). `extra_cond` appends additional join
-    predicates (evaluated with the exact filter)."""
-    w = float(window_seconds)
-    lb = F.floor(left[left_key].cast("double") / w)
-    rb = F.floor(right[right_key].cast("double") / w)
+    predicates (evaluated with the exact filter).
+
+    Bucketing and the exact filter both run on integer epoch MICROS
+    (epoch_micros handles TIMESTAMP and TIMESTAMP_NTZ): a double-typed
+    comparison would wobble on sub-second fractions right at the window
+    boundary and disagree with the integer-precision oracle."""
+    w_us = int(round(float(window_seconds) * 1_000_000))
+    lb = F.floor(epoch_micros(left[left_key]) / F.lit(w_us))
+    rb = F.floor(epoch_micros(right[right_key]) / F.lit(w_us))
     lefts = left.withColumn(
         "__rb", F.explode(F.array(lb - 1, lb, lb + 1))
     )
     rights = right.withColumn("__rb", rb)
     joined = lefts.join(rights, "__rb", "inner")
     exact = (
-        F.abs(left[left_key].cast("double") - right[right_key].cast("double"))
-        <= w
+        F.abs(epoch_micros(left[left_key]) - epoch_micros(right[right_key]))
+        <= F.lit(w_us)
     )
     if extra_cond is not None:
         exact = exact & extra_cond

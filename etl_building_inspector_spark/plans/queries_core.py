@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.timeutil import epoch_micros
 from ..operators.dedup import keep_first
 from ..operators.joins import broadcast_lookup_join, left_join_with_log
 from ..sources.tables import load_table
@@ -762,7 +763,7 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(
             F.lag("ts").over(w).isNull()
             | (
-                F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+                epoch_micros(F.col("ts")) - epoch_micros(F.lag("ts").over(w))
                 > 30 * 60 * 1_000_000
             ),
             1,

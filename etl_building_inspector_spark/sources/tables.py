@@ -67,8 +67,19 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
 #    pushdown work the same way.
 
 _FORMAT_OPTS: dict[str, dict[str, str]] = {
-    "csv": {"header": "true", "timestampFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"},
-    "json": {"timestampFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"},
+    # timestampFormat governs TIMESTAMP; TIMESTAMP_NTZ columns read the
+    # separate timestampNTZFormat option — without it NTZ falls back to
+    # the [.SSS] default and silently truncates micros to millis on the
+    # text round trip (events.ts is NTZ with real microsecond fractions).
+    "csv": {
+        "header": "true",
+        "timestampFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSS",
+        "timestampNTZFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSS",
+    },
+    "json": {
+        "timestampFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSS",
+        "timestampNTZFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSS",
+    },
     "orc": {},
     "parquet": {},
 }
