@@ -1,0 +1,517 @@
+"""Fifth surface batch: event-analytics and table-maintenance shapes a
+production warehouse runs daily -- multi-stage funnels, cohort
+retention, gaps-and-islands streaks, a window-based (not O(n^2))
+skyline, event-path mining, last-touch attribution, small-file
+compaction planning, and exact distributed medians.
+
+Scale notes are per-query; the recurring themes:
+  * everything is one or two hash shuffles on a user/group key --
+    no self-joins, no nested-loop joins, no collects;
+  * the skyline uses the sort+running-max formulation instead of the
+    textbook dominance anti-join (which is a BroadcastNestedLoop);
+  * money stays in integer cents end-to-end so the value hash is
+    engine-portable (same discipline as queries_surface.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.timeutil import epoch_micros
+from ..sources.tables import load_table
+
+QUERIES: dict = {}
+ORACLES: dict[str, str] = {}
+
+
+def _q(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLES[name] = sql
+        return fn
+
+    return deco
+
+
+_CENTS = "CAST(round(%s * 100, 0) AS BIGINT)"
+
+
+# ---------------------------------------------------------------------------
+# Ordered multi-stage funnel: signup -> view -> click -> purchase,
+# each stage's timestamp strictly after the previous stage's FIRST
+# occurrence. Four per-user min-aggregates chained by joins; every
+# join key is user_id, so with pre-partitioned input this is ONE
+# shuffle reused across all four stages (Catalyst reuses the exchange;
+# at cluster scale the events table would be bucketed by user_id).
+# ---------------------------------------------------------------------------
+
+_FUNNEL_SQL = """
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, min(e.ts) AS t FROM events e
+  JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'view' AND e.ts > s1.t GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, min(e.ts) AS t FROM events e
+  JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = 'click' AND e.ts > s2.t GROUP BY e.user_id
+),
+s4 AS (
+  SELECT e.user_id, min(e.ts) AS t FROM events e
+  JOIN s3 ON e.user_id = s3.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s3.t GROUP BY e.user_id
+)
+SELECT * FROM (
+  SELECT 1 AS stage_order, 'signup' AS stage,
+         CAST(count(*) AS BIGINT) AS users FROM s1
+  UNION ALL
+  SELECT 2, 'view', CAST(count(*) AS BIGINT) FROM s2
+  UNION ALL
+  SELECT 3, 'click', CAST(count(*) AS BIGINT) FROM s3
+  UNION ALL
+  SELECT 4, 'purchase', CAST(count(*) AS BIGINT) FROM s4
+)
+"""
+
+
+@_q("funnel_stages", _FUNNEL_SQL)
+def funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+
+    def stage_after(prev: DataFrame, etype: str) -> DataFrame:
+        # first occurrence of `etype` strictly after the user's
+        # previous-stage timestamp
+        return (
+            events.where(F.col("event_type") == etype)
+            .join(prev, "user_id")
+            .where(F.col("ts") > F.col("t"))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias("t2"))
+            .select("user_id", F.col("t2").alias("t"))
+        )
+
+    s1 = (
+        events.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t"))
+    )
+    s2 = stage_after(s1, "view")
+    s3 = stage_after(s2, "click")
+    s4 = stage_after(s3, "purchase")
+
+    def count_stage(df: DataFrame, order: int, name: str) -> DataFrame:
+        return df.agg(
+            F.lit(order).alias("stage_order"),
+            F.lit(name).alias("stage"),
+            F.count("*").alias("users"),
+        )
+
+    return (
+        count_stage(s1, 1, "signup")
+        .unionAll(count_stage(s2, 2, "view"))
+        .unionAll(count_stage(s3, 3, "click"))
+        .unionAll(count_stage(s4, 4, "purchase"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention: cohort = month of a customer's first order;
+# count distinct customers active at each month offset. Month
+# arithmetic in integer (year*12 + month) so both engines agree
+# exactly. Two shuffles: first-order agg on custkey, then the
+# (cohort, offset) count -- the first reuses the scan's natural key.
+# ---------------------------------------------------------------------------
+
+_COHORT_SQL = """
+WITH first_order AS (
+  SELECT o_custkey,
+         min(CAST(year(o_orderdate) AS INT) * 12
+             + CAST(month(o_orderdate) AS INT)) AS cohort_m
+  FROM orders GROUP BY o_custkey
+)
+SELECT printf('%04d-%02d', (f.cohort_m - 1) // 12, ((f.cohort_m - 1) % 12) + 1)
+         AS cohort_month,
+       CAST(year(o.o_orderdate) AS INT) * 12
+         + CAST(month(o.o_orderdate) AS INT) - f.cohort_m AS month_offset,
+       CAST(count(DISTINCT o.o_custkey) AS BIGINT) AS customers
+FROM orders o JOIN first_order f ON o.o_custkey = f.o_custkey
+GROUP BY 1, 2
+"""
+
+
+@_q("cohort_retention", _COHORT_SQL)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    month_num = (F.year("o_orderdate") * 12 + F.month("o_orderdate")).cast("int")
+    first = orders.groupBy("o_custkey").agg(F.min(month_num).alias("cohort_m"))
+    cohort_label = F.format_string(
+        "%04d-%02d",
+        ((F.col("cohort_m") - 1) / 12).cast("int"),
+        ((F.col("cohort_m") - 1) % 12 + 1).cast("int"),
+    )
+    return (
+        orders.join(first, "o_custkey")
+        .select(
+            cohort_label.alias("cohort_month"),
+            (month_num - F.col("cohort_m")).alias("month_offset"),
+            "o_custkey",
+        )
+        .groupBy("cohort_month", "month_offset")
+        .agg(F.count_distinct("o_custkey").alias("customers"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gaps-and-islands: consecutive-day activity streaks per user over
+# events. The classic (day - row_number) grouping key turns each
+# maximal run of consecutive dates into one constant -- a pure
+# window + two aggregations, all partitioned by user_id (one
+# shuffle; the window and both groupBys share it).
+# ---------------------------------------------------------------------------
+
+_STREAK_SQL = """
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+),
+isl AS (
+  SELECT user_id, d,
+         d - CAST(row_number() OVER (PARTITION BY user_id ORDER BY d) AS INT)
+           AS grp
+  FROM days
+),
+runs AS (
+  SELECT user_id, grp, CAST(count(*) AS BIGINT) AS len FROM isl
+  GROUP BY user_id, grp
+)
+SELECT user_id, max(len) AS longest_streak,
+       CAST(count(*) AS BIGINT) AS n_islands
+FROM runs GROUP BY user_id
+"""
+
+
+@_q("streaks_gaps_islands", _STREAK_SQL)
+def streaks_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    days = events.select(
+        "user_id", F.to_date("ts").alias("d")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    isl = days.withColumn(
+        "grp", F.date_sub(F.col("d"), F.row_number().over(w))
+    )
+    runs = isl.groupBy("user_id", "grp").agg(F.count("*").alias("len"))
+    return runs.groupBy("user_id").agg(
+        F.max("len").alias("longest_streak"),
+        F.count("*").alias("n_islands"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Skyline (Pareto frontier) of part on (min price, max size) WITHOUT
+# the textbook dominance anti-join: q dominates p iff
+# q.price <= p.price AND q.size >= p.size AND (one strict). The
+# anti-join is a BroadcastNestedLoopJoin -- O(n^2) and exactly the
+# shape the 100 TB brief bans. Sort-based reformulation: p is
+# dominated iff  max(size | price' < price) >= size  OR
+#                max(size | price' = price) > size.
+# Two-phase so nothing global touches the full table: (1) hash-agg
+# max(size) per DISTINCT price (shuffle on price_cents, map-side
+# combine); (2) running max over the distinct-price aggregate only --
+# the single-partition window sees |distinct prices| rows (bounded by
+# the cents domain, ~1e6, regardless of table size); (3) hash join
+# the per-price verdicts back. O(n) + O(p log p), no n^2 anywhere.
+# ---------------------------------------------------------------------------
+
+_SKYLINE_SQL = f"""
+WITH pts AS (
+  SELECT p_partkey, {_CENTS % 'p_retailprice'} AS price_cents,
+         CAST(p_size AS INT) AS size FROM part
+),
+per_price AS (
+  SELECT price_cents, max(size) AS best_same FROM pts GROUP BY price_cents
+),
+verdicts AS (
+  SELECT price_cents, best_same,
+         max(best_same) OVER (ORDER BY price_cents
+                              RANGE BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING) AS best_cheaper
+  FROM per_price
+)
+SELECT p.p_partkey, p.price_cents, p.size
+FROM pts p JOIN verdicts v ON p.price_cents = v.price_cents
+WHERE (v.best_cheaper IS NULL OR v.best_cheaper < p.size)
+  AND v.best_same <= p.size
+"""
+
+
+@_q("skyline_price_size", _SKYLINE_SQL)
+def skyline_price_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    pts = part.select(
+        "p_partkey",
+        F.round(F.col("p_retailprice") * 100, 0).cast("long").alias("price_cents"),
+        F.col("p_size").cast("int").alias("size"),
+    )
+    per_price = pts.groupBy("price_cents").agg(F.max("size").alias("best_same"))
+    w_cheaper = (
+        Window.orderBy("price_cents")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    verdicts = per_price.select(
+        "price_cents",
+        "best_same",
+        F.max("best_same").over(w_cheaper).alias("best_cheaper"),
+    )
+    return (
+        pts.join(verdicts, "price_cents")
+        .where(
+            (
+                F.col("best_cheaper").isNull()
+                | (F.col("best_cheaper") < F.col("size"))
+            )
+            & (F.col("best_same") <= F.col("size"))
+        )
+        .select("p_partkey", "price_cents", "size")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Event-path mining: top-10 most frequent 3-event sequences (user
+# journey trigrams). lead() over (user_id, ts, event_id) -- the
+# event_id tiebreak makes the sequence total-ordered and therefore
+# engine-portable. One window shuffle on user_id + one count shuffle
+# on the (tiny) trigram key; the top-10 boundary is made
+# deterministic by ranking on (count DESC, path ASC).
+# ---------------------------------------------------------------------------
+
+_PATH_SQL = """
+WITH seq AS (
+  SELECT user_id, event_type AS e1,
+         lead(event_type, 1) OVER w AS e2,
+         lead(event_type, 2) OVER w AS e3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+paths AS (
+  SELECT e1 || '>' || e2 || '>' || e3 AS path,
+         CAST(count(*) AS BIGINT) AS occurrences
+  FROM seq WHERE e3 IS NOT NULL GROUP BY 1
+)
+SELECT path, occurrences FROM (
+  SELECT path, occurrences,
+         row_number() OVER (ORDER BY occurrences DESC, path) AS rk
+  FROM paths
+) WHERE rk <= 10
+"""
+
+
+@_q("event_path_topk", _PATH_SQL)
+def event_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).where(F.col("e3").isNotNull())
+    paths = seq.groupBy(
+        F.concat_ws(">", "e1", "e2", "e3").alias("path")
+    ).agg(F.count("*").alias("occurrences"))
+    rk = Window.orderBy(F.desc("occurrences"), F.asc("path"))
+    return (
+        paths.withColumn("rk", F.row_number().over(rk))
+        .where(F.col("rk") <= 10)
+        .select("path", "occurrences")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Last-touch attribution: each purchase is credited to the most
+# recent preceding click/view by the same user within 3 days. Two
+# last_value(... IGNORE NULLS) windows over the SAME total order
+# (ts, event_id) -- they stay mutually consistent because the order
+# is unique -- then a filter and a tiny group-by. One shuffle on
+# user_id; no join against a marketing table at all.
+# ---------------------------------------------------------------------------
+
+_ATTR_SQL = """
+WITH tagged AS (
+  SELECT user_id, event_type, ts, value,
+         last_value(CASE WHEN event_type IN ('click','view')
+                         THEN event_type END IGNORE NULLS)
+           OVER w AS last_mkt_type,
+         last_value(CASE WHEN event_type IN ('click','view')
+                         THEN ts END IGNORE NULLS)
+           OVER w AS last_mkt_ts
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+)
+SELECT CASE WHEN last_mkt_ts IS NOT NULL
+             AND epoch_us(ts) - epoch_us(last_mkt_ts) <= 259200000000
+            THEN last_mkt_type ELSE 'unattributed' END AS channel,
+       CAST(count(*) AS BIGINT) AS purchases,
+       CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
+FROM tagged WHERE event_type = 'purchase'
+GROUP BY 1
+"""
+
+
+@_q("attribution_last_touch", _ATTR_SQL)
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_mkt = F.col("event_type").isin("click", "view")
+    tagged = events.select(
+        "event_type",
+        "ts",
+        "value",
+        F.last(F.when(is_mkt, F.col("event_type")), ignorenulls=True)
+        .over(w)
+        .alias("last_mkt_type"),
+        F.last(F.when(is_mkt, F.col("ts")), ignorenulls=True)
+        .over(w)
+        .alias("last_mkt_ts"),
+    )
+    # microsecond epoch comparison on both engines -- cast(ts as long)
+    # truncates to whole seconds and misclassifies sub-second edges
+    in_window = F.col("last_mkt_ts").isNotNull() & (
+        epoch_micros("ts") - epoch_micros("last_mkt_ts")
+        <= 3 * 86400 * 1_000_000
+    )
+    return (
+        tagged.where(F.col("event_type") == "purchase")
+        .groupBy(
+            F.when(in_window, F.col("last_mkt_type"))
+            .otherwise("unattributed")
+            .alias("channel")
+        )
+        .agg(
+            F.count("*").alias("purchases"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias(
+                "revenue_cents"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Small-file compaction planner -- the table-maintenance half of a
+# lakehouse engine. The "file inventory" is simulated as one file per
+# (ship month, ship day): bytes = row count * 100. Within each month
+# partition, files are greedily packed into bins of <= 64 KB by the
+# running-sum rule  bin = floor(cumulative_bytes_before / target) --
+# a single window cumsum, no iterative packing loop, deterministic on
+# both engines. Real usage would read the Delta/Iceberg file manifest
+# instead of the simulated inventory; the plan shape is identical.
+# ---------------------------------------------------------------------------
+
+_COMPACT_SQL = """
+WITH files AS (
+  SELECT strftime(l_shipdate, '%Y-%m') AS part_month,
+         CAST(l_shipdate AS DATE) AS file_day,
+         CAST(count(*) * 100 AS BIGINT) AS bytes
+  FROM lineitem GROUP BY 1, 2
+),
+planned AS (
+  SELECT part_month, bytes,
+         CAST(COALESCE(sum(bytes) OVER (PARTITION BY part_month
+                                        ORDER BY file_day
+                                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND 1 PRECEDING), 0)
+              // 65536 AS BIGINT) AS bin
+  FROM files
+)
+SELECT part_month, bin, CAST(count(*) AS BIGINT) AS files_merged,
+       CAST(sum(bytes) AS BIGINT) AS bin_bytes
+FROM planned GROUP BY part_month, bin
+"""
+
+
+@_q("compaction_bin_plan", _COMPACT_SQL)
+def compaction_bin_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    files = li.groupBy(
+        F.date_format("l_shipdate", "yyyy-MM").alias("part_month"),
+        F.to_date("l_shipdate").alias("file_day"),
+    ).agg((F.count("*") * 100).alias("bytes"))
+    w = (
+        Window.partitionBy("part_month")
+        .orderBy("file_day")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    planned = files.select(
+        "part_month",
+        "bytes",
+        (F.coalesce(F.sum("bytes").over(w), F.lit(0)) / F.lit(65536))
+        .cast("long")
+        .alias("bin"),
+    )
+    return planned.groupBy("part_month", "bin").agg(
+        F.count("*").alias("files_merged"),
+        F.sum("bytes").alias("bin_bytes"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact distributed median per group (vs the approx sketch surface in
+# queries_surface.agg_approx_sketches): rank-based two-middle-rows
+# formulation in integer cents, reported as median*2 so an even-count
+# group never produces a fractional value. Sort happens WITHIN each
+# group partition (window on the group key) -- this is the exact
+# quantile strategy that scales when groups fit a partition; the
+# approx sketch remains the answer when they don't.
+# ---------------------------------------------------------------------------
+
+_MEDIAN_SQL = """
+WITH ranked AS (
+  SELECT o_orderpriority,
+         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY CAST(round(o_totalprice * 100, 0) AS BIGINT),
+                                     o_orderkey) AS rn,
+         count(*) OVER (PARTITION BY o_orderpriority) AS n
+  FROM orders
+)
+SELECT o_orderpriority AS priority,
+       CAST(sum(CASE WHEN rn = (n + 1) // 2 THEN cents ELSE 0 END
+              + CASE WHEN rn = n // 2 + 1 THEN cents ELSE 0 END)
+            AS BIGINT) AS median_cents_x2,
+       CAST(max(n) AS BIGINT) AS n
+FROM ranked GROUP BY o_orderpriority
+"""
+
+
+@_q("median_exact_groups", _MEDIAN_SQL)
+def median_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    wp = Window.partitionBy("o_orderpriority")
+    ranked = orders.select(
+        "o_orderpriority",
+        cents.alias("cents"),
+        F.row_number().over(wp.orderBy(cents, "o_orderkey")).alias("rn"),
+        F.count("*").over(wp).alias("n"),
+    )
+    lo = ((F.col("n") + 1) / 2).cast("long")
+    hi = (F.col("n") / 2).cast("long") + 1
+    return ranked.groupBy(
+        F.col("o_orderpriority").alias("priority")
+    ).agg(
+        F.sum(
+            F.when(F.col("rn") == lo, F.col("cents")).otherwise(0)
+            + F.when(F.col("rn") == hi, F.col("cents")).otherwise(0)
+        ).alias("median_cents_x2"),
+        F.max("n").alias("n"),
+    )

@@ -25,6 +25,7 @@ from . import (
     queries_surface2,
     queries_surface3,
     queries_surface4,
+    queries_surface5,
 )
 
 QUERIES: dict = {}
@@ -53,6 +54,7 @@ for mod in (
     queries_surface2,
     queries_surface3,
     queries_surface4,
+    queries_surface5,
 ):
     QUERIES.update({k: _released(v) for k, v in mod.QUERIES.items()})
     ORACLES.update(mod.ORACLES)
