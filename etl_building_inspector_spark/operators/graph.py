@@ -211,3 +211,75 @@ def bfs_hops(
         visited = new_visited
         frontier = new_visited.filter(F.col("hops") == h)
     return visited
+
+
+def sssp_bounded(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    weight: str = "w",
+    max_hops: int = 3,
+) -> DataFrame:
+    """Single-source (multi-seed) shortest path with integer weights,
+    bounded to paths of <= max_hops edges: Bellman-Ford as a frontier
+    delta iteration. Returns (node, dist) -- the minimum total weight
+    over any qualifying path from any seed; unreachable-within-bound
+    nodes are absent.
+
+    Per round, only nodes IMPROVED last round join the edges (the
+    classic delta optimization): relaxation volume is
+    O(frontier ∂ edges), and the frontier shrinks as distances settle.
+    All shuffles key on node id; integer weights keep min() exact and
+    engine-portable. The hop bound is both the convergence guarantee
+    (negative weights impossible here, but cycles are) and the state
+    bound -- the SSSP twin of bfs_hops' max_hops.
+    """
+    sym = edges.select(
+        F.col(src).cast("long").alias("s"),
+        F.col(dst).cast("long").alias("d"),
+        F.col(weight).cast("long").alias("w"),
+    ).unionByName(
+        edges.select(
+            F.col(dst).cast("long").alias("s"),
+            F.col(src).cast("long").alias("d"),
+            F.col(weight).cast("long").alias("w"),
+        )
+    )
+    sym = track_persist(sym)
+    dist = track_local_checkpoint(
+        seeds.select(F.col(seeds.columns[0]).cast("long").alias("node"))
+        .distinct()
+        .withColumn("dist", F.lit(0).cast("long"))
+    )
+    frontier = dist
+    for _ in range(max_hops):
+        cand = (
+            sym.join(frontier, sym["s"] == frontier["node"])
+            .select(F.col("d").alias("node"), (F.col("dist") + F.col("w")).alias("nd"))
+            .groupBy("node")
+            .agg(F.min("nd").alias("nd"))
+        )
+        merged = track_local_checkpoint(
+            dist.join(cand, "node", "full_outer")
+            .select(
+                "node",
+                F.least(
+                    F.coalesce(F.col("dist"), F.lit(2**62)),
+                    F.coalesce(F.col("nd"), F.lit(2**62)),
+                ).alias("dist"),
+                # improved = candidate strictly beats the settled value
+                (
+                    F.col("nd").isNotNull()
+                    & (F.col("nd") < F.coalesce(F.col("dist"), F.lit(2**62)))
+                ).alias("improved"),
+            )
+        )
+        new_frontier = merged.filter(F.col("improved")).select("node", "dist")
+        if new_frontier.limit(1).count() == 0:
+            free_local_checkpoint(dist)
+            return merged.select("node", "dist")
+        free_local_checkpoint(dist)
+        dist = merged.select("node", "dist")
+        frontier = new_frontier
+    return dist

@@ -1,0 +1,151 @@
+"""Fourth LLM-pipeline batch: corpus n-gram novelty scoring (the
+dedup-adjacent "how much of this doc is first-seen" signal used for
+curriculum ordering / boilerplate triage) and weighted bounded
+shortest paths over the near-dup pair graph (contamination blast
+radius with edge costs, the weighted twin of graph_bfs_hops).
+
+Both reuse the shared normalized-tokenization / LSH-pair CTEs from
+queries_llm so Spark and DuckDB tokenize bit-identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import shingles
+from ..operators.dedup import minhash_lsh_pairs
+from .queries_llm import (
+    _DOCS_WITH_DUPS_SQL,
+    _docs_with_dups,
+    _minhash_lsh_sql,
+    _shingles_sql,
+    _TOKS,
+)
+
+QUERIES: dict = {}
+ORACLES: dict[str, str] = {}
+
+
+def _q(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLES[name] = sql
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# N-gram novelty: for each document, how many of its distinct shingles
+# are FIRST seen in it (i.e. no lower-doc_id document contains them)?
+# Corpus-curation uses this to rank documents by marginal information.
+# Plan: distinct (doc, shingle) pairs -> min(doc_id) per shingle (one
+# hash agg, map-side combine) -> join back on shingle -> count novel
+# vs total per doc. Two shuffles, both on bounded-width keys; no
+# self-join, so no hot-shingle quadratic blowup (the min-agg collapses
+# a w-document shingle to ONE row before the join back).
+# ---------------------------------------------------------------------------
+
+NOVELTY_N = 3
+
+
+_NOVELTY_SQL = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+sh AS (
+  SELECT doc_id, unnest(list_distinct({_shingles_sql("toks", NOVELTY_N)})) AS g
+  FROM t
+),
+first_seen AS (SELECT g, min(doc_id) AS first_doc FROM sh GROUP BY g)
+SELECT CAST(sh.doc_id AS BIGINT) AS doc_id,
+       CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(sum(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_novel
+FROM sh JOIN first_seen f ON sh.g = f.g
+GROUP BY sh.doc_id
+"""
+
+
+@_q("text_ngram_novelty", _NOVELTY_SQL)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(shingles("text", NOVELTY_N))).alias("g"),
+    ).where(F.col("g").isNotNull())
+    first_seen = sh.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        sh.join(first_seen, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            ).alias("n_novel"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Weighted bounded shortest paths over the MinHash-LSH near-dup graph.
+# Edge weight is a deterministic small integer derived from the pair
+# ids (stand-in for a real dissimilarity cost); seeds are the same
+# doc_id % 50 == 0 set as graph_bfs_hops. Bellman-Ford frontier delta
+# iteration (operators/graph.sssp_bounded): per round only IMPROVED
+# nodes join the edges. The oracle replays all <=3-edge walks as a
+# bounded recursive CTE and takes min(total weight) -- exponential in
+# the bound but exact, fine at fixture scale; the Spark side is the
+# one that scales (relaxation keeps one row per node, not per path).
+# ---------------------------------------------------------------------------
+
+SSSP_SEED_MOD = 50
+SSSP_MAX_HOPS = 3
+
+
+def _sssp_sql() -> str:
+    pairs = _minhash_lsh_sql().strip()
+    return f"""
+WITH RECURSIVE {_DOCS_WITH_DUPS_SQL.strip()},
+pairs AS (
+{pairs}
+),
+wedges AS (
+  SELECT id_a, id_b, 1 + (id_a + id_b) % 5 AS w FROM pairs
+),
+sym AS (
+  SELECT id_a AS s, id_b AS d, w FROM wedges
+  UNION ALL
+  SELECT id_b AS s, id_a AS d, w FROM wedges
+),
+seeds AS (SELECT DISTINCT doc_id AS node FROM docs
+          WHERE doc_id % {SSSP_SEED_MOD} = 0),
+walk AS (
+  SELECT node, CAST(0 AS BIGINT) AS dist, 0 AS hops FROM seeds
+  UNION ALL
+  SELECT sym.d AS node, walk.dist + sym.w AS dist, walk.hops + 1 AS hops
+  FROM walk JOIN sym ON sym.s = walk.node
+  WHERE walk.hops < {SSSP_MAX_HOPS}
+)
+SELECT CAST(node AS BIGINT) AS doc_id, CAST(min(dist) AS BIGINT) AS dist
+FROM walk GROUP BY node
+"""
+
+
+@_q("graph_sssp_bounded", _sssp_sql())
+def graph_sssp_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import sssp_bounded
+
+    docs = _docs_with_dups(spark, sf_dir)
+    pairs = minhash_lsh_pairs(docs, "text", "doc_id").select("id_a", "id_b")
+    wedges = pairs.withColumn(
+        "w", 1 + (F.col("id_a") + F.col("id_b")) % 5
+    )
+    seeds = docs.filter(F.col("doc_id") % SSSP_SEED_MOD == 0).select("doc_id")
+    out = sssp_bounded(wedges, seeds, max_hops=SSSP_MAX_HOPS)
+    return out.select(
+        F.col("node").cast("long").alias("doc_id"),
+        F.col("dist").cast("long").alias("dist"),
+    )

@@ -515,3 +515,100 @@ def median_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("median_cents_x2"),
         F.max("n").alias("n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Column profiling (the ANALYZE/data-quality surface): null count and
+# distinct count for every lineitem column, computed in ONE aggregate
+# pass (Catalyst plans multi-distinct via a single expand + partial
+# aggregation) and then unpivoted to a row per column. No per-column
+# scans -- at 100 TB one pass over the table is the entire cost.
+# ---------------------------------------------------------------------------
+
+_PROFILE_COLS = [
+    "l_orderkey",
+    "l_partkey",
+    "l_suppkey",
+    "l_linenumber",
+    "l_returnflag",
+    "l_linestatus",
+]
+
+_PROFILE_SQL = (
+    "SELECT * FROM (\n"
+    + "\nUNION ALL\n".join(
+        f"SELECT '{c}' AS column_name, CAST(count(*) AS BIGINT) AS n_rows,\n"
+        f"  CAST(count(*) - count({c}) AS BIGINT) AS n_nulls,\n"
+        f"  CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct FROM lineitem"
+        for c in _PROFILE_COLS
+    )
+    + "\n)"
+)
+
+
+@_q("profile_columns", _PROFILE_SQL)
+def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = [F.count("*").alias("n_rows")]
+    for c in _PROFILE_COLS:
+        aggs.append(F.count(c).alias(f"nn_{c}"))
+        aggs.append(F.count_distinct(F.col(c)).alias(f"nd_{c}"))
+    one = li.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', nn_{c}, nd_{c}" for c in _PROFILE_COLS
+    )
+    return one.selectExpr(
+        f"stack({len(_PROFILE_COLS)}, {stack_args}) AS "
+        "(column_name, n_notnull, n_distinct)",
+        "n_rows",
+    ).select(
+        "column_name",
+        "n_rows",
+        (F.col("n_rows") - F.col("n_notnull")).alias("n_nulls"),
+        "n_distinct",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental aggregate maintenance: partial aggregates computed
+# separately over a base slice and a delta slice, merged by re-summing
+# the decomposable state (count, sum) -- the batch skeleton of a
+# materialized-view refresh / streaming update. The oracle is the
+# one-shot aggregate over the whole table, proving merge(partials) ==
+# recompute. At scale the base partial is a stored table and only the
+# delta is scanned per refresh.
+# ---------------------------------------------------------------------------
+
+_INC_PIVOT = "1997-01-01"
+
+_INC_SQL = f"""
+SELECT o_orderpriority AS priority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum({_CENTS % 'o_totalprice'}) AS BIGINT) AS revenue_cents
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+@_q("incremental_agg_merge", _INC_SQL)
+def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            F.col("o_orderpriority").alias("priority")
+        ).agg(
+            F.count("*").alias("n_orders"),
+            F.sum(cents).alias("revenue_cents"),
+        )
+
+    base = partial(orders.where(F.col("o_orderdate") < F.lit(_INC_PIVOT)))
+    delta = partial(orders.where(F.col("o_orderdate") >= F.lit(_INC_PIVOT)))
+    return (
+        base.unionByName(delta)
+        .groupBy("priority")
+        .agg(
+            F.sum("n_orders").alias("n_orders"),
+            F.sum("revenue_cents").alias("revenue_cents"),
+        )
+    )

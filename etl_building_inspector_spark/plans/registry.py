@@ -20,6 +20,7 @@ from . import (
     queries_llm,
     queries_llm2,
     queries_llm3,
+    queries_llm4,
     queries_spatial,
     queries_surface,
     queries_surface2,
@@ -49,6 +50,7 @@ for mod in (
     queries_llm,
     queries_llm2,
     queries_llm3,
+    queries_llm4,
     queries_spatial,
     queries_surface,
     queries_surface2,
