@@ -1,0 +1,162 @@
+"""Unit tests for the event-analytics / graph batch beyond the oracle
+conformance suite: hand-built fixtures pin the SEMANTICS (ordering
+constraints, dominance, bin invariants, relaxation correctness) that a
+value-hash against DuckDB can't localize when it breaks."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from etl_building_inspector_spark.operators.graph import sssp_bounded
+from etl_building_inspector_spark.plans.queries_surface5 import (
+    compaction_bin_plan,
+    funnel_stages,
+    skyline_price_size,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+# --- sssp_bounded -----------------------------------------------------------
+
+
+def _edges(spark, rows):
+    return spark.createDataFrame(rows, "id_a long, id_b long, w long")
+
+
+def _seeds(spark, ids):
+    return spark.createDataFrame([(i,) for i in ids], "node long")
+
+
+def test_sssp_prefers_cheaper_two_hop_path(spark):
+    # direct edge 0-2 costs 10; path 0-1-2 costs 2+3=5
+    edges = _edges(spark, [(0, 2, 10), (0, 1, 2), (1, 2, 3)])
+    out = {
+        r["node"]: r["dist"]
+        for r in sssp_bounded(edges, _seeds(spark, [0]), max_hops=3).collect()
+    }
+    assert out == {0: 0, 1: 2, 2: 5}
+
+
+def test_sssp_hop_bound_limits_relaxation(spark):
+    # chain 0-1-2-3, all weight 1; max_hops=2 must not reach node 3
+    edges = _edges(spark, [(0, 1, 1), (1, 2, 1), (2, 3, 1)])
+    out = {
+        r["node"]: r["dist"]
+        for r in sssp_bounded(edges, _seeds(spark, [0]), max_hops=2).collect()
+    }
+    assert out == {0: 0, 1: 1, 2: 2}
+
+
+def test_sssp_unreachable_absent_and_multi_seed_min(spark):
+    # two components; node 9 is isolated from seed 0 but seed 8 covers it
+    edges = _edges(spark, [(0, 1, 4), (8, 9, 1)])
+    out = {
+        r["node"]: r["dist"]
+        for r in sssp_bounded(edges, _seeds(spark, [0, 8]), max_hops=3).collect()
+    }
+    assert out == {0: 0, 1: 4, 8: 0, 9: 1}
+
+
+def test_sssp_undirected_and_early_stop(spark):
+    # early convergence (no improvement after round 1) must still
+    # return settled distances; edges are relaxed in both directions
+    edges = _edges(spark, [(5, 4, 7)])
+    out = {
+        r["node"]: r["dist"]
+        for r in sssp_bounded(edges, _seeds(spark, [4]), max_hops=5).collect()
+    }
+    assert out == {4: 0, 5: 7}
+
+
+# --- skyline ----------------------------------------------------------------
+
+
+def test_skyline_matches_bruteforce(spark):
+    rows = skyline_price_size(spark, SF).collect()
+    pts = [
+        (r["p_partkey"], r["price_cents"], r["size"])
+        for r in spark.read.parquet(f"{SF}/part.parquet")
+        .select(
+            "p_partkey",
+            F.round(F.col("p_retailprice") * 100, 0)
+            .cast("long")
+            .alias("price_cents"),
+            F.col("p_size").cast("int").alias("size"),
+        )
+        .collect()
+    ]
+
+    def dominated(p):
+        return any(
+            q[1] <= p[1] and q[2] >= p[2] and (q[1] < p[1] or q[2] > p[2])
+            for q in pts
+        )
+
+    expect = {p[0] for p in pts if not dominated(p)}
+    assert {r["p_partkey"] for r in rows} == expect
+
+
+def test_skyline_plan_has_no_nested_loop(spark):
+    plan = skyline_price_size(spark, SF)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+# --- funnel ordering semantics ---------------------------------------------
+
+
+def test_funnel_requires_stage_order(spark, tmp_path):
+    # user 1: full ordered funnel; user 2: purchase BEFORE click (the
+    # click stage is reached, purchase must not count); user 3: never
+    # signs up -> appears in no stage.
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ev(i, uid, etype, minutes):
+        return (i, t0 + dt.timedelta(minutes=minutes), uid, etype, 1.0, "{}")
+
+    rows = [
+        ev(1, 1, "signup", 0),
+        ev(2, 1, "view", 1),
+        ev(3, 1, "click", 2),
+        ev(4, 1, "purchase", 3),
+        ev(5, 2, "signup", 0),
+        ev(6, 2, "view", 1),
+        ev(7, 2, "purchase", 2),
+        ev(8, 2, "click", 3),
+        ev(9, 3, "view", 0),
+        ev(10, 3, "purchase", 1),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string",
+    )
+    p = str(tmp_path / "fixture")
+    df.write.parquet(f"{p}/events.parquet")
+    out = {
+        r["stage"]: r["users"] for r in funnel_stages(spark, p).collect()
+    }
+    assert out == {"signup": 2, "view": 2, "click": 2, "purchase": 1}
+
+
+# --- compaction plan invariants ---------------------------------------------
+
+
+def test_compaction_bins_capped_and_contiguous(spark):
+    rows = compaction_bin_plan(spark, SF).collect()
+    by_month: dict[str, list] = {}
+    for r in rows:
+        by_month.setdefault(r["part_month"], []).append(r)
+    for month, bins in by_month.items():
+        ids = sorted(b["bin"] for b in bins)
+        # bins are dense 0..k (the running-sum rule can't skip a bin)
+        assert ids == list(range(len(ids))), month
+        for b in bins:
+            # a bin only exceeds the target when a single file does, in
+            # which case it must hold exactly that one oversized file --
+            # otherwise the cumsum rule would have split it
+            if b["bin_bytes"] > 65536:
+                assert b["files_merged"] == 1 or b["bin_bytes"] - 65536 < 65536
