@@ -1,0 +1,249 @@
+"""Sixth surface batch: market-basket co-occurrence, snapshot diffing,
+rolling-window distinct actives (DAU/WAU), and key-skew diagnostics.
+
+Scale themes:
+  * the basket self-join fans out per ORDER, and TPC-H-ish orders are
+    bounded (~7 lines) -- per-key quadratic with a small constant is
+    the safe kind of quadratic, unlike per-shingle hot keys;
+  * rolling distinct users replicates each (day, user) row a fixed 7x
+    -- a bounded-replication range join, the standard exact-sliding-
+    window trick when windowed count_distinct isn't available;
+  * snapshot diff is one full-outer hash join on the key, the batch
+    primitive under CDC diffing / reconciliation jobs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+
+QUERIES: dict = {}
+ORACLES: dict[str, str] = {}
+
+
+def _q(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLES[name] = sql
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# Market-basket pair support: pairs of parts appearing in the same
+# order, with support >= MIN_SUPPORT. The self-join key is l_orderkey,
+# whose fanout is bounded by lines-per-order (~7), so the join output
+# is O(orders * lines^2) -- linear in the table with a small constant.
+# The pair-count agg then shuffles on the (tiny) pair key space.
+# ---------------------------------------------------------------------------
+
+BASKET_MIN_SUPPORT = 3
+
+_BASKET_SQL = f"""
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+)
+SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+       CAST(count(*) AS BIGINT) AS support
+FROM items a JOIN items b
+  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY a.l_partkey, b.l_partkey
+HAVING count(*) >= {BASKET_MIN_SUPPORT}
+"""
+
+
+@_q("basket_pair_support", _BASKET_SQL)
+def basket_pair_support(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a = items.alias("a")
+    b = items.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count("*").alias("support"))
+        .where(F.col("support") >= BASKET_MIN_SUPPORT)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Snapshot diff: reconcile two versions of the orders table (the
+# "yesterday vs today" CDC check). Versions are simulated by date
+# slices with an overlap; the diff is ONE full-outer hash join on the
+# key classifying rows added / removed / changed / unchanged --
+# "changed" compares the value columns in integer cents.
+# ---------------------------------------------------------------------------
+
+_DIFF_SQL = """
+WITH v1 AS (
+  SELECT o_orderkey, o_orderstatus,
+         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+  FROM orders WHERE o_orderdate < TIMESTAMP '1996-01-01'
+),
+v2 AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 97 = 0 THEN 'X' ELSE o_orderstatus END
+           AS o_orderstatus,
+         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+  FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01'
+)
+SELECT CASE
+         WHEN v1.o_orderkey IS NULL THEN 'added'
+         WHEN v2.o_orderkey IS NULL THEN 'removed'
+         WHEN v1.o_orderstatus <> v2.o_orderstatus
+              OR v1.cents <> v2.cents THEN 'changed'
+         ELSE 'unchanged'
+       END AS change_type,
+       CAST(count(*) AS BIGINT) AS n
+FROM v1 FULL OUTER JOIN v2 ON v1.o_orderkey = v2.o_orderkey
+GROUP BY 1
+"""
+
+
+@_q("snapshot_diff", _DIFF_SQL)
+def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    v1 = orders.where(F.col("o_orderdate") < "1996-01-01").select(
+        "o_orderkey",
+        F.col("o_orderstatus").alias("status1"),
+        cents.alias("cents1"),
+    )
+    v2 = orders.where(F.col("o_orderdate") < "1997-01-01").select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 97 == 0, "X")
+        .otherwise(F.col("o_orderstatus"))
+        .alias("status2"),
+        cents.alias("cents2"),
+    )
+    joined = v1.join(v2, "o_orderkey", "full_outer")
+    change = (
+        F.when(F.col("status1").isNull(), "added")
+        .when(F.col("status2").isNull(), "removed")
+        .when(
+            (F.col("status1") != F.col("status2"))
+            | (F.col("cents1") != F.col("cents2")),
+            "changed",
+        )
+        .otherwise("unchanged")
+    )
+    return joined.groupBy(change.alias("change_type")).agg(
+        F.count("*").alias("n")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rolling 7-day active users per day (the WAU-by-day series): exact
+# sliding-window count_distinct via bounded replication -- each
+# (day, user) activity row votes for the 7 window-end days it falls
+# in (sequence + explode, a map-side 7x fanout, NO self-join), then
+# one count_distinct per day. Portable and exact; at 100 TB the 7x
+# blowup on the deduped (day,user) set is far cheaper than a
+# range self-join on the raw events.
+# ---------------------------------------------------------------------------
+
+_WAU_SQL = """
+WITH du AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events
+),
+votes AS (
+  SELECT unnest(generate_series(d, d + 6, INTERVAL 1 DAY)) AS wend, d, user_id
+  FROM du
+),
+bounds AS (SELECT min(d) AS lo, max(d) AS hi FROM du)
+SELECT CAST(v.wend AS DATE) AS day,
+       CAST(count(DISTINCT v.user_id) AS BIGINT) AS active_7d
+FROM votes v, bounds
+WHERE CAST(v.wend AS DATE) BETWEEN bounds.lo AND bounds.hi
+GROUP BY 1
+"""
+
+
+@_q("rolling_7d_active_users", _WAU_SQL)
+def rolling_7d_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    du = events.select(F.to_date("ts").alias("d"), "user_id").distinct()
+    votes = du.select(
+        F.explode(
+            F.sequence(
+                F.col("d"), F.date_add(F.col("d"), 6), F.expr("INTERVAL 1 DAY")
+            )
+        ).alias("wend"),
+        "user_id",
+    )
+    bounds = du.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    return (
+        votes.crossJoin(F.broadcast(bounds))
+        .where(F.col("wend").between(F.col("lo"), F.col("hi")))
+        .groupBy(F.col("wend").alias("day"))
+        .agg(F.count_distinct("user_id").alias("active_7d"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Key-skew diagnostics: the operator you run BEFORE deciding to salt a
+# join (operators/skew.py). Per-key frequencies of the join column,
+# reported as the top-N heavy hitters with their share of rows in
+# parts-per-million (integer -- no float division in the hash) and
+# the skew factor (key count * distinct keys / total rows, scaled).
+# One hash agg + a global top-N on the already-tiny key histogram.
+# ---------------------------------------------------------------------------
+
+SKEW_TOP_N = 20
+
+_SKEW_SQL = f"""
+WITH freq AS (
+  SELECT l_suppkey AS key, CAST(count(*) AS BIGINT) AS n
+  FROM lineitem GROUP BY l_suppkey
+),
+tot AS (
+  SELECT CAST(sum(n) AS BIGINT) AS total, CAST(count(*) AS BIGINT) AS nkeys
+  FROM freq
+)
+SELECT key, n, n * 1000000 // total AS ppm,
+       n * nkeys * 100 // total AS skew_pct_of_avg
+FROM (
+  SELECT f.key, f.n, t.total, t.nkeys,
+         row_number() OVER (ORDER BY f.n DESC, f.key) AS rk
+  FROM freq f, tot t
+) WHERE rk <= {SKEW_TOP_N}
+"""
+
+
+@_q("skew_key_diagnostics", _SKEW_SQL)
+def skew_key_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    freq = li.groupBy(F.col("l_suppkey").alias("key")).agg(
+        F.count("*").alias("n")
+    )
+    tot = freq.agg(
+        F.sum("n").alias("total"), F.count("*").alias("nkeys")
+    )
+    rk = Window.orderBy(F.desc("n"), F.asc("key"))
+    return (
+        freq.crossJoin(F.broadcast(tot))
+        .withColumn("rk", F.row_number().over(rk))
+        .where(F.col("rk") <= SKEW_TOP_N)
+        .select(
+            "key",
+            "n",
+            # integer DIV, not double division: a double quotient can
+            # land an ulp below an exact integer and truncate to m-1
+            # where DuckDB's // floors to m
+            F.expr("n * 1000000 DIV total").alias("ppm"),
+            F.expr("n * nkeys * 100 DIV total").alias("skew_pct_of_avg"),
+        )
+    )

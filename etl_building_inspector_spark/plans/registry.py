@@ -27,6 +27,7 @@ from . import (
     queries_surface3,
     queries_surface4,
     queries_surface5,
+    queries_surface6,
 )
 
 QUERIES: dict = {}
@@ -57,6 +58,7 @@ for mod in (
     queries_surface3,
     queries_surface4,
     queries_surface5,
+    queries_surface6,
 ):
     QUERIES.update({k: _released(v) for k, v in mod.QUERIES.items()})
     ORACLES.update(mod.ORACLES)
