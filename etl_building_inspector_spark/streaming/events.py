@@ -319,3 +319,46 @@ def run_to_memory(df: DataFrame, name: str) -> DataFrame:
     finally:
         q.stop()
     return df.sparkSession.sql(f"SELECT * FROM {name}")
+
+
+def stream_stream_left_outer_join(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    horizon: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream LEFT OUTER join: every click, with its in-horizon
+    purchase when one arrives, or NULL purchase columns once the
+    watermark PROVES none can. The null-emission is the subtle part:
+    an unmatched left row cannot be emitted when seen (a match may
+    still arrive); Spark holds it in state and emits the null-padded
+    row only when the watermark passes click_ts + horizon. Same
+    time-range predicate as the inner variant -- the range condition
+    is what lets Spark bound BOTH the match state and the
+    outer-row-buffer, so state stays O(events per horizon)."""
+    c = clicks.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    p = purchases.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    return c.join(
+        p,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (
+            F.col("click_ts")
+            >= F.col("purchase_ts") - F.expr(f"INTERVAL {horizon}")
+        ),
+        "left_outer",
+    ).select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "click_ts",
+        "purchase_id",
+        "purchase_ts",
+    )

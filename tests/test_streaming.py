@@ -443,3 +443,78 @@ def test_pointintime_enrich_slowly_changing_dim(spark, tmp_path_factory):
     assert rows[102] == "bronze"  # late event: version valid at t1, not current
     assert rows[103] == "silver"  # post-change event gets the new version
     assert rows[104] is None  # unknown key survives (left join)
+
+
+def test_stream_stream_left_outer_emits_nulls_after_watermark(
+    spark, tmp_path_factory
+):
+    """LEFT OUTER stream-stream join: a click with an in-horizon
+    purchase emits the pair; a click with none must STILL emit -- with
+    null purchase columns -- but only after the watermark proves no
+    match can arrive. A second micro-batch far in the future advances
+    the watermark to force that closure."""
+    import datetime as dt
+
+    from etl_building_inspector_spark.streaming.events import (
+        stream_stream_left_outer_join,
+    )
+
+    d = str(tmp_path_factory.mktemp("louter_events"))
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+
+    def write_batch(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(d)
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    # user 1: click + purchase 10 min later (match)
+    # user 2: click, never purchases (must emit null-padded)
+    write_batch([
+        (1, t0, 1, "click", 1.0, "{}"),
+        (2, t0 + dt.timedelta(minutes=10), 1, "purchase", 5.0, "{}"),
+        (3, t0, 2, "click", 1.0, "{}"),
+    ])
+
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(d)
+    clicks = stream.filter(F.col("event_type") == "click")
+    purchases = stream.filter(F.col("event_type") == "purchase")
+    joined = stream_stream_left_outer_join(
+        clicks, purchases, horizon="1 hour", watermark="10 minutes"
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("louter")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # push the watermark far past click_ts + horizon + watermark.
+        # BOTH event types must advance: the query watermark is the MIN
+        # across the two watermarked inputs, so a click-only batch
+        # leaves the purchase side's (and thus the global) watermark
+        # stuck at the first batch.
+        write_batch([
+            (99, t0 + dt.timedelta(days=2), 9, "click", 0.0, "{}"),
+            (98, t0 + dt.timedelta(days=2), 9, "purchase", 0.0, "{}"),
+        ])
+        q.processAllAvailable()
+        # one more nudge batch: outer-row emission happens in the
+        # micro-batch AFTER the one that advanced the watermark
+        write_batch([
+            (100, t0 + dt.timedelta(days=2, minutes=1), 9, "click", 0.0, "{}"),
+            (101, t0 + dt.timedelta(days=2, minutes=1), 9, "purchase", 0.0, "{}"),
+        ])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.sql("SELECT * FROM louter").collect()
+    got = {(r.click_id, r.purchase_id) for r in rows}
+    assert (1, 2) in got  # matched pair
+    assert (3, None) in got  # unmatched click emitted null-padded
