@@ -68,6 +68,15 @@ HEADLINE = [
     "dedup_simhash_hamming_pairs",
     "text_chunk_windows",
     "agg_skew_salted",
+    # round 2 batch 4: event analytics + maintenance + graph
+    "funnel_stages",
+    "streaks_gaps_islands",
+    "skyline_price_size",
+    "rolling_7d_active_users",
+    "basket_pair_support",
+    "text_ngram_novelty",
+    "graph_sssp_bounded",
+    "snapshot_diff",
 ]
 
 
