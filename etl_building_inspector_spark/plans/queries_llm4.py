@@ -149,3 +149,56 @@ def graph_sssp_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").cast("long").alias("doc_id"),
         F.col("dist").cast("long").alias("dist"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Distributed vector aggregation: per-label embedding centroids -- the
+# inner loop of KMeans / class-prototype computation. posexplode to
+# (label, dim, value-in-milli-units) then one hash agg on
+# (label, dim): map-side partial sums do the heavy lifting, the
+# shuffle carries |labels| * dim rows regardless of corpus size.
+# Values are scaled to integer milli-units BEFORE summing so the sum
+# is order-independent and engine-portable (float += is neither).
+# ---------------------------------------------------------------------------
+
+_CENTROID_SQL = """
+WITH ex AS (
+  SELECT label, generate_subscripts(embedding, 1) AS dim,
+         unnest(list_transform(embedding, x ->
+           CAST(sign(CAST(x AS DOUBLE))
+                * floor(abs(CAST(x AS DOUBLE)) * 1000) AS BIGINT))) AS milli
+  FROM embeddings
+)
+SELECT CAST(label AS INT) AS label, CAST(dim AS INT) AS dim,
+       CAST(sum(milli) AS BIGINT) AS sum_milli,
+       CAST(count(*) AS BIGINT) AS n
+FROM ex GROUP BY label, dim
+"""
+
+
+@_q("emb_label_centroids", _CENTROID_SQL)
+def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    # truncation spelled sign*floor(abs): Spark cast truncates toward
+    # zero, DuckDB CAST rounds -- this form is identical on both
+    milli = F.transform(
+        "embedding",
+        lambda x: (
+            F.signum(x.cast("double"))
+            * F.floor(F.abs(x.cast("double")) * 1000)
+        ).cast("long"),
+    )
+    ex = emb.select(
+        "label", F.posexplode(milli).alias("dim0", "milli")
+    ).select(
+        "label", (F.col("dim0") + 1).alias("dim"), "milli"
+    )
+    return ex.groupBy(
+        F.col("label").cast("int").alias("label"),
+        F.col("dim").cast("int").alias("dim"),
+    ).agg(
+        F.sum("milli").alias("sum_milli"),
+        F.count("*").alias("n"),
+    )

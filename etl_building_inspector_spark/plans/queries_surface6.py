@@ -247,3 +247,93 @@ def skew_key_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("n * nkeys * 100 DIV total").alias("skew_pct_of_avg"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Data-quality constraint battery: FK orphans both directions,
+# uniqueness, and domain-range checks, each one anti-join or
+# aggregate, unioned into a (check_name, violations) report. The FK
+# checks are left-anti hash joins (broadcast when the dim side is
+# small); uniqueness is a keyed count filter. Zero-violation rows
+# STILL appear -- a DQ report that omits passing checks can't
+# distinguish "passed" from "didn't run".
+# ---------------------------------------------------------------------------
+
+_DQ_SQL = """
+SELECT * FROM (
+  SELECT 'lineitem_orphan_orderkey' AS check_name,
+         CAST(count(*) AS BIGINT) AS violations
+  FROM lineitem l WHERE NOT EXISTS
+    (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+  UNION ALL
+  SELECT 'orders_without_lineitems',
+         CAST(count(*) AS BIGINT)
+  FROM orders o WHERE NOT EXISTS
+    (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+  UNION ALL
+  SELECT 'duplicate_orderkeys', CAST(coalesce(sum(c - 1), 0) AS BIGINT)
+  FROM (SELECT o_orderkey, count(*) AS c FROM orders
+        GROUP BY o_orderkey HAVING count(*) > 1)
+  UNION ALL
+  SELECT 'customer_orphan_nationkey', CAST(count(*) AS BIGINT)
+  FROM customer c WHERE NOT EXISTS
+    (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)
+  UNION ALL
+  SELECT 'nonpositive_totalprice', CAST(count(*) AS BIGINT)
+  FROM orders WHERE o_totalprice <= 0
+  UNION ALL
+  SELECT 'quantity_out_of_range', CAST(count(*) AS BIGINT)
+  FROM lineitem WHERE l_quantity < 1 OR l_quantity > 50
+)
+"""
+
+
+@_q("dq_constraint_checks", _DQ_SQL)
+def dq_constraint_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+
+    def report(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("check_name"),
+            F.count("*").alias("violations"),
+        )
+
+    orphan_li = li.join(
+        orders.select("o_orderkey"),
+        li["l_orderkey"] == orders["o_orderkey"],
+        "left_anti",
+    )
+    childless = orders.join(
+        li.select("l_orderkey"),
+        orders["o_orderkey"] == li["l_orderkey"],
+        "left_anti",
+    )
+    dup_keys = (
+        orders.groupBy("o_orderkey")
+        .count()
+        .where(F.col("count") > 1)
+        .agg(
+            F.lit("duplicate_orderkeys").alias("check_name"),
+            F.coalesce(F.sum(F.col("count") - 1), F.lit(0)).alias(
+                "violations"
+            ),
+        )
+    )
+    orphan_cust = customer.join(
+        F.broadcast(nation.select("n_nationkey")),
+        customer["c_nationkey"] == nation["n_nationkey"],
+        "left_anti",
+    )
+    bad_price = orders.where(F.col("o_totalprice") <= 0)
+    bad_qty = li.where((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50))
+    return (
+        report("lineitem_orphan_orderkey", orphan_li)
+        .unionAll(report("orders_without_lineitems", childless))
+        .unionAll(dup_keys)
+        .unionAll(report("customer_orphan_nationkey", orphan_cust))
+        .unionAll(report("nonpositive_totalprice", bad_price))
+        .unionAll(report("quantity_out_of_range", bad_qty))
+    )
