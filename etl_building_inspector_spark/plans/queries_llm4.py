@@ -202,3 +202,88 @@ def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("milli").alias("sum_milli"),
         F.count("*").alias("n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Nearest-prototype assignment (the classify half of a Lloyd/KMeans
+# round, and the label-propagation primitive for weakly-supervised
+# corpus tagging): each label's prototype is its min-vec_id member
+# (deterministic representative), every vector is assigned to the
+# nearest prototype by exact integer milli-distance. Prototypes are a
+# 10-row broadcast; the distance is a zip_with fold kept entirely in
+# codegen -- the scan side streams, nothing shuffles but the tiny
+# prototype table. Integer math end-to-end: |milli| <= ~2000, squared
+# * 64 dims ~ 2.6e8, far inside int64 -- exact argmin on both engines
+# (a double-valued distance could flip argmin on ties).
+# ---------------------------------------------------------------------------
+
+_PROTO_SQL = """
+WITH m AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x ->
+           CAST(sign(CAST(x AS DOUBLE))
+                * floor(abs(CAST(x AS DOUBLE)) * 1000) AS BIGINT)) AS mv
+  FROM embeddings
+),
+proto_ids AS (SELECT label, min(vec_id) AS pid FROM m GROUP BY label),
+protos AS (
+  SELECT m.label AS p_label, m.mv AS pv FROM m
+  JOIN proto_ids p ON m.vec_id = p.pid
+),
+dists AS (
+  SELECT m.vec_id, p.p_label,
+         list_sum(list_transform(range(1, len(m.mv) + 1),
+           i -> (m.mv[i] - p.pv[i]) * (m.mv[i] - p.pv[i]))) AS d2
+  FROM m CROSS JOIN protos p
+)
+SELECT vec_id, CAST(assigned AS INT) AS assigned_label,
+       CAST(best_d2 AS BIGINT) AS dist2_milli
+FROM (
+  SELECT vec_id, p_label AS assigned, d2 AS best_d2,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d2, p_label) AS rk
+  FROM dists
+) WHERE rk = 1
+"""
+
+
+@_q("emb_assign_nearest_prototype", _PROTO_SQL)
+def emb_assign_nearest_prototype(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    milli = F.transform(
+        "embedding",
+        lambda x: (
+            F.signum(x.cast("double"))
+            * F.floor(F.abs(x.cast("double")) * 1000)
+        ).cast("long"),
+    )
+    m = emb.select("vec_id", "label", milli.alias("mv"))
+    # keep ONLY pid in the prototype-id set: carrying `label` through
+    # would make it ambiguous when joined back against m (same lineage)
+    proto_ids = (
+        m.groupBy("label").agg(F.min("vec_id").alias("pid")).select("pid")
+    )
+    protos = (
+        m.join(proto_ids, m["vec_id"] == proto_ids["pid"])
+        .select(F.col("label").alias("p_label"), F.col("mv").alias("pv"))
+    )
+    d2 = F.aggregate(
+        F.zip_with("mv", "pv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    dists = m.crossJoin(F.broadcast(protos)).select(
+        "vec_id", "p_label", d2.alias("d2")
+    )
+    # per-vector argmin WITHOUT a window over the full fanout: min on
+    # a (d2, label) struct is one hash agg with map-side combine and
+    # encodes the deterministic (dist, label) tiebreak in the ordering
+    best = dists.groupBy("vec_id").agg(
+        F.min(F.struct(F.col("d2"), F.col("p_label"))).alias("b")
+    )
+    return best.select(
+        "vec_id",
+        F.col("b.p_label").cast("int").alias("assigned_label"),
+        F.col("b.d2").alias("dist2_milli"),
+    )

@@ -337,3 +337,76 @@ def dq_constraint_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(report("nonpositive_totalprice", bad_price))
         .unionAll(report("quantity_out_of_range", bad_qty))
     )
+
+
+# ---------------------------------------------------------------------------
+# Date-spine densification: per-nation daily revenue for January 1995
+# INCLUDING zero-activity days -- the sparse-to-dense series step
+# before any rolling/EWMA feature. The spine is nations x 31 days
+# built with sequence+explode (map-side, no shuffle) and left-joined
+# against the per-(nation, day) aggregate; at 100 TB the aggregate is
+# the only table-sized shuffle, the spine stays |dims| x |days|.
+# ---------------------------------------------------------------------------
+
+_SPINE_SQL = """
+WITH rev AS (
+  SELECT n.n_nationkey AS nationkey,
+         CAST(o.o_orderdate AS DATE) AS d,
+         sum(CAST(round(o.o_totalprice * 100, 0) AS BIGINT)) AS cents
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  WHERE o.o_orderdate >= TIMESTAMP '1995-01-01'
+    AND o.o_orderdate < TIMESTAMP '1995-02-01'
+  GROUP BY 1, 2
+),
+spine AS (
+  SELECT n.n_nationkey AS nationkey, CAST(gs AS DATE) AS d
+  FROM nation n, unnest(generate_series(DATE '1995-01-01',
+                                        DATE '1995-01-31',
+                                        INTERVAL 1 DAY)) AS t(gs)
+)
+SELECT s.nationkey, s.d AS day,
+       CAST(coalesce(r.cents, 0) AS BIGINT) AS revenue_cents
+FROM spine s LEFT JOIN rev r
+  ON s.nationkey = r.nationkey AND s.d = r.d
+"""
+
+
+@_q("densify_date_spine", _SPINE_SQL)
+def densify_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    rev = (
+        orders.where(
+            (F.col("o_orderdate") >= "1995-01-01")
+            & (F.col("o_orderdate") < "1995-02-01")
+        )
+        .join(customer, orders["o_custkey"] == customer["c_custkey"])
+        .join(
+            F.broadcast(nation),
+            customer["c_nationkey"] == nation["n_nationkey"],
+        )
+        .groupBy(
+            F.col("n_nationkey").alias("nationkey"),
+            F.to_date("o_orderdate").alias("d"),
+        )
+        .agg(F.sum(cents).alias("cents"))
+    )
+    spine = nation.select(
+        F.col("n_nationkey").alias("nationkey"),
+        F.explode(
+            F.sequence(
+                F.lit("1995-01-01").cast("date"),
+                F.lit("1995-01-31").cast("date"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("d"),
+    )
+    return spine.join(rev, ["nationkey", "d"], "left").select(
+        "nationkey",
+        F.col("d").alias("day"),
+        F.coalesce(F.col("cents"), F.lit(0)).alias("revenue_cents"),
+    )
