@@ -160,3 +160,76 @@ def test_compaction_bins_capped_and_contiguous(spark):
             # otherwise the cumsum rule would have split it
             if b["bin_bytes"] > 65536:
                 assert b["files_merged"] == 1 or b["bin_bytes"] - 65536 < 65536
+
+
+# --- nearest-prototype assignment ------------------------------------------
+
+
+def test_prototype_assignment_is_true_argmin(spark):
+    from etl_building_inspector_spark.plans.queries_llm4 import (
+        emb_assign_nearest_prototype,
+    )
+
+    out = {
+        r["vec_id"]: (r["assigned_label"], r["dist2_milli"])
+        for r in emb_assign_nearest_prototype(spark, SF).collect()
+    }
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").collect()
+
+    def milli(v):
+        import math
+
+        return [
+            int(math.copysign(math.floor(abs(float(x)) * 1000), float(x)))
+            for x in v
+        ]
+
+    vecs = {r["vec_id"]: (r["label"], milli(r["embedding"])) for r in emb}
+    protos = {}
+    for vid in sorted(vecs):
+        lab, mv = vecs[vid]
+        protos.setdefault(lab, mv)  # min vec_id wins: sorted iteration
+    for vid, (lab, d2) in out.items():
+        mv = vecs[vid][1]
+        dists = {
+            pl: sum((a - b) ** 2 for a, b in zip(mv, pv))
+            for pl, pv in protos.items()
+        }
+        best = min(dists.items(), key=lambda kv: (kv[1], kv[0]))
+        assert (lab, d2) == (best[0], best[1]), vid
+
+
+def test_prototype_assignment_broadcasts_protos(spark):
+    from etl_building_inspector_spark.plans.queries_llm4 import (
+        emb_assign_nearest_prototype,
+    )
+
+    plan = (
+        emb_assign_nearest_prototype(spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the 10-row prototype side must be the broadcast build side; the
+    # corpus side must stream (no shuffle of the big table for a
+    # cross join against a tiny dim)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+# --- date spine -------------------------------------------------------------
+
+
+def test_date_spine_dense_and_zero_filled(spark):
+    from etl_building_inspector_spark.plans.queries_surface6 import (
+        densify_date_spine,
+    )
+
+    rows = densify_date_spine(spark, SF).collect()
+    n_nations = spark.read.parquet(f"{SF}/nation.parquet").count()
+    assert len(rows) == n_nations * 31
+    # spine must contain zero-revenue days (the whole point)
+    assert any(r["revenue_cents"] == 0 for r in rows)
+    per_nation = {}
+    for r in rows:
+        per_nation.setdefault(r["nationkey"], set()).add(r["day"])
+    assert all(len(days) == 31 for days in per_nation.values())
