@@ -287,3 +287,92 @@ def emb_assign_nearest_prototype(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b.p_label").cast("int").alias("assigned_label"),
         F.col("b.d2").alias("dist2_milli"),
     )
+
+
+# ---------------------------------------------------------------------------
+# One full Lloyd round: assign every vector to its nearest prototype
+# (the broadcast argmin above), then RE-AGGREGATE per-cluster vector
+# sums -- the complete iterate of distributed KMeans, exact in
+# integer milli-units. Plan: broadcast join (no corpus shuffle) ->
+# posexplode -> one hash agg on (cluster, dim). Iterating = looping
+# this query with the new centroid sums fed back as prototypes; each
+# round is the same two-exchange plan regardless of corpus size.
+# ---------------------------------------------------------------------------
+
+_LLOYD_SQL = """
+WITH m AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x ->
+           CAST(sign(CAST(x AS DOUBLE))
+                * floor(abs(CAST(x AS DOUBLE)) * 1000) AS BIGINT)) AS mv
+  FROM embeddings
+),
+proto_ids AS (SELECT min(vec_id) AS pid FROM m GROUP BY label),
+protos AS (
+  SELECT m.label AS p_label, m.mv AS pv FROM m
+  JOIN proto_ids p ON m.vec_id = p.pid
+),
+assign AS (
+  SELECT vec_id, p_label, row_number() OVER (
+           PARTITION BY vec_id
+           ORDER BY list_sum(list_transform(range(1, len(m.mv) + 1),
+                     i -> (m.mv[i] - p.pv[i]) * (m.mv[i] - p.pv[i]))),
+                    p_label) AS rk
+  FROM m CROSS JOIN protos p
+),
+ex AS (
+  SELECT a.p_label AS cluster, generate_subscripts(m.mv, 1) AS dim,
+         unnest(m.mv) AS milli
+  FROM m JOIN assign a ON m.vec_id = a.vec_id AND a.rk = 1
+)
+SELECT CAST(cluster AS INT) AS cluster, CAST(dim AS INT) AS dim,
+       CAST(sum(milli) AS BIGINT) AS sum_milli,
+       CAST(count(*) AS BIGINT) AS n
+FROM ex GROUP BY cluster, dim
+"""
+
+
+@_q("kmeans_lloyd_round", _LLOYD_SQL)
+def kmeans_lloyd_round(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    milli = F.transform(
+        "embedding",
+        lambda x: (
+            F.signum(x.cast("double"))
+            * F.floor(F.abs(x.cast("double")) * 1000)
+        ).cast("long"),
+    )
+    m = emb.select("vec_id", "label", milli.alias("mv"))
+    proto_ids = (
+        m.groupBy("label").agg(F.min("vec_id").alias("pid")).select("pid")
+    )
+    protos = (
+        m.join(proto_ids, m["vec_id"] == proto_ids["pid"])
+        .select(F.col("label").alias("p_label"), F.col("mv").alias("pv"))
+    )
+    d2 = F.aggregate(
+        F.zip_with("mv", "pv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    assign = (
+        m.crossJoin(F.broadcast(protos))
+        .select("vec_id", "p_label", d2.alias("d2"))
+        .groupBy("vec_id")
+        .agg(F.min(F.struct(F.col("d2"), F.col("p_label"))).alias("b"))
+        .select("vec_id", F.col("b.p_label").alias("cluster"))
+    )
+    ex = (
+        m.join(assign, "vec_id")
+        .select("cluster", F.posexplode("mv").alias("dim0", "milli"))
+        .select("cluster", (F.col("dim0") + 1).alias("dim"), "milli")
+    )
+    return ex.groupBy(
+        F.col("cluster").cast("int").alias("cluster"),
+        F.col("dim").cast("int").alias("dim"),
+    ).agg(
+        F.sum("milli").alias("sum_milli"),
+        F.count("*").alias("n"),
+    )

@@ -410,3 +410,54 @@ def densify_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("d").alias("day"),
         F.coalesce(F.col("cents"), F.lit(0)).alias("revenue_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Month-over-month revenue growth: monthly aggregate then lag() over
+# the (tiny) month series. The window is global but runs over ~80
+# rows AFTER aggregation -- the safe global-window pattern (same as
+# skyline's distinct-price window): aggregate first, window the
+# aggregate. Growth reported as integer cents delta, not a ratio
+# (float division is not hash-portable).
+# ---------------------------------------------------------------------------
+
+_MOM_SQL = """
+WITH monthly AS (
+  SELECT CAST(year(o_orderdate) AS INT) * 12
+           + CAST(month(o_orderdate) AS INT) AS m,
+         strftime(o_orderdate, '%Y-%m') AS month,
+         sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS revenue_cents
+  FROM orders GROUP BY 1, 2
+)
+SELECT month, CAST(revenue_cents AS BIGINT) AS revenue_cents,
+       CAST(lag(revenue_cents) OVER (ORDER BY m) AS BIGINT) AS prev_cents,
+       CAST(revenue_cents - lag(revenue_cents) OVER (ORDER BY m) AS BIGINT)
+         AS delta_cents
+FROM monthly
+"""
+
+
+@_q("mom_revenue_growth", _MOM_SQL)
+def mom_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+        .cast("int")
+        .alias("m"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias(
+            "revenue_cents"
+        )
+    )
+    w = Window.orderBy("m")
+    return monthly.select(
+        "month",
+        "revenue_cents",
+        F.lag("revenue_cents").over(w).alias("prev_cents"),
+        (F.col("revenue_cents") - F.lag("revenue_cents").over(w)).alias(
+            "delta_cents"
+        ),
+    )
