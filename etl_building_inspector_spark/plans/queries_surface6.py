@@ -461,3 +461,92 @@ def mom_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             "delta_cents"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# As-of join, LEFT + TOLERANCE variant (pandas merge_asof semantics):
+# every click keeps its row; the matched purchase is the most recent
+# at-or-before, but only if within 1 hour -- otherwise nulls. Same
+# union + carry-forward window as asof_join_click_purchase (ONE
+# shuffle on user_id, no range explosion); the tolerance is a
+# microsecond-epoch filter applied after the carry, nulling both
+# carried columns together. Oracle: DuckDB native ASOF LEFT JOIN with
+# the same tolerance CASE.
+# ---------------------------------------------------------------------------
+
+ASOF_TOL_US = 3600 * 1_000_000  # 1 hour
+
+_ASOF_TOL_SQL = f"""
+WITH purchases AS (
+  SELECT user_id, ts, max(value) AS purchase_value
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+),
+clicks AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+)
+SELECT CAST(c.event_id AS BIGINT) AS click_id,
+       CAST(c.user_id AS BIGINT) AS user_id,
+       CASE WHEN p.ts IS NOT NULL
+             AND epoch_us(c.ts) - epoch_us(p.ts) <= {ASOF_TOL_US}
+            THEN p.ts END AS purchase_ts,
+       CASE WHEN p.ts IS NOT NULL
+             AND epoch_us(c.ts) - epoch_us(p.ts) <= {ASOF_TOL_US}
+            THEN p.purchase_value END AS purchase_value
+FROM clicks c ASOF LEFT JOIN purchases p
+  ON c.user_id = p.user_id AND c.ts >= p.ts
+"""
+
+
+@_q("asof_join_tolerance", _ASOF_TOL_SQL)
+def asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions.timeutil import epoch_micros
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("purchase_value"))
+        .select(
+            "user_id",
+            "ts",
+            F.lit(0).alias("tag"),
+            F.lit(None).cast("long").alias("event_id"),
+            "purchase_value",
+        )
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("tag"),
+        "event_id",
+        F.lit(None).cast("double").alias("purchase_value"),
+    )
+    unioned = purchases.unionByName(clicks)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "tag")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        "*",
+        F.last(F.when(F.col("tag") == 0, F.col("ts")), ignorenulls=True)
+        .over(w)
+        .alias("p_ts"),
+        F.last(
+            F.when(F.col("tag") == 0, F.col("purchase_value")),
+            ignorenulls=True,
+        )
+        .over(w)
+        .alias("p_val"),
+    )
+    in_tol = F.col("p_ts").isNotNull() & (
+        epoch_micros("ts") - epoch_micros("p_ts") <= ASOF_TOL_US
+    )
+    return carried.filter(F.col("tag") == 1).select(
+        F.col("event_id").cast("long").alias("click_id"),
+        F.col("user_id").cast("long").alias("user_id"),
+        F.when(in_tol, F.col("p_ts")).alias("purchase_ts"),
+        F.when(in_tol, F.col("p_val")).alias("purchase_value"),
+    )
