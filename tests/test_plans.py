@@ -174,3 +174,38 @@ def test_ngram_topk_partial_agg(spark, sf_dir):
     plan = _executed(spark, "text_ngram_topk", sf_dir)
     assert "partial_count" in plan or "HashAggregate" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_funnel_single_window_shuffle(spark, sf_dir):
+    """The funnel is one user_id exchange feeding chained Window nodes
+    + one global agg -- the join-per-stage chain would show 15+
+    exchanges."""
+    plan = _executed(spark, "funnel_stages", sf_dir)
+    assert plan.count("Exchange") <= 3
+    assert "Join" not in plan
+
+
+def test_asof_tolerance_no_range_explosion(spark, sf_dir):
+    """Tolerance as-of joins via union + carry-forward window: no join
+    operator at all, bounded exchanges."""
+    plan = _executed(spark, "asof_join_tolerance", sf_dir)
+    assert "Join" not in plan
+    assert plan.count("Exchange") <= 3
+
+
+def test_basket_no_nested_loop(spark, sf_dir):
+    """The basket self-join must stay an equi-join on l_orderkey (the
+    < on partkey is a post-filter), never a nested loop."""
+    plan = _executed(spark, "basket_pair_support", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_skyline_window_over_aggregate_only(spark, sf_dir):
+    """Skyline's global window must consume the per-price AGGREGATE,
+    not the base table: the single-partition stage is bounded by the
+    price domain. The Window node must sit above a HashAggregate."""
+    plan = _executed(spark, "skyline_price_size", sf_dir)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan and "HashAggregate" in plan
