@@ -77,6 +77,10 @@ HEADLINE = [
     "text_ngram_novelty",
     "graph_sssp_bounded",
     "snapshot_diff",
+    "kmeans_lloyd_round",
+    "emb_assign_nearest_prototype",
+    "dq_constraint_checks",
+    "asof_join_tolerance",
 ]
 
 
