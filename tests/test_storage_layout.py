@@ -68,3 +68,31 @@ def test_repartition_by_key_colocates(spark, sf_dir):
     plan = agg._jdf.queryExecution().executedPlan().toString()
     # exactly one exchange: the explicit repartition; the agg reuses it
     assert plan.count("Exchange") == 1
+
+
+def test_dynamic_partition_pruning(spark, sf_dir, tmp_path_factory):
+    """Join-driven partition pruning: when the fact table is
+    partitioned on the join key and the dim side carries a selective
+    filter, the fact SCAN must receive a runtime dynamicpruning
+    subquery (DPP) -- at 100 TB this is the difference between
+    scanning one partition and scanning the table. Guard: the pruning
+    expression appears in the fact scan's PartitionFilters."""
+    from pyspark.sql import functions as F
+
+    out = str(tmp_path_factory.mktemp("dpp")) + "/orders_part"
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    orders.write.mode("overwrite").partitionBy("o_orderpriority").parquet(out)
+    fact = spark.read.parquet(out)
+    dim = spark.createDataFrame(
+        [("1-URGENT", "urgent"), ("3-MEDIUM", "medium"), ("5-LOW", "low")],
+        "o_orderpriority string, tier string",
+    ).where(F.col("tier") == "urgent")
+    joined = fact.join(dim, "o_orderpriority").groupBy("tier").agg(
+        F.count("*").alias("n")
+    )
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+    # and the result only reads the one matching partition
+    rows = joined.collect()
+    want = orders.where(F.col("o_orderpriority") == "1-URGENT").count()
+    assert rows[0]["n"] == want
