@@ -550,3 +550,50 @@ def asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(in_tol, F.col("p_ts")).alias("purchase_ts"),
         F.when(in_tol, F.col("p_val")).alias("purchase_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Recursive CTE (Spark 4 WITH RECURSIVE) -- bounded reachability over
+# the frequent-co-purchase graph: parts within 2 hops of the smallest
+# frequently-paired part (recommendation-expansion shape). The SAME
+# SQL text runs on Spark and DuckDB; the hop bound terminates the
+# recursion on both engines. Spark executes each recursion step as a
+# joined micro-plan -- the declarative twin of operators/graph.bfs_hops'
+# frontier iteration (which remains the scale path: the CTE recurses
+# over ALL accumulated rows, the frontier loop only over improvements).
+# ---------------------------------------------------------------------------
+
+_RCTE_SQL = """
+WITH RECURSIVE items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+pairs AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey
+  HAVING count(*) >= 2
+),
+sym AS (
+  SELECT pa AS s, pb AS d FROM pairs
+  UNION ALL
+  SELECT pb AS s, pa AS d FROM pairs
+),
+seed AS (SELECT min(pa) AS node FROM pairs),
+walk(node, hops) AS (
+  SELECT node, 0 FROM seed
+  UNION ALL
+  SELECT sym.d, walk.hops + 1 FROM walk JOIN sym ON sym.s = walk.node
+  WHERE walk.hops < 2
+)
+SELECT CAST(node AS BIGINT) AS part, CAST(min(hops) AS BIGINT) AS hops
+FROM walk GROUP BY node
+"""
+
+
+@_q("sql_recursive_reachability", _RCTE_SQL)
+def sql_recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_RCTE_SQL)
