@@ -518,3 +518,44 @@ def test_stream_stream_left_outer_emits_nulls_after_watermark(
     got = {(r.click_id, r.purchase_id) for r in rows}
     assert (1, 2) in got  # matched pair
     assert (3, None) in got  # unmatched click emitted null-padded
+
+
+def test_statestore_reader_exposes_agg_state(spark, tmp_path_factory):
+    """Spark 4 state-store data source: the state of a running
+    streaming aggregation read back as a BATCH DataFrame from the
+    checkpoint -- the debugging/ops surface for stateful pipelines
+    (inspect skew across state partitions, audit per-key state
+    without stopping the job)."""
+    import datetime as dt
+
+    d = str(tmp_path_factory.mktemp("ss_events"))
+    ckpt = str(tmp_path_factory.mktemp("ss_ckpt"))
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    t0 = dt.datetime(2024, 1, 1)
+    spark.createDataFrame(
+        [
+            (1, t0, 1, "click", 1.0, "{}"),
+            (2, t0, 1, "view", 2.0, "{}"),
+            (3, t0, 2, "view", 2.0, "{}"),
+        ],
+        schema,
+    ).write.mode("append").parquet(d)
+    stream = spark.readStream.schema(schema).parquet(d)
+    agg = stream.groupBy("user_id").agg(F.count("*").alias("n"))
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("ss_state_test")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    state = spark.read.format("statestore").load(ckpt)
+    got = {r["key"]["user_id"]: r["value"]["count"] for r in state.collect()}
+    assert got == {1: 2, 2: 1}
