@@ -362,3 +362,73 @@ def stream_stream_left_outer_join(
         "purchase_id",
         "purchase_ts",
     )
+
+
+def running_user_totals_tws(events: DataFrame) -> DataFrame:
+    """The transformWithStateInPandas (Spark 4) version of
+    running_user_totals: a StatefulProcessor with an explicit
+    ValueState handle instead of applyInPandasWithState's packed
+    tuple. Same semantics -- per-user running count/total emitted on
+    every update -- but the new API brings named state variables,
+    independent TTLs per state var, and timer callbacks; this is the
+    forward-looking home for custom stateful operators (the old API
+    stays for compatibility).
+
+    ENV-GATED: the TWS python<->JVM protocol is protobuf-encoded and
+    this container ships no google.protobuf -- the import probe below
+    raises eagerly (tests skip-if-missing, like PIL decode); under a
+    protobuf-equipped cluster the operator runs as written."""
+    from google.protobuf import descriptor  # noqa: F401  (env probe)
+
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("total_value", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("n", T.LongType()),
+            T.StructField("total", T.DoubleType()),
+        ]
+    )
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("totals", state_schema)
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, total = (
+                self._state.get() if self._state.exists() else (0, 0.0)
+            )
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._state.update((n, total))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [total],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    from .._dist import ensure_workers_can_import
+
+    ensure_workers_can_import(events.sparkSession)
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=RunningTotals(),
+        outputStructType=out_schema,
+        outputMode="Update",
+        timeMode="None",
+    )

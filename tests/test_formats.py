@@ -172,3 +172,24 @@ def test_python_udtf_chunk_rows(spark):
         (1, 2): "ij",
         (2, 0): "xyz",
     }
+
+
+def test_xml_native_roundtrip(spark, tmp_path_factory):
+    """Spark 4 ships a native XML source: write the nation dim as XML,
+    read it back with rowTag + explicit schema, values survive -- the
+    interchange path for XML-bearing upstreams (no external package)."""
+    d = str(tmp_path_factory.mktemp("xml")) + "/nation_xml"
+    nation = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+    nation.write.format("xml").option("rowTag", "nation").mode(
+        "overwrite"
+    ).save(d)
+    back = (
+        spark.read.format("xml")
+        .option("rowTag", "nation")
+        .schema(nation.schema)
+        .load(d)
+    )
+    assert sorted(r["n_nationkey"] for r in back.collect()) == sorted(
+        r["n_nationkey"] for r in nation.collect()
+    )
+    assert back.count() == nation.count()

@@ -559,3 +559,59 @@ def test_statestore_reader_exposes_agg_state(spark, tmp_path_factory):
     state = spark.read.format("statestore").load(ckpt)
     got = {r["key"]["user_id"]: r["value"]["count"] for r in state.collect()}
     assert got == {1: 2, 2: 1}
+
+
+def _has_protobuf() -> bool:
+    # transformWithState's python<->JVM protocol is protobuf-encoded;
+    # this container ships no google.protobuf (and pip install is
+    # unavailable), so the TWS surface is env-gated like PIL decode
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _has_protobuf(),
+    reason="google.protobuf missing: transformWithState protocol unavailable",
+)
+def test_transform_with_state_matches_batch_totals(spark, event_dir):
+    """transformWithStateInPandas (Spark 4 StatefulProcessor): final
+    per-user totals must equal the batch aggregate, same contract as
+    the applyInPandasWithState twin (test_stateful_running_totals)."""
+    from etl_building_inspector_spark.streaming.events import (
+        read_event_stream,
+        running_user_totals_tws,
+    )
+
+    totals = running_user_totals_tws(read_event_stream(spark, event_dir))
+    q = (
+        totals.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("tws_totals")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # update mode may emit several rows per user across batches; the
+    # LAST emission per user carries the final running totals
+    emitted = spark.sql("SELECT * FROM tws_totals").collect()
+    final = {}
+    for r in emitted:
+        final[r.user_id] = (r.n_events, r.total_value)
+    batch = {
+        r.user_id: (r.n, r.v)
+        for r in spark.read.parquet(event_dir)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("v"))
+        .collect()
+    }
+    assert set(final) == set(batch)
+    for uid, (n, v) in batch.items():
+        fn, fv = final[uid]
+        assert fn == n
+        assert abs(fv - v) < 1e-6
