@@ -233,3 +233,41 @@ def test_date_spine_dense_and_zero_filled(spark):
     for r in rows:
         per_nation.setdefault(r["nationkey"], set()).add(r["day"])
     assert all(len(days) == 31 for days in per_nation.values())
+
+
+# --- empty-input edges ------------------------------------------------------
+
+
+def _empty_events_dir(spark, tmp_path) -> str:
+    p = str(tmp_path / "empty_fixture")
+    spark.createDataFrame(
+        [],
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(f"{p}/events.parquet")
+    return p
+
+
+def test_funnel_empty_events_reports_zero_stages(spark, tmp_path):
+    p = _empty_events_dir(spark, tmp_path)
+    out = {r["stage"]: r["users"] for r in funnel_stages(spark, p).collect()}
+    # the report must still carry all four stages (0s), not vanish
+    assert out == {"signup": 0, "view": 0, "click": 0, "purchase": 0}
+
+
+def test_sssp_empty_edges_returns_seeds_only(spark):
+    edges = _edges(spark, [])
+    out = {
+        r["node"]: r["dist"]
+        for r in sssp_bounded(edges, _seeds(spark, [7]), max_hops=3).collect()
+    }
+    assert out == {7: 0}
+
+
+def test_attribution_empty_events_yields_no_rows(spark, tmp_path):
+    from etl_building_inspector_spark.plans.queries_surface5 import (
+        attribution_last_touch,
+    )
+
+    p = _empty_events_dir(spark, tmp_path)
+    assert attribution_last_touch(spark, p).count() == 0
