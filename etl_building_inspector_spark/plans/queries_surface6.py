@@ -597,3 +597,134 @@ def sql_recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_RCTE_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Max concurrent intervals (sweep line, NO self-join): each lineitem
+# occupies [shipdate, shipdate + 7 days); the per-supplier peak
+# concurrency is the max of a running +1/-1 sum over the merged
+# boundary stream. The interval-overlap self-join this replaces is
+# quadratic on busy suppliers; the sweep is one explode (2 rows per
+# interval) + one window ordered by (ts, delta) per supplier --
+# deterministic because ends (-1) sort before starts (+1) at the
+# same instant, i.e. touching intervals don't count as concurrent.
+# ---------------------------------------------------------------------------
+
+_SWEEP_SQL = """
+WITH bounds AS (
+  SELECT l_suppkey, CAST(l_shipdate AS DATE) AS ts, 1 AS delta
+  FROM lineitem
+  UNION ALL
+  SELECT l_suppkey, CAST(l_shipdate AS DATE) + 7 AS ts, -1 AS delta
+  FROM lineitem
+),
+swept AS (
+  SELECT l_suppkey,
+         sum(delta) OVER (PARTITION BY l_suppkey ORDER BY ts, delta
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS live
+  FROM bounds
+)
+SELECT l_suppkey AS suppkey, CAST(max(live) AS BIGINT) AS peak_concurrent
+FROM swept GROUP BY l_suppkey
+"""
+
+
+@_q("max_concurrent_intervals", _SWEEP_SQL)
+def max_concurrent_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    starts = li.select(
+        "l_suppkey", F.to_date("l_shipdate").alias("ts"), F.lit(1).alias("delta")
+    )
+    ends = li.select(
+        "l_suppkey",
+        F.date_add(F.to_date("l_shipdate"), 7).alias("ts"),
+        F.lit(-1).alias("delta"),
+    )
+    bounds = starts.unionByName(ends)
+    w = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("ts", "delta")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    swept = bounds.select(
+        "l_suppkey", F.sum("delta").over(w).alias("live")
+    )
+    return swept.groupBy(F.col("l_suppkey").alias("suppkey")).agg(
+        F.max("live").alias("peak_concurrent")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Group-wise linear regression by sufficient statistics: revenue trend
+# per nation over month index, reported as the EXACT RATIONAL slope
+# (numerator n*Sxy - Sx*Sy, denominator n*Sxx - Sx^2) -- one
+# aggregation pass collecting (n, Sx, Sy, Sxy, Sxx), all integer, all
+# map-side combinable. This is the distributed-ML shape: sufficient
+# statistics shrink to O(groups) rows no matter the table size, and
+# no float enters until a consumer divides num/den.
+# ---------------------------------------------------------------------------
+
+_SLOPE_SQL = """
+WITH monthly AS (
+  SELECT n.n_nationkey AS nationkey,
+         CAST(year(o.o_orderdate) AS BIGINT) * 12
+           + CAST(month(o.o_orderdate) AS BIGINT) AS x,
+         sum(CAST(round(o.o_totalprice * 100, 0) AS BIGINT)) AS y
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY 1, 2
+),
+rel AS (
+  SELECT nationkey, x - min(x) OVER () AS xr, y FROM monthly
+)
+SELECT nationkey,
+       CAST(count(*) AS BIGINT) AS n_months,
+       CAST(count(*) * sum(xr * y) - sum(xr) * sum(y) AS BIGINT)
+         AS slope_num,
+       CAST(count(*) * sum(xr * xr) - sum(xr) * sum(xr) AS BIGINT)
+         AS slope_den
+FROM rel GROUP BY nationkey
+"""
+
+
+@_q("regression_slope_by_nation", _SLOPE_SQL)
+def regression_slope_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    monthly = (
+        orders.join(customer, orders["o_custkey"] == customer["c_custkey"])
+        .join(
+            F.broadcast(nation),
+            customer["c_nationkey"] == nation["n_nationkey"],
+        )
+        .groupBy(
+            F.col("n_nationkey").alias("nationkey"),
+            (F.year("o_orderdate").cast("long") * 12
+             + F.month("o_orderdate").cast("long")).alias("x"),
+        )
+        .agg(
+            F.sum(
+                F.round(F.col("o_totalprice") * 100, 0).cast("long")
+            ).alias("y")
+        )
+    )
+    rel = monthly.select(
+        "nationkey",
+        (F.col("x") - F.min("x").over(Window.partitionBy())).alias("xr"),
+        "y",
+    )
+    n = F.count("*")
+    return rel.groupBy("nationkey").agg(
+        n.alias("n_months"),
+        (n * F.sum(F.col("xr") * F.col("y"))
+         - F.sum("xr") * F.sum("y")).alias("slope_num"),
+        (n * F.sum(F.col("xr") * F.col("xr"))
+         - F.sum("xr") * F.sum("xr")).alias("slope_den"),
+    )
