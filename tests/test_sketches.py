@@ -60,3 +60,29 @@ def test_correlation(spark, sf_dir):
     # exact linear dependence -> 1; independent synthetic columns -> ~0
     assert li.stat.corr("l_quantity", "derived") > 0.999
     assert abs(li.stat.corr("l_extendedprice", "l_quantity")) < 0.1
+
+
+def test_hll_sketch_partials_merge(spark):
+    """DataSketches HLL surface (Spark 3.5+): per-shard sketches
+    merged with hll_union_agg estimate the same cardinality as one
+    whole-table sketch -- the mergeable-state pattern that replaces
+    exact count_distinct at 100 TB (exact distinct shuffles every key;
+    sketches ship a few KB per shard). Merge is NOT bit-identical to
+    the whole-table sketch (sparse->dense promotion differs), so the
+    assertion is tolerance-based, against the true cardinality."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 10000).select(
+        (F.col("id") % 500).alias("k"), (F.col("id") % 37).alias("g")
+    )
+    whole = df.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("k")).alias("est")
+    ).collect()[0]["est"]
+    merged = (
+        df.groupBy("g")
+        .agg(F.hll_sketch_agg("k").alias("sk"))
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+        .collect()[0]["est"]
+    )
+    assert abs(whole - 500) <= 10
+    assert abs(merged - 500) <= 10
