@@ -728,3 +728,111 @@ def regression_slope_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         (n * F.sum(F.col("xr") * F.col("xr"))
          - F.sum("xr") * F.sum("xr")).alias("slope_den"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-weighted average value per user (TWAP shape): each event's
+# value is weighted by how long it remained current (lead(ts) - ts,
+# in microseconds); reported as exact integer numerator/denominator
+# (cents-micros / micros) -- division is the consumer's choice. One
+# window on (user_id, ts, event_id) + one agg, both on user_id: a
+# single shuffle. Magnitudes: 30 days ~ 2.6e12 us, cents <= 1e4 ->
+# num <= ~2.6e16, inside int64.
+# ---------------------------------------------------------------------------
+
+_TWAP_SQL = """
+WITH seq AS (
+  SELECT user_id,
+         CAST(round(value * 100, 0) AS BIGINT) AS cents,
+         epoch_us(ts) AS t,
+         lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS t_next
+  FROM events
+)
+SELECT user_id,
+       CAST(sum(cents * (t_next - t)) AS BIGINT) AS twap_num,
+       CAST(sum(t_next - t) AS BIGINT) AS twap_den,
+       CAST(count(*) AS BIGINT) AS n_intervals
+FROM seq WHERE t_next IS NOT NULL
+GROUP BY user_id
+"""
+
+
+@_q("time_weighted_value", _TWAP_SQL)
+def time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions.timeutil import epoch_micros
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+        epoch_micros("ts").alias("t"),
+        F.lead(epoch_micros("ts")).over(w).alias("t_next"),
+    ).where(F.col("t_next").isNotNull())
+    return seq.groupBy("user_id").agg(
+        F.sum(F.col("cents") * (F.col("t_next") - F.col("t"))).alias(
+            "twap_num"
+        ),
+        F.sum(F.col("t_next") - F.col("t")).alias("twap_den"),
+        F.count("*").alias("n_intervals"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Z-order clustering key: bit-interleave two dimension keys into one
+# space-filling-curve value -- the sort key under multi-dimensional
+# data clustering (Delta OPTIMIZE ZORDER, Iceberg sort orders). A
+# z-sorted layout lets min/max file stats prune on EITHER dimension.
+# The interleave is 10 unrolled shift-and-mask terms per dimension,
+# pure integer arithmetic identical on both engines; the query
+# reports file-grain z-buckets with row counts + per-dimension
+# min/max spans (the stats a pruning engine would persist).
+# ---------------------------------------------------------------------------
+
+
+def _z_interleave_sql(x: str, y: str, bits: int = 10) -> str:
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+_ZORDER_SQL = f"""
+WITH keyed AS (
+  SELECT l_partkey % 1024 AS xk, l_suppkey % 1024 AS yk,
+         {_z_interleave_sql('(l_partkey % 1024)', '(l_suppkey % 1024)')} AS z
+  FROM lineitem
+)
+SELECT CAST(z >> 14 AS BIGINT) AS z_bucket,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(min(xk) AS BIGINT) AS x_min, CAST(max(xk) AS BIGINT) AS x_max,
+       CAST(min(yk) AS BIGINT) AS y_min, CAST(max(yk) AS BIGINT) AS y_max
+FROM keyed GROUP BY 1
+"""
+
+
+@_q("zorder_bucket_stats", _ZORDER_SQL)
+def zorder_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_partkey") % 1024
+    y = F.col("l_suppkey") % 1024
+    z = F.lit(0)
+    for i in range(10):
+        z = z + F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i)
+        z = z + F.shiftleft(
+            F.shiftright(y, i).bitwiseAND(F.lit(1)), 2 * i + 1
+        )
+    keyed = li.select(x.alias("xk"), y.alias("yk"), z.alias("z"))
+    return keyed.groupBy(
+        F.shiftright(F.col("z"), 14).cast("long").alias("z_bucket")
+    ).agg(
+        F.count("*").alias("n_rows"),
+        F.min("xk").cast("long").alias("x_min"),
+        F.max("xk").cast("long").alias("x_max"),
+        F.min("yk").cast("long").alias("y_min"),
+        F.max("yk").cast("long").alias("y_max"),
+    )
