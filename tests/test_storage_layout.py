@@ -96,3 +96,49 @@ def test_dynamic_partition_pruning(spark, sf_dir, tmp_path_factory):
     rows = joined.collect()
     want = orders.where(F.col("o_orderpriority") == "1-URGENT").count()
     assert rows[0]["n"] == want
+
+
+def test_runtime_bloom_filter_injection(spark, sf_dir):
+    """Runtime filtering: on a shuffle join with a selective dim
+    filter, Catalyst injects a bloom_filter_agg on the creation side
+    and a might_contain probe into the fact scan -- at 100 TB this
+    drops most fact rows BEFORE the shuffle. Local fixtures sit under
+    the size thresholds (and AQE would broadcast), so the test lowers
+    the application-side floor and forces a shuffle join; the guard is
+    the INJECTION, results must be unchanged."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet").where(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").alias("n"))
+        )
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in plan
+        got = {r["o_orderpriority"]: r["n"] for r in j.collect()}
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    want = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("o_orderpriority")
+        .count()
+        .collect()
+    )
+    assert got == {r["o_orderpriority"]: r["count"] for r in want}
