@@ -286,3 +286,80 @@ def sample_frames(
         F.col("media.meta.duration_ms").alias("duration_ms"),
     )
     return slim.mapInPandas(kernel, schema=_FRAME_SCHEMA)
+
+
+# --- codec-free header sniffing --------------------------------------------
+
+_HEADER_SCHEMA = (
+    "key long, format string, width int, height int, parse_error string"
+)
+
+
+def parse_image_header(one: bytes):
+    """Pure-Python image header parser: PNG (IHDR), GIF (logical
+    screen descriptor), JPEG (SOF segment scan). No codec library --
+    dimensions come from the container header bytes, which is all a
+    catalog/dedup pass needs (decode stays behind HAVE_PIL). Returns
+    (format, width, height, error)."""
+    try:
+        if one[:8] == b"\x89PNG\r\n\x1a\n":
+            if one[12:16] != b"IHDR" or len(one) < 24:
+                return ("png", None, None, "truncated IHDR")
+            w = int.from_bytes(one[16:20], "big")
+            h = int.from_bytes(one[20:24], "big")
+            return ("png", w, h, None)
+        if one[:6] in (b"GIF87a", b"GIF89a"):
+            if len(one) < 10:
+                return ("gif", None, None, "truncated LSD")
+            w = int.from_bytes(one[6:8], "little")
+            h = int.from_bytes(one[8:10], "little")
+            return ("gif", w, h, None)
+        if one[:2] == b"\xff\xd8":
+            i = 2
+            while i + 9 < len(one):
+                if one[i] != 0xFF:
+                    return ("jpeg", None, None, "bad segment marker")
+                marker = one[i + 1]
+                if 0xC0 <= marker <= 0xCF and marker not in (
+                    0xC4,
+                    0xC8,
+                    0xCC,
+                ):
+                    h = int.from_bytes(one[i + 5 : i + 7], "big")
+                    w = int.from_bytes(one[i + 7 : i + 9], "big")
+                    return ("jpeg", w, h, None)
+                seg_len = int.from_bytes(one[i + 2 : i + 4], "big")
+                i += 2 + seg_len
+            return ("jpeg", None, None, "no SOF segment")
+        return (None, None, None, "unknown magic")
+    except Exception as ex:  # malformed blobs must not kill the task
+        return (None, None, None, f"parse failure: {ex}")
+
+
+def sniff_image_headers(df: DataFrame, key_col: str = "key") -> DataFrame:
+    """mapInPandas over the binary column running the codec-free
+    header parser: the catalog pass that works in ANY environment
+    (unlike decode_image's HAVE_PIL gate). Arrow-batched; only
+    (key, bytes) ships to Python, and only the first KB of each blob
+    is touched."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            parsed = pdf["bytes"].map(lambda b: parse_image_header(bytes(b)))
+            yield pd.DataFrame(
+                {
+                    "key": pdf["key"],
+                    "format": parsed.map(lambda t: t[0]),
+                    "width": parsed.map(lambda t: t[1]),
+                    "height": parsed.map(lambda t: t[2]),
+                    "parse_error": parsed.map(lambda t: t[3]),
+                }
+            )
+
+    from .._dist import ensure_workers_can_import
+
+    ensure_workers_can_import(df.sparkSession)
+    slim = df.select(
+        F.col(key_col).alias("key"), F.col("media.bytes").alias("bytes")
+    )
+    return slim.mapInPandas(kernel, schema=_HEADER_SCHEMA)

@@ -138,3 +138,82 @@ def test_sample_frames_fanout(spark, media_df):
     one = sample_frames(media_df, every_ms=1000, key_col="doc_id")
     counts = one.groupBy("key").count().collect()
     assert all(r["count"] == 1 for r in counts)
+
+
+def _png_bytes(w: int, h: int) -> bytes:
+    ihdr = w.to_bytes(4, "big") + h.to_bytes(4, "big") + b"\x08\x02\x00\x00\x00"
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + len(ihdr).to_bytes(4, "big")
+        + b"IHDR"
+        + ihdr
+        + b"\x00\x00\x00\x00"
+    )
+
+
+def _gif_bytes(w: int, h: int) -> bytes:
+    return b"GIF89a" + w.to_bytes(2, "little") + h.to_bytes(2, "little") + b"\x00" * 4
+
+
+def _jpeg_bytes(w: int, h: int) -> bytes:
+    app0 = b"\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00" + b"\x00" * 9
+    sof0 = (
+        b"\xff\xc0"
+        + (17).to_bytes(2, "big")
+        + b"\x08"
+        + h.to_bytes(2, "big")
+        + w.to_bytes(2, "big")
+        + b"\x03" + b"\x00" * 9
+    )
+    return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+
+
+def test_parse_image_header_kernel_pure():
+    """Header parsing needs NO codec: real container bytes for all
+    three formats, plus malformed blobs that must degrade to an error
+    column instead of raising."""
+    from etl_building_inspector_spark.operators.multimodal import (
+        parse_image_header,
+    )
+
+    assert parse_image_header(_png_bytes(640, 480)) == ("png", 640, 480, None)
+    assert parse_image_header(_gif_bytes(13, 7)) == ("gif", 13, 7, None)
+    assert parse_image_header(_jpeg_bytes(320, 200)) == ("jpeg", 320, 200, None)
+    fmt, w, h, err = parse_image_header(b"not an image at all")
+    assert (fmt, w, h) == (None, None, None) and err
+    fmt, w, h, err = parse_image_header(b"\x89PNG\r\n\x1a\nXXXX")
+    assert fmt == "png" and err
+
+
+def test_sniff_image_headers_distributed(spark):
+    """The mapInPandas wrapper ships real header bytes through the
+    media struct and returns per-key dimensions."""
+    from pyspark.sql import functions as F
+
+    from etl_building_inspector_spark.operators.multimodal import (
+        sniff_image_headers,
+    )
+
+    rows = [
+        (1, _png_bytes(100, 50)),
+        (2, _gif_bytes(8, 9)),
+        (3, _jpeg_bytes(64, 32)),
+        (4, b"garbage"),
+    ]
+    df = spark.createDataFrame(rows, "key long, raw binary").select(
+        "key",
+        F.struct(
+            F.col("raw").alias("bytes"),
+            F.lit("application/octet-stream").alias("mime"),
+        ).alias("media"),
+    )
+    got = {
+        r["key"]: (r["format"], r["width"], r["height"])
+        for r in sniff_image_headers(df).collect()
+    }
+    assert got == {
+        1: ("png", 100, 50),
+        2: ("gif", 8, 9),
+        3: ("jpeg", 64, 32),
+        4: (None, None, None),
+    }
