@@ -836,3 +836,75 @@ def zorder_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("yk").cast("long").alias("y_min"),
         F.max("yk").cast("long").alias("y_max"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact median via a GROUPED_AGG pandas UDAF -- the same answer as
+# median_exact_groups (same oracle SQL), implemented as the fourth
+# and final sanctioned Python-kernel shape: scalar pandas_udf
+# (base62), mapInPandas (multimodal), applyInPandas[WithState]
+# (packing / sessions), and now grouped-agg. Arrow ships each group's
+# cents column to one Python worker; use when the aggregate genuinely
+# can't be expressed relationally -- for median it CAN (see the rank
+# twin), which makes this pair an honest benchmark of the UDAF tax.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "median_exact_udaf",
+    """
+WITH ranked AS (
+  SELECT o_orderpriority,
+         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY CAST(round(o_totalprice * 100, 0) AS BIGINT),
+                                     o_orderkey) AS rn,
+         count(*) OVER (PARTITION BY o_orderpriority) AS n
+  FROM orders
+)
+SELECT o_orderpriority AS priority,
+       CAST(sum(CASE WHEN rn = (n + 1) // 2 THEN cents ELSE 0 END
+              + CASE WHEN rn = n // 2 + 1 THEN cents ELSE 0 END)
+            AS BIGINT) AS median_cents_x2,
+       CAST(max(n) AS BIGINT) AS n
+FROM ranked GROUP BY o_orderpriority
+""",
+)
+def median_exact_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from .._dist import ensure_workers_can_import
+
+    ensure_workers_can_import(spark)
+
+    from pyspark.sql.functions import PandasUDFType
+
+    # explicit functionType: with `from __future__ import annotations`
+    # the type hints are strings and pandas_udf's inference rejects them
+    @pandas_udf("long", PandasUDFType.GROUPED_AGG)
+    def median_x2(cents):
+        s = cents.sort_values().reset_index(drop=True)
+        n = len(s)
+        lo = (n + 1) // 2 - 1  # 0-based two-middle-rows
+        hi = n // 2
+        return int(s.iloc[lo]) + int(s.iloc[hi])
+
+    # classic-mode Spark refuses to mix a GROUPED_AGG pandas UDF with
+    # built-in aggregates in one agg(); the count rides as a second UDAF
+    @pandas_udf("long", PandasUDFType.GROUPED_AGG)
+    def n_rows(cents):
+        return len(cents)
+
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    return (
+        orders.select(
+            F.col("o_orderpriority").alias("priority"), cents.alias("cents")
+        )
+        .groupBy("priority")
+        .agg(
+            median_x2("cents").alias("median_cents_x2"),
+            n_rows("cents").alias("n"),
+        )
+    )
