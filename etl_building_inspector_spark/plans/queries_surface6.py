@@ -908,3 +908,94 @@ def median_exact_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
             n_rows("cents").alias("n"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Error-safe function battery: the try_* surface that keeps a 100 TB
+# job alive when ANSI mode is on (the driver session default) --
+# division by zero, overflow-prone casts, malformed numbers all
+# degrade to NULL instead of killing the stage. Counts are grouped so
+# the oracle pins every null-production path.
+# ---------------------------------------------------------------------------
+
+_TRY_SQL = """
+SELECT l_linestatus AS status,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN l_quantity = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS zero_qty,
+       CAST(count(CASE WHEN l_quantity <> 0
+                       THEN CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                            // CAST(l_quantity AS BIGINT) END) AS BIGINT)
+         AS unit_price_ok,
+       CAST(count(TRY_CAST(l_returnflag AS BIGINT)) AS BIGINT)
+         AS flag_as_number
+FROM lineitem GROUP BY l_linestatus
+"""
+
+
+@_q("try_function_battery", _TRY_SQL)
+def try_function_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    unit_price = F.expr(
+        "try_divide(CAST(round(l_extendedprice * 100, 0) AS BIGINT), "
+        "CAST(l_quantity AS BIGINT))"
+    )
+    return li.groupBy(F.col("l_linestatus").alias("status")).agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("l_quantity") == 0, 1).otherwise(0)).alias(
+            "zero_qty"
+        ),
+        # try_divide yields NULL on /0 (never raises, ANSI or not);
+        # floor to match DuckDB's integer //
+        F.count(F.floor(unit_price)).alias("unit_price_ok"),
+        F.count(F.expr("try_cast(l_returnflag AS BIGINT)")).alias(
+            "flag_as_number"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ID-sequence gap detection: missing o_orderkey ranges via lead() over
+# the distinct keys -- the DQ complement to dq_constraint_checks
+# (completeness, not integrity). The window is global over DISTINCT
+# ids; at 100 TB you'd range-partition by id bucket and only stitch
+# bucket boundaries (one extra tiny pass) -- the per-bucket lead()
+# is embarrassingly parallel.
+# ---------------------------------------------------------------------------
+
+# the fixture's keys are dense, which would make the query a 0-row
+# no-op; % 7 "deletions" model the soft-delete holes this op exists
+# to find (same predicate on both engines, so still oracle-exact)
+_GAPS_SQL = """
+WITH ids AS (SELECT DISTINCT o_orderkey AS id FROM orders
+             WHERE o_orderkey % 7 <> 0),
+seq AS (
+  SELECT id, lead(id) OVER (ORDER BY id) AS next_id FROM ids
+)
+SELECT id + 1 AS gap_start, next_id - 1 AS gap_end,
+       CAST(next_id - id - 1 AS BIGINT) AS missing
+FROM seq WHERE next_id IS NOT NULL AND next_id - id > 1
+"""
+
+
+@_q("id_gap_ranges", _GAPS_SQL)
+def id_gap_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    ids = (
+        orders.where(F.col("o_orderkey") % 7 != 0)
+        .select(F.col("o_orderkey").alias("id"))
+        .distinct()
+    )
+    seq = ids.select(
+        "id", F.lead("id").over(Window.orderBy("id")).alias("next_id")
+    )
+    return seq.where(
+        F.col("next_id").isNotNull() & (F.col("next_id") - F.col("id") > 1)
+    ).select(
+        (F.col("id") + 1).alias("gap_start"),
+        (F.col("next_id") - 1).alias("gap_end"),
+        (F.col("next_id") - F.col("id") - 1).alias("missing"),
+    )
