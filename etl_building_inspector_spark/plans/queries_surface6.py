@@ -999,3 +999,47 @@ def id_gap_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("next_id") - 1).alias("gap_end"),
         (F.col("next_id") - F.col("id") - 1).alias("missing"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Relational division: customers who have ordered under EVERY priority
+# class -- the "for all" quantifier, classically a nested NOT EXISTS
+# (NOT EXISTS (classes EXCEPT customer's classes)). The scalable
+# rewrite is count-distinct equality: one hash agg per customer
+# against the (broadcast) universe size, no double anti-join. Both
+# spellings are equivalent because distinct-per-customer classes are
+# a subset of the universe by construction.
+# ---------------------------------------------------------------------------
+
+_DIVISION_SQL = """
+WITH universe AS (
+  SELECT CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS n_classes
+  FROM orders
+),
+per_cust AS (
+  SELECT o_custkey,
+         CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS n_classes,
+         CAST(count(*) AS BIGINT) AS n_orders
+  FROM orders GROUP BY o_custkey
+)
+SELECT p.o_custkey AS custkey, p.n_orders
+FROM per_cust p, universe u
+WHERE p.n_classes = u.n_classes
+"""
+
+
+@_q("relational_division", _DIVISION_SQL)
+def relational_division(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    universe = orders.agg(
+        F.count_distinct("o_orderpriority").alias("n_classes_u")
+    )
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.count_distinct("o_orderpriority").alias("n_classes"),
+        F.count("*").alias("n_orders"),
+    )
+    return (
+        per_cust.crossJoin(F.broadcast(universe))
+        .where(F.col("n_classes") == F.col("n_classes_u"))
+        .select(F.col("o_custkey").alias("custkey"), "n_orders")
+    )
