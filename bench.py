@@ -81,6 +81,11 @@ HEADLINE = [
     "emb_assign_nearest_prototype",
     "dq_constraint_checks",
     "asof_join_tolerance",
+    # batch 5: UDAF-tax pair + TWAP + sweep line
+    "median_exact_groups",
+    "median_exact_udaf",
+    "time_weighted_value",
+    "max_concurrent_intervals",
 ]
 
 
