@@ -1043,3 +1043,149 @@ def relational_division(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n_classes") == F.col("n_classes_u"))
         .select(F.col("o_custkey").alias("custkey"), "n_orders")
     )
+
+
+# ---------------------------------------------------------------------------
+# Market-basket LIFT: how much more often parts co-occur than
+# independence predicts -- lift = P(ab) / (P(a)P(b)) reported as the
+# exact integer rational (n_ab * n_orders, n_a * n_b): no float
+# enters the hash. Reuses the bounded per-order self-join of
+# basket_pair_support plus two broadcast-sized marginals.
+# ---------------------------------------------------------------------------
+
+_LIFT_SQL = f"""
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+tot AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+        FROM items),
+marg AS (
+  SELECT l_partkey, CAST(count(*) AS BIGINT) AS n FROM items GROUP BY 1
+),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+         CAST(count(*) AS BIGINT) AS n_ab
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING count(*) >= {BASKET_MIN_SUPPORT}
+)
+SELECT p.part_a, p.part_b, p.n_ab,
+       CAST(p.n_ab * t.n_orders AS BIGINT) AS lift_num,
+       CAST(ma.n * mb.n AS BIGINT) AS lift_den
+FROM pairs p
+JOIN marg ma ON ma.l_partkey = p.part_a
+JOIN marg mb ON mb.l_partkey = p.part_b
+CROSS JOIN tot t
+"""
+
+
+@_q("basket_pair_lift", _LIFT_SQL)
+def basket_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    tot = items.agg(
+        F.count_distinct("l_orderkey").alias("n_orders")
+    )
+    marg = items.groupBy("l_partkey").agg(F.count("*").alias("n"))
+    a = items.alias("a")
+    b = items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count("*").alias("n_ab"))
+        .where(F.col("n_ab") >= BASKET_MIN_SUPPORT)
+    )
+    ma = marg.select(
+        F.col("l_partkey").alias("part_a"), F.col("n").alias("n_a")
+    )
+    mb = marg.select(
+        F.col("l_partkey").alias("part_b"), F.col("n").alias("n_b")
+    )
+    return (
+        pairs.join(ma, "part_a")
+        .join(mb, "part_b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "part_a",
+            "part_b",
+            "n_ab",
+            (F.col("n_ab") * F.col("n_orders")).alias("lift_num"),
+            (F.col("n_a") * F.col("n_b")).alias("lift_den"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# RFM segmentation: quartile-code every customer on Recency (days
+# since last order, integer), Frequency (order count) and Monetary
+# (lifetime cents), segment = 100*R + 10*F + M. One agg on custkey +
+# three ntile windows over the (already customer-grain) aggregate --
+# window AFTER aggregate again. Ties broken by custkey so ntile
+# boundaries are deterministic on both engines.
+# ---------------------------------------------------------------------------
+
+_RFM_SQL = """
+WITH cust AS (
+  SELECT o_custkey,
+         date_diff('day', max(CAST(o_orderdate AS DATE)), DATE '1999-01-01')
+           AS recency_days,
+         CAST(count(*) AS BIGINT) AS frequency,
+         sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS monetary_cents
+  FROM orders GROUP BY o_custkey
+),
+coded AS (
+  SELECT o_custkey, recency_days, frequency, monetary_cents,
+         ntile(4) OVER (ORDER BY recency_days, o_custkey) AS r,
+         ntile(4) OVER (ORDER BY frequency DESC, o_custkey) AS f,
+         ntile(4) OVER (ORDER BY monetary_cents DESC, o_custkey) AS m
+  FROM cust
+)
+SELECT CAST(r * 100 + f * 10 + m AS BIGINT) AS segment,
+       CAST(count(*) AS BIGINT) AS customers,
+       CAST(sum(monetary_cents) AS BIGINT) AS segment_cents
+FROM coded GROUP BY 1
+"""
+
+
+@_q("rfm_segmentation", _RFM_SQL)
+def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = orders.groupBy("o_custkey").agg(
+        F.datediff(
+            F.lit("1999-01-01").cast("date"), F.max(F.to_date("o_orderdate"))
+        ).alias("recency_days"),
+        F.count("*").alias("frequency"),
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias(
+            "monetary_cents"
+        ),
+    )
+    coded = cust.select(
+        "monetary_cents",
+        F.ntile(4)
+        .over(Window.orderBy("recency_days", "o_custkey"))
+        .alias("r"),
+        F.ntile(4)
+        .over(Window.orderBy(F.desc("frequency"), F.asc("o_custkey")))
+        .alias("f"),
+        F.ntile(4)
+        .over(Window.orderBy(F.desc("monetary_cents"), F.asc("o_custkey")))
+        .alias("m"),
+    )
+    return coded.groupBy(
+        (F.col("r") * 100 + F.col("f") * 10 + F.col("m"))
+        .cast("long")
+        .alias("segment")
+    ).agg(
+        F.count("*").alias("customers"),
+        F.sum("monetary_cents").alias("segment_cents"),
+    )
