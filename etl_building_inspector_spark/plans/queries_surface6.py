@@ -1189,3 +1189,57 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("customers"),
         F.sum("monetary_cents").alias("segment_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Null-safe equi-join (<=> / IS NOT DISTINCT FROM): NULL keys MATCH
+# each other instead of vanishing -- the semantics you need when NULL
+# is a legitimate category value (here: priorities scrubbed to NULL
+# route to a catch-all dim row). Still a hash join: Spark hashes the
+# null bucket like any other key under EqualNullSafe, so the plan is
+# identical to a plain equi-join -- no fallback to nested loop.
+# ---------------------------------------------------------------------------
+
+_NULLSAFE_SQL = """
+WITH o AS (
+  SELECT CASE WHEN o_orderpriority = '3-MEDIUM' THEN NULL
+              ELSE o_orderpriority END AS pk,
+         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+  FROM orders
+),
+dim AS (
+  SELECT * FROM (VALUES ('1-URGENT', 'hot'), ('2-HIGH', 'hot'),
+                        (NULL, 'scrubbed'), ('4-NOT SPECIFIED', 'cold'),
+                        ('5-LOW', 'cold')) AS t(pk, label)
+)
+SELECT d.label, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(o.cents) AS BIGINT) AS cents
+FROM o JOIN dim d ON o.pk IS NOT DISTINCT FROM d.pk
+GROUP BY d.label
+"""
+
+
+@_q("join_null_safe", _NULLSAFE_SQL)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    o = orders.select(
+        F.when(F.col("o_orderpriority") == "3-MEDIUM", None)
+        .otherwise(F.col("o_orderpriority"))
+        .alias("pk"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    dim = spark.createDataFrame(
+        [
+            ("1-URGENT", "hot"),
+            ("2-HIGH", "hot"),
+            (None, "scrubbed"),
+            ("4-NOT SPECIFIED", "cold"),
+            ("5-LOW", "cold"),
+        ],
+        "pk string, label string",
+    )
+    return (
+        o.join(F.broadcast(dim), o["pk"].eqNullSafe(dim["pk"]))
+        .groupBy("label")
+        .agg(F.count("*").alias("n"), F.sum("cents").alias("cents"))
+    )
