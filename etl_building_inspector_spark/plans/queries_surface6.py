@@ -1130,6 +1130,13 @@ def basket_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
 # three ntile windows over the (already customer-grain) aggregate --
 # window AFTER aggregate again. Ties broken by custkey so ntile
 # boundaries are deterministic on both engines.
+#
+# Scale note: an unpartitioned ntile sorts the CUSTOMER-GRAIN table in
+# one partition -- fine while |customers| << |orders| (it is: the agg
+# did the reduction), the known ceiling at ~1e9 customers. Past that,
+# swap ntile for the two-pass rank: range-partitioned sort + per-range
+# row counts broadcast back to offset local ranks (the same
+# bucket-stitch used by id_gap_ranges), identical output.
 # ---------------------------------------------------------------------------
 
 _RFM_SQL = """
