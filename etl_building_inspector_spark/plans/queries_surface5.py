@@ -612,3 +612,105 @@ def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("revenue_cents").alias("revenue_cents"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Deadline-bounded funnel: same ordered stages, but every later stage
+# must land within 7 days of the user's FIRST signup (the "conversion
+# window" form every growth dashboard actually uses). Identical
+# single-shuffle window shape as funnel_stages -- the deadline is one
+# extra conjunct on each stage's min-condition, in microsecond epoch
+# so sub-second edges classify identically on both engines.
+# ---------------------------------------------------------------------------
+
+FUNNEL_WINDOW_US = 7 * 86400 * 1_000_000
+
+_FUNNEL_WIN_SQL = f"""
+WITH per_event AS (
+  SELECT user_id, event_type, ts,
+         min(CASE WHEN event_type = 'signup' THEN ts END)
+           OVER (PARTITION BY user_id) AS t1
+  FROM events
+),
+s2 AS (
+  SELECT user_id, t1,
+         min(CASE WHEN event_type = 'view' AND ts > t1
+                   AND epoch_us(ts) - epoch_us(t1) <= {FUNNEL_WINDOW_US}
+                  THEN ts END) OVER (PARTITION BY user_id) AS t2
+  FROM per_event
+),
+s3 AS (
+  SELECT user_id, t1, t2,
+         min(CASE WHEN event_type = 'click' AND ts > t2
+                   AND epoch_us(ts) - epoch_us(t1) <= {FUNNEL_WINDOW_US}
+                  THEN ts END) OVER (PARTITION BY user_id) AS t3
+  FROM (SELECT p.user_id, p.event_type, p.ts, p.t1, s2.t2
+        FROM per_event p JOIN (SELECT DISTINCT user_id, t1, t2 FROM s2) s2
+        USING (user_id, t1))
+),
+s4 AS (
+  SELECT user_id, t1, t2, t3,
+         min(CASE WHEN event_type = 'purchase' AND ts > t3
+                   AND epoch_us(ts) - epoch_us(t1) <= {FUNNEL_WINDOW_US}
+                  THEN ts END) OVER (PARTITION BY user_id) AS t4
+  FROM (SELECT p.user_id, p.event_type, p.ts, p.t1, s3.t2, s3.t3
+        FROM per_event p JOIN (SELECT DISTINCT user_id, t1, t2, t3 FROM s3) s3
+        USING (user_id, t1))
+),
+per_user AS (SELECT DISTINCT user_id, t1, t2, t3, t4 FROM s4)
+SELECT * FROM (
+  SELECT 1 AS stage_order, 'signup' AS stage,
+         CAST(count(t1) AS BIGINT) AS users FROM per_user
+  UNION ALL
+  SELECT 2, 'view', CAST(count(t2) AS BIGINT) FROM per_user
+  UNION ALL
+  SELECT 3, 'click', CAST(count(t3) AS BIGINT) FROM per_user
+  UNION ALL
+  SELECT 4, 'purchase', CAST(count(t4) AS BIGINT) FROM per_user
+)
+"""
+
+
+@_q("funnel_stages_windowed", _FUNNEL_WIN_SQL)
+def funnel_stages_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    deadline_ok = (
+        epoch_micros(F.col("ts")) - epoch_micros(F.col("t1"))
+        <= FUNNEL_WINDOW_US
+    )
+
+    staged = events.withColumn(
+        "t1",
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).over(w),
+    )
+
+    def stage(df: DataFrame, out: str, etype: str, after: str) -> DataFrame:
+        return df.withColumn(
+            out,
+            F.min(
+                F.when(
+                    (F.col("event_type") == etype)
+                    & (F.col("ts") > F.col(after))
+                    & deadline_ok,
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+
+    staged = stage(staged, "t2", "view", "t1")
+    staged = stage(staged, "t3", "click", "t2")
+    staged = stage(staged, "t4", "purchase", "t3")
+    per_user = staged.groupBy("user_id").agg(
+        *[F.max(c).alias(c) for c in ("t1", "t2", "t3", "t4")]
+    )
+    counts = per_user.agg(
+        F.count("t1").alias("u1"),
+        F.count("t2").alias("u2"),
+        F.count("t3").alias("u3"),
+        F.count("t4").alias("u4"),
+    )
+    return counts.selectExpr(
+        "stack(4, 1, 'signup', u1, 2, 'view', u2, 3, 'click', u3, "
+        "4, 'purchase', u4) AS (stage_order, stage, users)"
+    )
