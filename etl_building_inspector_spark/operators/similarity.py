@@ -686,3 +686,82 @@ def cosine_topk_ivf_sampled(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def kmeans_fit(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+    rounds: int = 3,
+):
+    """Multi-round distributed KMeans (Lloyd) entirely on DataFrames:
+    init = first k vectors by id (deterministic), then per round one
+    broadcast argmin assignment + one (cluster, dim) re-aggregation --
+    the iterated form of queries_llm4.kmeans_lloyd_round. Centroids
+    live driver-side as a k x dim literal table (k*dim is tiny by
+    definition); the corpus is only ever scanned, never shuffled by
+    more than the posexplode agg. Returns (assignments DataFrame,
+    [inertia per round]): Lloyd guarantees inertia is non-increasing,
+    which the convergence test pins.
+    """
+    from pyspark.sql import functions as F
+
+    spark = df.sparkSession
+    vecs = df.select(
+        F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("v")
+    )
+    dim = len(vecs.first()["v"])
+    # deterministic init: the k lowest-id vectors
+    init = vecs.orderBy("id").limit(k).collect()
+    centroids = [[float(x) for x in r["v"]] for r in init]
+
+    def centroid_df():
+        return spark.createDataFrame(
+            [(i, centroids[i]) for i in range(len(centroids))],
+            f"cid int, cv array<double>",
+        )
+
+    d2 = F.aggregate(
+        F.zip_with(
+            F.transform("v", lambda x: x.cast("double")),
+            "cv",
+            lambda a, b: (a - b) * (a - b),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    inertias: list[float] = []
+    assign = None
+    for _ in range(rounds):
+        dists = vecs.crossJoin(F.broadcast(centroid_df())).select(
+            "id", "v", "cid", d2.alias("d2")
+        )
+        assign = dists.groupBy("id").agg(
+            F.min(F.struct("d2", "cid")).alias("b")
+        ).select("id", F.col("b.cid").alias("cid"), F.col("b.d2").alias("d2"))
+        inertias.append(
+            assign.agg(F.sum("d2").alias("s")).collect()[0]["s"]
+        )
+        # recompute means: posexplode + (cid, dim) agg, k*dim rows back
+        new = (
+            vecs.join(assign.select("id", "cid"), "id")
+            .select(
+                "cid",
+                F.posexplode(
+                    F.transform("v", lambda x: x.cast("double"))
+                ).alias("d", "x"),
+            )
+            .groupBy("cid", "d")
+            .agg(F.sum("x").alias("sx"), F.count("*").alias("n"))
+            .collect()
+        )
+        by_cid: dict = {}
+        for r in new:
+            by_cid.setdefault(r["cid"], [0.0] * dim)[r["d"]] = (
+                r["sx"] / r["n"]
+            )
+        centroids = [
+            by_cid.get(i, centroids[i]) for i in range(len(centroids))
+        ]
+    return assign, inertias

@@ -214,3 +214,21 @@ def test_ivf_sampled_recall_reasonable(spark, emb):
     approx_pairs = {(r.query_id, r.neighbor_id) for r in approx}
     recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
     assert recall >= 0.5
+
+
+def test_kmeans_fit_inertia_non_increasing(spark, sf_dir):
+    """Lloyd's algorithm guarantee: each assignment+recenter round can
+    only lower (never raise) total within-cluster squared distance.
+    Pins the iterated loop built on the same broadcast-argmin /
+    re-aggregation plan as the registered single round."""
+    from etl_building_inspector_spark.operators.similarity import kmeans_fit
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    assign, inertias = kmeans_fit(emb, k=8, rounds=3)
+    assert len(inertias) == 3
+    for a, b in zip(inertias, inertias[1:]):
+        assert b <= a * (1 + 1e-9), inertias
+    # every vector assigned to exactly one of the k clusters
+    n = emb.count()
+    assert assign.count() == n
+    assert assign.select("cid").distinct().count() <= 8
