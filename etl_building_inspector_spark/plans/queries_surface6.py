@@ -1250,3 +1250,82 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("label")
         .agg(F.count("*").alias("n"), F.sum("cents").alias("cents"))
     )
+
+
+# ---------------------------------------------------------------------------
+# IQR-rule outlier counts per group: quartiles defined by explicit
+# rank (q1 = cents at rank ceil(n/4), q3 at ceil(3n/4) -- one fixed
+# definition spelled identically on both engines, sidestepping the
+# interpolation zoo), outlier iff 2c < 2*q1 - 3*IQR or
+# 2c > 2*q3 + 3*IQR (scaled by 2 so the 1.5x factor stays integer).
+# Same window-rank scaffold as median_exact_groups; one shuffle on
+# the group key, thresholds join back as a 5-row broadcast.
+# ---------------------------------------------------------------------------
+
+_IQR_SQL = """
+WITH ranked AS (
+  SELECT o_orderpriority AS pri,
+         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY CAST(round(o_totalprice * 100, 0) AS BIGINT),
+                                     o_orderkey) AS rn,
+         count(*) OVER (PARTITION BY o_orderpriority) AS n
+  FROM orders
+),
+quarts AS (
+  SELECT pri,
+         CAST(sum(CASE WHEN rn = (n + 3) // 4 THEN cents ELSE 0 END)
+              AS BIGINT) AS q1,
+         CAST(sum(CASE WHEN rn = (3 * n + 3) // 4 THEN cents ELSE 0 END)
+              AS BIGINT) AS q3
+  FROM ranked GROUP BY pri
+)
+SELECT r.pri AS priority,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN 2 * r.cents < 2 * q.q1 - 3 * (q.q3 - q.q1)
+                       OR 2 * r.cents > 2 * q.q3 + 3 * (q.q3 - q.q1)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM ranked r JOIN quarts q ON r.pri = q.pri
+GROUP BY r.pri
+"""
+
+
+@_q("outlier_iqr_by_group", _IQR_SQL)
+def outlier_iqr_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    # window over the SOURCE column: a lateral alias ("pri") can't be
+    # referenced from a window in the same select
+    wp = Window.partitionBy("o_orderpriority")
+    ranked = orders.select(
+        F.col("o_orderpriority").alias("pri"),
+        cents.alias("cents"),
+        F.row_number()
+        .over(wp.orderBy(cents, "o_orderkey"))
+        .alias("rn"),
+        F.count("*").over(wp).alias("n"),
+    )
+    q1_rank = ((F.col("n") + 3) / 4).cast("long")
+    q3_rank = ((3 * F.col("n") + 3) / 4).cast("long")
+    quarts = ranked.groupBy("pri").agg(
+        F.sum(
+            F.when(F.col("rn") == q1_rank, F.col("cents")).otherwise(0)
+        ).alias("q1"),
+        F.sum(
+            F.when(F.col("rn") == q3_rank, F.col("cents")).otherwise(0)
+        ).alias("q3"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    is_out = (2 * F.col("cents") < 2 * F.col("q1") - 3 * iqr) | (
+        2 * F.col("cents") > 2 * F.col("q3") + 3 * iqr
+    )
+    return (
+        ranked.join(F.broadcast(quarts), "pri")
+        .groupBy(F.col("pri").alias("priority"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.when(is_out, 1).otherwise(0)).alias("n_outliers"),
+        )
+    )
