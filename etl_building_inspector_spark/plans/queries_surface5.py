@@ -714,3 +714,106 @@ def funnel_stages_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stack(4, 1, 'signup', u1, 2, 'view', u2, 3, 'click', u3, "
         "4, 'purchase', u4) AS (stage_order, stage, users)"
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-to-convert: exact median microseconds per funnel transition
+# (signup->view, view->click, click->purchase) over users who reached
+# each stage. Composes the single-shuffle funnel scaffold with the
+# rank-based exact-median scaffold; the per-transition median windows
+# run over the USER-GRAIN diffs (window after aggregate, again).
+# Reported as median*2 so even-count groups stay integer.
+# ---------------------------------------------------------------------------
+
+_TTC_SQL = """
+WITH per_event AS (
+  SELECT user_id, event_type, ts,
+         min(CASE WHEN event_type = 'signup' THEN ts END)
+           OVER (PARTITION BY user_id) AS t1
+  FROM events
+),
+w2 AS (
+  SELECT *, min(CASE WHEN event_type = 'view' AND ts > t1 THEN ts END)
+              OVER (PARTITION BY user_id) AS t2 FROM per_event
+),
+w3 AS (
+  SELECT *, min(CASE WHEN event_type = 'click' AND ts > t2 THEN ts END)
+              OVER (PARTITION BY user_id) AS t3 FROM w2
+),
+w4 AS (
+  SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > t3 THEN ts END)
+              OVER (PARTITION BY user_id) AS t4 FROM w3
+),
+per_user AS (SELECT DISTINCT user_id, t1, t2, t3, t4 FROM w4),
+diffs AS (
+  SELECT 1 AS transition_order, 'signup>view' AS transition,
+         epoch_us(t2) - epoch_us(t1) AS us FROM per_user WHERE t2 IS NOT NULL
+  UNION ALL
+  SELECT 2, 'view>click', epoch_us(t3) - epoch_us(t2) FROM per_user
+  WHERE t3 IS NOT NULL
+  UNION ALL
+  SELECT 3, 'click>purchase', epoch_us(t4) - epoch_us(t3) FROM per_user
+  WHERE t4 IS NOT NULL
+),
+ranked AS (
+  SELECT transition_order, transition, us,
+         row_number() OVER (PARTITION BY transition ORDER BY us) AS rn,
+         count(*) OVER (PARTITION BY transition) AS n
+  FROM diffs
+)
+SELECT transition_order, transition, CAST(max(n) AS BIGINT) AS n_users,
+       CAST(sum(CASE WHEN rn = (n + 1) // 2 THEN us ELSE 0 END
+              + CASE WHEN rn = n // 2 + 1 THEN us ELSE 0 END)
+            AS BIGINT) AS median_us_x2
+FROM ranked GROUP BY transition_order, transition
+"""
+
+
+@_q("funnel_time_to_convert", _TTC_SQL)
+def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+
+    def stage_min(etype: str, after) -> F.Column:
+        cond = F.col("event_type") == etype
+        if after is not None:
+            cond = cond & (F.col("ts") > after)
+        return F.min(F.when(cond, F.col("ts"))).over(w)
+
+    staged = events.withColumn("t1", stage_min("signup", None))
+    staged = staged.withColumn("t2", stage_min("view", F.col("t1")))
+    staged = staged.withColumn("t3", stage_min("click", F.col("t2")))
+    staged = staged.withColumn("t4", stage_min("purchase", F.col("t3")))
+    per_user = staged.groupBy("user_id").agg(
+        *[F.max(c).alias(c) for c in ("t1", "t2", "t3", "t4")]
+    )
+
+    def diff(order_n: int, name: str, a: str, b: str) -> DataFrame:
+        return per_user.where(F.col(b).isNotNull()).select(
+            F.lit(order_n).alias("transition_order"),
+            F.lit(name).alias("transition"),
+            (epoch_micros(F.col(b)) - epoch_micros(F.col(a))).alias("us"),
+        )
+
+    diffs = (
+        diff(1, "signup>view", "t1", "t2")
+        .unionByName(diff(2, "view>click", "t2", "t3"))
+        .unionByName(diff(3, "click>purchase", "t3", "t4"))
+    )
+    wt = Window.partitionBy("transition")
+    ranked = diffs.select(
+        "transition_order",
+        "transition",
+        "us",
+        F.row_number().over(wt.orderBy("us")).alias("rn"),
+        F.count("*").over(wt).alias("n"),
+    )
+    lo = ((F.col("n") + 1) / 2).cast("long")
+    hi = (F.col("n") / 2).cast("long") + 1
+    return ranked.groupBy("transition_order", "transition").agg(
+        F.max("n").alias("n_users"),
+        F.sum(
+            F.when(F.col("rn") == lo, F.col("us")).otherwise(0)
+            + F.when(F.col("rn") == hi, F.col("us")).otherwise(0)
+        ).alias("median_us_x2"),
+    )
