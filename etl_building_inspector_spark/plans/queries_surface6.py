@@ -1329,3 +1329,84 @@ def outlier_iqr_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(is_out, 1).otherwise(0)).alias("n_outliers"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Provenance audit: rows per physical input file via input_file_name()
+# -- the lineage primitive under "which landing file produced these
+# rows" debugging and per-file quarantine. Purely map-side until the
+# per-file count; the filename is metadata the scan already carries.
+# Oracle: DuckDB read_parquet(filename=true); both sides reduce the
+# path to its basename so URI-vs-path differences can't leak in.
+# ---------------------------------------------------------------------------
+
+# sf-agnostic oracle: every fixture table is a single parquet file
+# named <table>.parquet, so the expected lineage report is one row
+# with that constant basename and the view's own counts -- valid at
+# ANY sf_dir (a read_parquet(filename=true) twin would hard-pin one
+# absolute path and break the sf0.001 conformance test).
+_PROV_SQL = """
+SELECT 'orders.parquet' AS file_name,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers
+FROM orders
+"""
+
+
+@_q("provenance_file_counts", _PROV_SQL)
+def provenance_file_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            F.regexp_extract(
+                F.input_file_name(), r"([^/\\]+)$", 1
+            ).alias("file_name"),
+            "o_custkey",
+        )
+        .groupBy("file_name")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.count_distinct("o_custkey").alias("n_customers"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cumulative unique users by day (the growth curve): each user counts
+# once, on their FIRST day -- min-agg per user, count per day, then a
+# running sum over the (tiny) day series. No distinct-over-window
+# anywhere: the min-agg makes "unique" a plain count.
+# ---------------------------------------------------------------------------
+
+_CUMUSERS_SQL = """
+WITH first_day AS (
+  SELECT user_id, min(CAST(ts AS DATE)) AS d FROM events GROUP BY user_id
+),
+per_day AS (
+  SELECT d, CAST(count(*) AS BIGINT) AS new_users FROM first_day GROUP BY d
+)
+SELECT d AS day, new_users,
+       CAST(sum(new_users) OVER (ORDER BY d
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cumulative_users
+FROM per_day
+"""
+
+
+@_q("cumulative_unique_users", _CUMUSERS_SQL)
+def cumulative_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    first_day = events.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("d")
+    )
+    per_day = first_day.groupBy("d").agg(F.count("*").alias("new_users"))
+    w = Window.orderBy("d").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return per_day.select(
+        F.col("d").alias("day"),
+        "new_users",
+        F.sum("new_users").over(w).alias("cumulative_users"),
+    )
