@@ -142,3 +142,26 @@ def test_runtime_bloom_filter_injection(spark, sf_dir):
         .collect()
     )
     assert got == {r["o_orderpriority"]: r["count"] for r in want}
+
+
+def test_sql_cache_table_in_memory_scan(spark, sf_dir):
+    """SQL caching surface: CACHE TABLE pins a temp view columnar
+    in-memory; subsequent plans must read InMemoryTableScan instead of
+    re-scanning parquet, and UNCACHE must release it."""
+    spark.read.parquet(f"{sf_dir}/nation.parquet").createOrReplaceTempView(
+        "nation_cache_test"
+    )
+    spark.sql("CACHE TABLE nation_cache_test")
+    try:
+        df = spark.sql(
+            "SELECT count(*) AS n FROM nation_cache_test WHERE n_regionkey = 1"
+        )
+        # AQE's printed initial physical plan hides the cache node;
+        # the OPTIMIZED logical plan shows the InMemoryRelation swap
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "InMemoryRelation" in plan
+        assert df.collect()[0]["n"] > 0
+        assert spark.catalog.isCached("nation_cache_test")
+    finally:
+        spark.sql("UNCACHE TABLE nation_cache_test")
+    assert not spark.catalog.isCached("nation_cache_test")
