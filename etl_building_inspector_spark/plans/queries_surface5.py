@@ -817,3 +817,93 @@ def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.when(F.col("rn") == hi, F.col("us")).otherwise(0)
         ).alias("median_us_x2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# FIRST-touch attribution with purchase-reset journeys: each purchase
+# closes a journey segment (events since the user's previous
+# purchase); credit goes to the EARLIEST click/view in that segment.
+# Segment id = running count of PRIOR purchases (a window cumsum),
+# then one min-struct agg per (user, segment) picks first-touch and
+# the closing purchase together -- still a single user_id shuffle,
+# the dual of attribution_last_touch's carry-forward.
+# ---------------------------------------------------------------------------
+
+_ATTR_FIRST_SQL = """
+WITH seg AS (
+  SELECT user_id, event_type, ts, event_id, value,
+         count(CASE WHEN event_type = 'purchase' THEN 1 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS journey
+  FROM events
+),
+per_seg AS (
+  SELECT user_id, journey,
+         min(CASE WHEN event_type IN ('click','view')
+                  THEN ts END) AS first_mkt_ts,
+         arg_min(CASE WHEN event_type IN ('click','view')
+                      THEN event_type END,
+                 CASE WHEN event_type IN ('click','view')
+                      THEN ts END) AS first_mkt_type,
+         sum(CASE WHEN event_type = 'purchase'
+                  THEN CAST(round(value * 100, 0) AS BIGINT) END)
+           AS purchase_cents,
+         count(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchases
+  FROM seg GROUP BY user_id, journey
+)
+SELECT coalesce(CASE WHEN first_mkt_ts IS NOT NULL
+                     THEN first_mkt_type END, 'unattributed') AS channel,
+       CAST(count(*) AS BIGINT) AS journeys,
+       CAST(sum(purchase_cents) AS BIGINT) AS revenue_cents
+FROM per_seg WHERE n_purchases > 0
+GROUP BY 1
+"""
+
+
+@_q("attribution_first_touch", _ATTR_FIRST_SQL)
+def attribution_first_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_mkt = F.col("event_type").isin("click", "view")
+    seg = events.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "value",
+        F.count(
+            F.when(F.col("event_type") == "purchase", 1)
+        ).over(w).alias("journey"),
+    )
+    per_seg = seg.groupBy("user_id", "journey").agg(
+        # min on (ts, type) struct = earliest marketing touch; ts is
+        # unique enough per user but the struct keeps ties deterministic
+        F.min(
+            F.when(is_mkt, F.struct(F.col("ts"), F.col("event_type")))
+        ).alias("first_mkt"),
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.round(F.col("value") * 100, 0).cast("long"),
+            )
+        ).alias("purchase_cents"),
+        F.count(
+            F.when(F.col("event_type") == "purchase", 1)
+        ).alias("n_purchases"),
+    )
+    return (
+        per_seg.where(F.col("n_purchases") > 0)
+        .groupBy(
+            F.coalesce(
+                F.col("first_mkt.event_type"), F.lit("unattributed")
+            ).alias("channel")
+        )
+        .agg(
+            F.count("*").alias("journeys"),
+            F.sum("purchase_cents").alias("revenue_cents"),
+        )
+    )
