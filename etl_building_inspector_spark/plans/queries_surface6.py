@@ -1410,3 +1410,102 @@ def cumulative_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         "new_users",
         F.sum("new_users").over(w).alias("cumulative_users"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Status transition matrix: counts of consecutive (prev -> next)
+# order-status transitions per customer timeline (lag over the
+# customer's date-ordered orders) -- the empirical Markov chain under
+# behavioral models. One user-key window + one tiny-key agg.
+# ---------------------------------------------------------------------------
+
+_TRANS_SQL = """
+WITH seq AS (
+  SELECT o_custkey, o_orderstatus AS cur,
+         lag(o_orderstatus) OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate, o_orderkey) AS prev
+  FROM orders
+)
+SELECT prev AS from_status, cur AS to_status,
+       CAST(count(*) AS BIGINT) AS transitions
+FROM seq WHERE prev IS NOT NULL
+GROUP BY prev, cur
+"""
+
+
+@_q("status_transition_matrix", _TRANS_SQL)
+def status_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = orders.select(
+        F.col("o_orderstatus").alias("cur"),
+        F.lag("o_orderstatus").over(w).alias("prev"),
+    )
+    return (
+        seq.where(F.col("prev").isNotNull())
+        .groupBy(
+            F.col("prev").alias("from_status"),
+            F.col("cur").alias("to_status"),
+        )
+        .agg(F.count("*").alias("transitions"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Revenue concentration (the 80/20 check): how many top customers it
+# takes to cover 80% of revenue. Customer-grain aggregate first, then
+# a cumsum window over that aggregate (the sanctioned global-window-
+# over-aggregate shape); the 80% threshold compares 5*cumsum against
+# 4*total so no ratio is ever materialized.
+# ---------------------------------------------------------------------------
+
+_CONC_SQL = """
+WITH cust AS (
+  SELECT o_custkey,
+         sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS cents
+  FROM orders GROUP BY o_custkey
+),
+ranked AS (
+  SELECT cents,
+         sum(cents) OVER (ORDER BY cents DESC, o_custkey
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum,
+         sum(cents) OVER () AS total,
+         row_number() OVER (ORDER BY cents DESC, o_custkey) AS rk
+  FROM cust
+)
+SELECT CAST(min(rk) AS BIGINT) AS customers_to_80pct,
+       CAST(max(total) AS BIGINT) AS total_cents,
+       CAST(max(n) AS BIGINT) AS n_customers
+FROM (SELECT rk, total FROM ranked WHERE 5 * cum >= 4 * total),
+     (SELECT count(*) AS n FROM cust)
+"""
+
+
+@_q("revenue_concentration_8020", _CONC_SQL)
+def revenue_concentration_8020(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = orders.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias(
+            "cents"
+        )
+    )
+    w_order = Window.orderBy(F.desc("cents"), F.asc("o_custkey"))
+    ranked = cust.select(
+        F.sum("cents")
+        .over(w_order.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum"),
+        F.sum("cents").over(Window.partitionBy()).alias("total"),
+        F.row_number().over(w_order).alias("rk"),
+    )
+    hit = ranked.where(5 * F.col("cum") >= 4 * F.col("total"))
+    n_cust = cust.count()
+    return hit.agg(
+        F.min("rk").alias("customers_to_80pct"),
+        F.max("total").alias("total_cents"),
+        F.lit(n_cust).cast("long").alias("n_customers"),
+    )
