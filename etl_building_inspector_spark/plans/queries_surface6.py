@@ -1503,9 +1503,11 @@ def revenue_concentration_8020(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w_order).alias("rk"),
     )
     hit = ranked.where(5 * F.col("cum") >= 4 * F.col("total"))
-    n_cust = cust.count()
-    return hit.agg(
+    # keep the customer count IN the plan (one-row broadcast), not a
+    # driver-side .count() action folded into a literal
+    n_cust = cust.agg(F.count("*").alias("n"))
+    return hit.crossJoin(F.broadcast(n_cust)).agg(
         F.min("rk").alias("customers_to_80pct"),
         F.max("total").alias("total_cents"),
-        F.lit(n_cust).cast("long").alias("n_customers"),
+        F.max("n").alias("n_customers"),
     )
