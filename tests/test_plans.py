@@ -209,3 +209,34 @@ def test_skyline_window_over_aggregate_only(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "Window" in plan and "HashAggregate" in plan
+
+
+def test_join_strategy_hints_respected_and_equal(spark, sf_dir):
+    """Join hints pin the physical strategy (BROADCAST / MERGE /
+    SHUFFLE_HASH) without changing results -- the manual override
+    lever when AQE's choice is wrong for a known workload."""
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+
+    def joined(hint: str):
+        return li.join(
+            orders.hint(hint), li["l_orderkey"] == orders["o_orderkey"]
+        ).agg(
+            F.count("*").alias("n"),
+            F.sum(
+                F.round(F.col("o_totalprice") * 100, 0).cast("long")
+            ).alias("cents"),
+        )
+
+    plans = {
+        h: joined(h)._jdf.queryExecution().executedPlan().toString()
+        for h in ("broadcast", "merge", "shuffle_hash")
+    }
+    assert "BroadcastHashJoin" in plans["broadcast"]
+    assert "SortMergeJoin" in plans["merge"]
+    assert "ShuffledHashJoin" in plans["shuffle_hash"]
+    results = {h: joined(h).collect()[0] for h in plans}
+    vals = {(r["n"], r["cents"]) for r in results.values()}
+    assert len(vals) == 1  # identical results under all strategies
