@@ -907,3 +907,76 @@ def attribution_first_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("purchase_cents").alias("revenue_cents"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Session entry/exit matrix: sessionize by 30-minute inactivity gaps
+# (lag + cumulative new-session flag -- the time-gap twin of the
+# gaps-and-islands date trick), then first/last event type per
+# session via min/max on (epoch_us, event_id, type) structs, then the
+# (entry, exit) transition counts. Everything keys on user_id until
+# the final tiny-matrix agg: one shuffle.
+# ---------------------------------------------------------------------------
+
+SESSION_GAP_US = 30 * 60 * 1_000_000
+
+_ENTRY_EXIT_SQL = f"""
+WITH seq AS (
+  SELECT user_id, event_type, event_id, epoch_us(ts) AS t,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > {SESSION_GAP_US}
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+),
+sess AS (
+  SELECT user_id, event_type, event_id, t,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY t, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_id
+  FROM seq
+),
+per_session AS (
+  SELECT DISTINCT user_id, session_id,
+         first_value(event_type) OVER w AS entry,
+         last_value(event_type) OVER w AS exit
+  FROM sess
+  WINDOW w AS (PARTITION BY user_id, session_id ORDER BY t, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+)
+SELECT entry, exit, CAST(count(*) AS BIGINT) AS sessions
+FROM per_session GROUP BY entry, exit
+"""
+
+
+@_q("session_entry_exit", _ENTRY_EXIT_SQL)
+def session_entry_exit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = epoch_micros(F.col("ts"))
+    seq = events.select(
+        "user_id",
+        "event_type",
+        "event_id",
+        t.alias("t"),
+        F.when(
+            t - F.lag(t).over(wo) > SESSION_GAP_US, 1
+        ).otherwise(0).alias("new_s"),
+    )
+    wc = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    sess = seq.withColumn("session_id", F.sum("new_s").over(wc))
+    per_session = sess.groupBy("user_id", "session_id").agg(
+        F.min(
+            F.struct("t", "event_id", "event_type")
+        )["event_type"].alias("entry"),
+        F.max(
+            F.struct("t", "event_id", "event_type")
+        )["event_type"].alias("exit"),
+    )
+    return per_session.groupBy("entry", "exit").agg(
+        F.count("*").alias("sessions")
+    )
