@@ -33,6 +33,80 @@ from . import (
 QUERIES: dict = {}
 ORACLES: dict[str, str] = {}
 
+# ---------------------------------------------------------------------------
+# Driver-window curation.
+#
+# The driver records correctness rows for the FIRST 50 ``queries()``
+# entries only (CORRECTNESS_r01/r02 both have exactly 50 rows). That
+# makes the head of this registry a contract surface, so it is curated
+# explicitly per round instead of falling out of module import order
+# (the round-2 reorder silently rotated 15 green queries -- including
+# all three spatial_pip_* rows, SURVEY §2's J3 -- out of the window).
+#
+# Round-3 window (this file's head): the smoke anchor, the J3 re-pins,
+# agg_approx_sketches (first driver row after its r1 red + fix), and
+# 45 queries that have NEVER had a driver row. The rotation ledger in
+# COVERAGE.md tracks which round each query earned its driver row;
+# the remaining never-checked tail (funnel/retention/event-analytics
+# block) is slated for the round-4 window.
+# ---------------------------------------------------------------------------
+WINDOW_R3: list[str] = [
+    # smoke anchor (driver-green r1+r2)
+    "flagship_enrich",
+    # J3 re-pin: the reference's hardest operator (geo-indices.js:22-56)
+    "spatial_pip_join",
+    "spatial_pip_join_grid",
+    "spatial_pip_nomatch_log",
+    # r1-red row, fixed in r2 but rotated out before earning its row
+    "agg_approx_sketches",
+    # --- 45 first-time driver-checked below this line ---
+    "pack_greedy_bins",
+    "domain_cap_sample",
+    "mixture_resample",
+    "text_bpe_token_estimate",
+    "text_winnow_fingerprints",
+    "decontaminate_bloom",
+    "text_chunk_windows",
+    "text_ngram_novelty",
+    "graph_sssp_bounded",
+    "emb_label_centroids",
+    "emb_assign_nearest_prototype",
+    "kmeans_lloyd_round",
+    "p7_base62_surrogate",
+    "sql_api_q3",
+    "array_function_battery",
+    "null_semantics_battery",
+    "window_frames_battery",
+    "conditional_agg_battery",
+    "merge_upsert",
+    "scd2_dimension",
+    "range_join_events",
+    "hypertable_rollup_daily",
+    "unpivot_metrics",
+    "agg_grouping_sets",
+    "window_distribution",
+    "regexp_battery",
+    "map_column_ops",
+    "correlated_scalar_subquery",
+    "lateral_topk_orders",
+    "variant_extraction",
+    "j_skew_salted_join",
+    "agg_skew_salted",
+    "sql_api_q11ish",
+    "sql_api_q21ish",
+    "sql_api_q22ish",
+    "sample_bottomk",
+    "sample_group_bottomk",
+    "split_train_valid_test",
+    "text_ngram_topk",
+    "graph_triangle_count",
+    "sample_weighted",
+    "budget_fill_by_quality",
+    "agg_histogram",
+    "graph_pagerank",
+    "graph_degree_distribution",
+]
+
 
 def _released(fn):
     def wrapped(spark, sf_dir):
@@ -62,3 +136,13 @@ for mod in (
 ):
     QUERIES.update({k: _released(v) for k, v in mod.QUERIES.items()})
     ORACLES.update(mod.ORACLES)
+
+# Reorder so the curated window is the dict head (insertion order is
+# the driver's iteration order); everything else keeps module order.
+_missing = [n for n in WINDOW_R3 if n not in QUERIES]
+assert not _missing, f"WINDOW_R3 names not registered: {_missing}"
+assert len(WINDOW_R3) == len(set(WINDOW_R3)) == 50, "window must be exactly 50 unique slots"
+QUERIES = {
+    **{n: QUERIES[n] for n in WINDOW_R3},
+    **{n: q for n, q in QUERIES.items() if n not in set(WINDOW_R3)},
+}
