@@ -75,7 +75,7 @@ def bpe_token_estimate(col: Column | str) -> Column:
     )
 
 
-def shingles(col: Column | str, n: int = 3) -> Column:
+def shingles(col: Column | str, n: int = 3, toks: Column | None = None) -> Column:
     """Word n-gram shingles as array<string>; empty array when the
     document has fewer than n tokens.
 
@@ -84,8 +84,15 @@ def shingles(col: Column | str, n: int = 3) -> Column:
     slice(t, i, n) calls -- the latter allocates a sub-array per
     position and measured 4.4x slower at sf0.1 (3.8s vs 0.86s warm).
     Same output, pure column expression either way.
+
+    The token array is referenced ~2n+2 times here, and this
+    expression lives in an interpreted (HOF, non-codegen) Project:
+    pass `toks` as a PRE-MATERIALIZED column from its own projection
+    so those references are attribute reads, not 2n+2 re-evaluations
+    of regexp_replace+split (CollapseProject keeps the staging
+    projection because inlining would duplicate a non-cheap expr).
     """
-    t = tokens(col)
+    t = toks if toks is not None else tokens(col)
     m = F.size(t) - (n - 1)
     parts = [F.slice(t, i + 1, m) for i in range(n)]
     zipped = parts[0]

@@ -231,23 +231,46 @@ def stratified_sample(
     return df.filter(u32 < thr)
 
 
-def _bloom_build(grams: list[str], num_bits: int, k_hashes: int):
-    """Build a bitarray Bloom filter over gram strings with md5
-    double-hashing (h1 + i*h2, the Kirsch-Mitzenmacher construction).
-    Driver-side: the benchmark gram set is the SMALL side by contract
-    (eval suites are MBs against a 100 TB corpus)."""
-    import hashlib
+def _gram_hash_pair(col: Column):
+    """A gram's 128-bit identity as two JVM xxhash64 columns (distinct
+    seeds via a salt literal). Everything downstream of the shingle
+    scan — bloom build, bloom probe, confirm join — operates on this
+    pair, so gram STRINGS never leave the scan stage: the persisted
+    train projection, the Arrow transfer to the probe kernel, and the
+    join keys are all fixed-width int64."""
+    return F.xxhash64(col), F.xxhash64(F.lit("km-b"), col)
 
+
+def _bloom_positions(ha, hb, num_bits: int, k_hashes: int):
+    """(n,) int64 hash pairs -> (n, k) bit positions. Pure numpy,
+    uint64 wraparound arithmetic (Kirsch-Mitzenmacher h1 + i*h2 with
+    h1 = ha >> 4, h2 = hb | 1); build and probe both route through
+    THIS function, so consistency is by construction."""
+    import numpy as np
+
+    h1 = ha.astype(np.uint64) >> np.uint64(4)
+    h2 = hb.astype(np.uint64) | np.uint64(1)
+    i = np.arange(k_hashes, dtype=np.uint64)[None, :]
+    return ((h1[:, None] + i * h2[:, None]) % np.uint64(num_bits)).astype(
+        np.int64
+    )
+
+
+def _bloom_build(has, hbs, num_bits: int, k_hashes: int):
+    """Build a bitarray Bloom filter from pre-hashed (ha, hb) int64
+    arrays, fully vectorized. Driver-side: the benchmark gram set is
+    the SMALL side by contract (eval suites are MBs against a 100 TB
+    corpus)."""
     import numpy as np
 
     bits = np.zeros((num_bits + 7) // 8, dtype=np.uint8)
-    for g in grams:
-        d = hashlib.md5(g.encode("utf-8")).digest()
-        h1 = int.from_bytes(d[:8], "big")
-        h2 = int.from_bytes(d[8:], "big") | 1
-        for i in range(k_hashes):
-            p = (h1 + i * h2) % num_bits
-            bits[p >> 3] |= 1 << (p & 7)
+    p = _bloom_positions(
+        np.asarray(has, dtype=np.int64),
+        np.asarray(hbs, dtype=np.int64),
+        num_bits,
+        k_hashes,
+    )
+    np.bitwise_or.at(bits, p >> 3, (np.uint8(1) << (p & 7).astype(np.uint8)))
     return bits
 
 
@@ -259,21 +282,39 @@ def bloom_decontaminate(
     n: int = 4,
     num_bits: int = 1 << 20,
     k_hashes: int = 5,
+    persist_grams: bool = False,
 ) -> DataFrame:
-    """Benchmark decontamination with a Bloom-filter PREFILTER and an
-    exact confirm join — same output as decontaminate_ngrams (bit-for-
-    bit: false positives are eliminated by the confirm join; the bloom
-    can only pass a superset of true hits), so the exact-SQL oracle
-    still applies.
+    """Benchmark decontamination with a Bloom-filter PREFILTER and a
+    confirm join on the gram's 128-bit xxhash64 pair — same output as
+    decontaminate_ngrams (bloom false positives are eliminated by the
+    confirm join; two DIFFERENT grams colliding on all 128 bits is the
+    only divergence, ~(n_train_grams * n_bench_grams)/2^128, i.e.
+    never even at 10^12 x 10^8 grams), so the exact-SQL oracle still
+    applies.
 
     Why a bloom when the broadcast semi-join already works: the
-    broadcast side is the full gram STRINGS (~GBs for a large eval
-    suite); the bloom is `num_bits/8` bytes regardless (128 KiB at the
+    broadcast side is the full gram set (~GBs for a large eval suite);
+    the bloom is `num_bits/8` bytes regardless (128 KiB at the
     default) and the prefilter drops the overwhelmingly-clean corpus
     grams BEFORE the join, so the shuffle/probe volume collapses from
     |train grams| to |bloom hits| ~= |true hits| + fp_rate*|grams|.
-    The membership test is an Arrow-batched pandas_udf over the
-    broadcast bitarray — numpy byte indexing, no JVM<->driver chatter.
+
+    Everything after the shingle scans is integer-only (see
+    _gram_hash_pair): the train projection holds array<struct<a,b>>
+    hash pairs (fixed-width, several times smaller than gram strings),
+    the membership test is an Arrow-batched pandas_udf receiving two
+    int64 columns (vectorized numpy bit probes, no Python hashing, no
+    strings in Python at all), and the confirm side joins on the same
+    pair.
+
+    `persist_grams`: the train gram projection is referenced twice
+    (probe branch + per-doc totals). Default False = recompute it per
+    branch — the tokenize+hash scan is staged-projection cheap (45 ms
+    warm at sf0.1) while caching the nested struct-array column costs
+    ~0.7 s to materialize locally. On a real cluster where the text
+    scan is the dominant cost (TBs), flip it on to scan once and serve
+    the second branch from the (3-4x smaller, int-only) cached
+    projection instead of re-reading parquet.
     """
     import numpy as np
 
@@ -281,62 +322,82 @@ def bloom_decontaminate(
 
     ensure_workers_can_import(train.sparkSession)
 
-    bench_grams = (
-        benchmark.select(
-            F.explode(F.array_distinct(shingles(text_col, n))).alias("__g")
+    from ._cache import track_persist
+
+    spark = train.sparkSession
+    bha, bhb = _gram_hash_pair(F.col("__g"))
+    bench_gram_hashes = (
+        benchmark.select(tokens(text_col).alias("__t"))
+        .select(
+            F.explode(
+                F.array_distinct(shingles(text_col, n, toks=F.col("__t")))
+            ).alias("__g")
         )
-        .distinct()
+        .select(bha.alias("__ha"), bhb.alias("__hb"))
     )
-    gram_list = [r["__g"] for r in bench_grams.collect()]  # small side
-    bits = _bloom_build(gram_list, num_bits, k_hashes)
-    bc = train.sparkSession.sparkContext.broadcast(bits)
+    # bloom-build job: per-doc-distinct hashes, no global dedup shuffle
+    # (setting a bloom bit twice is a no-op; numpy dedups below).
+    hash_rows = bench_gram_hashes.collect()  # small side by contract
+    pair_arr = np.unique(
+        np.array(
+            [(r["__ha"], r["__hb"]) for r in hash_rows], dtype=np.int64
+        ).reshape(-1, 2),
+        axis=0,
+    )
+    bits = _bloom_build(pair_arr[:, 0], pair_arr[:, 1], num_bits, k_hashes)
+    bc = spark.sparkContext.broadcast(bits)
     nb, kh = int(num_bits), int(k_hashes)
+    # confirm build side: Arrow createDataFrame of the already-collected
+    # distinct pairs -> a LocalRelation, so the broadcast hash table is
+    # built driver-side with NO extra Spark job (the in-plan
+    # scan+distinct alternative costs two more jobs per run; at cluster
+    # scale with an eval suite too big to collect, swap this for the
+    # in-plan distinct + shuffle confirm join).
+    import pandas as pd
+
+    bench_pairs = spark.createDataFrame(
+        pd.DataFrame({"__ha": pair_arr[:, 0], "__hb": pair_arr[:, 1]})
+    )
 
     @F.pandas_udf("boolean")
-    def _might_contain(s):  # type: ignore[no-untyped-def]
-        import hashlib
-
+    def _might_contain(ha, hb):  # type: ignore[no-untyped-def]
         import pandas as pd
 
         arr = bc.value
-        out = np.empty(len(s), dtype=bool)
-        for i, g in enumerate(s):
-            d = hashlib.md5(g.encode("utf-8")).digest()
-            h1 = int.from_bytes(d[:8], "big")
-            h2 = int.from_bytes(d[8:], "big") | 1
-            hit = True
-            for j in range(kh):
-                p = (h1 + j * h2) % nb
-                if not (arr[p >> 3] >> (p & 7)) & 1:
-                    hit = False
-                    break
-            out[i] = hit
-        return pd.Series(out)
-
-    # tr is referenced twice (bloom-filtered probe + doc-total join);
-    # persist the slim (id, grams) projection so the shingle pipeline
-    # runs once (self-join persist pattern; released by
-    # _cache.release_persisted between queries).
-    from ._cache import track_persist
-
-    tr = track_persist(
-        train.select(
-            F.col(id_col), F.array_distinct(shingles(text_col, n)).alias("__grams")
+        p = _bloom_positions(
+            ha.to_numpy(dtype=np.int64), hb.to_numpy(dtype=np.int64), nb, kh
         )
+        hit = ((arr[p >> 3] >> (p & 7).astype(np.uint8)) & 1).all(axis=1)
+        return pd.Series(hit)
+
+    def _pair_struct(g):
+        ga, gb = _gram_hash_pair(g)
+        return F.struct(ga.alias("a"), gb.alias("b"))
+
+    tr = train.select(F.col(id_col), tokens(text_col).alias("__t")).select(
+        F.col(id_col),
+        F.transform(
+            F.array_distinct(shingles(text_col, n, toks=F.col("__t"))),
+            _pair_struct,
+        ).alias("__gh"),
     )
+    if persist_grams:
+        tr = track_persist(tr)
     pre = (
-        tr.select(id_col, F.explode("__grams").alias("__g"))
-        .filter(_might_contain(F.col("__g")))
+        tr.select(id_col, F.explode("__gh").alias("__e"))
+        .select(id_col, F.col("__e.a").alias("__ha"), F.col("__e.b").alias("__hb"))
+        .filter(_might_contain(F.col("__ha"), F.col("__hb")))
     )
     hits = (
-        pre.join(F.broadcast(bench_grams), "__g")  # exact confirm: kills FPs
+        # confirm: kills bloom FPs exactly (up to 128-bit collision)
+        pre.join(F.broadcast(bench_pairs), ["__ha", "__hb"])
         .groupBy(id_col)
         .agg(F.count("*").alias("__hits"))
     )
     n_cont = F.coalesce(F.col("__hits"), F.lit(0)).cast("long")
     return tr.join(hits, id_col, "left").select(
         F.col(id_col),
-        F.size("__grams").cast("long").alias("n_shingles"),
+        F.size("__gh").cast("long").alias("n_shingles"),
         n_cont.alias("n_contaminated"),
         (n_cont > 0).alias("contaminated"),
     )
