@@ -319,6 +319,11 @@ def parse_image_header(one: bytes):
             while i + 9 < len(one):
                 if one[i] != 0xFF:
                     return ("jpeg", None, None, "bad segment marker")
+                # JPEG allows runs of 0xFF fill bytes before a marker
+                # (ITU T.81 B.1.1.2); skip them or a fill byte would be
+                # read as marker 0xFF with a bogus length.
+                while i + 9 < len(one) and one[i + 1] == 0xFF:
+                    i += 1
                 marker = one[i + 1]
                 if 0xC0 <= marker <= 0xCF and marker not in (
                     0xC4,
@@ -328,6 +333,12 @@ def parse_image_header(one: bytes):
                     h = int.from_bytes(one[i + 5 : i + 7], "big")
                     w = int.from_bytes(one[i + 7 : i + 9], "big")
                     return ("jpeg", w, h, None)
+                if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+                    # TEM / RSTn are standalone markers with no length
+                    # field; reading a "length" there would skip past
+                    # (or into) the real SOF.
+                    i += 2
+                    continue
                 seg_len = int.from_bytes(one[i + 2 : i + 4], "big")
                 i += 2 + seg_len
             return ("jpeg", None, None, "no SOF segment")

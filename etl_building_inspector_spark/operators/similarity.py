@@ -711,7 +711,10 @@ def kmeans_fit(
     vecs = df.select(
         F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("v")
     )
-    dim = len(vecs.first()["v"])
+    row = vecs.first()
+    if row is None:
+        raise ValueError("kmeans_fit: empty input DataFrame")
+    dim = len(row["v"])
     # deterministic init: the k lowest-id vectors
     init = vecs.orderBy("id").limit(k).collect()
     centroids = [[float(x) for x in r["v"]] for r in init]

@@ -185,6 +185,41 @@ def test_parse_image_header_kernel_pure():
     assert fmt == "png" and err
 
 
+def test_parse_jpeg_fill_bytes_and_standalone_markers():
+    """ITU T.81 B.1.1.2: markers may be preceded by any number of 0xFF
+    fill bytes, and TEM (0x01) / RSTn (0xD0-0xD7) carry no length
+    field. Both used to desync the SOF scan (bogus seg_len read)."""
+    from etl_building_inspector_spark.operators.multimodal import (
+        parse_image_header,
+    )
+
+    app0 = b"\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00" + b"\x00" * 9
+    sof0 = (
+        b"\xff\xc0"
+        + (17).to_bytes(2, "big")
+        + b"\x08"
+        + (99).to_bytes(2, "big")
+        + (77).to_bytes(2, "big")
+        + b"\x03" + b"\x00" * 9
+    )
+    # fill bytes before the SOF marker
+    filled = b"\xff\xd8" + app0 + b"\xff\xff\xff" + sof0 + b"\xff\xd9"
+    assert parse_image_header(filled) == ("jpeg", 77, 99, None)
+    # standalone TEM and RST1 markers (no length) before the SOF
+    standalone = b"\xff\xd8" + b"\xff\x01" + b"\xff\xd1" + app0 + sof0 + b"\xff\xd9"
+    assert parse_image_header(standalone) == ("jpeg", 77, 99, None)
+
+
+def test_kmeans_fit_empty_input_raises_clearly(spark):
+    import pytest
+
+    from etl_building_inspector_spark.operators.similarity import kmeans_fit
+
+    empty = spark.createDataFrame([], "id long, emb array<double>")
+    with pytest.raises(ValueError, match="empty input"):
+        kmeans_fit(empty, "emb", "id", k=2, rounds=1)
+
+
 def test_sniff_image_headers_distributed(spark):
     """The mapInPandas wrapper ships real header bytes through the
     media struct and returns per-key dimensions."""

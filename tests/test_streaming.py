@@ -598,11 +598,14 @@ def test_transform_with_state_matches_batch_totals(spark, event_dir):
     finally:
         q.stop()
     # update mode may emit several rows per user across batches; the
-    # LAST emission per user carries the final running totals
+    # running count is monotone, so the emission with MAX n_events per
+    # user is the final one (collect() row order from the memory sink
+    # is NOT guaranteed to follow micro-batch emission order).
     emitted = spark.sql("SELECT * FROM tws_totals").collect()
     final = {}
     for r in emitted:
-        final[r.user_id] = (r.n_events, r.total_value)
+        if r.user_id not in final or r.n_events > final[r.user_id][0]:
+            final[r.user_id] = (r.n_events, r.total_value)
     batch = {
         r.user_id: (r.n, r.v)
         for r in spark.read.parquet(event_dir)
