@@ -142,6 +142,61 @@ def test_funnel_requires_stage_order(spark, tmp_path):
     assert out == {"signup": 2, "view": 2, "click": 2, "purchase": 1}
 
 
+# --- sessionize sub-second precision ----------------------------------------
+
+
+def test_sessionize_subsecond_gap_precision(spark, tmp_path):
+    """The 30-min session gap must compare at MICROSECOND precision on
+    both engines (VERDICT r2 item 6): a gap of 30:00.000001 starting
+    at a .9 s offset opens a new session, while a second-truncated
+    comparison (cast ts to long) would see exactly 1800 s and miss it.
+    The exact-boundary gap (30:00.000000) stays one session (strictly
+    greater-than semantics)."""
+    import duckdb
+
+    from etl_building_inspector_spark.plans.registry import ORACLES, QUERIES
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0, 900000)
+
+    def ev(i, uid, ts):
+        return (i, ts, uid, "view", 1.0, "{}")
+
+    rows = [
+        # user 1: gap is 1800.000001 s -> TWO sessions at micro
+        # precision, one under second truncation.
+        ev(1, 1, t0),
+        ev(2, 1, t0 + dt.timedelta(seconds=1800, microseconds=1)),
+        # user 2: gap is exactly 1800.000000 s -> ONE session (gap must
+        # be STRICTLY greater to split).
+        ev(3, 2, t0),
+        ev(4, 2, t0 + dt.timedelta(seconds=1800)),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string",
+    )
+    p = str(tmp_path / "fixture")
+    df.write.parquet(f"{p}/events.parquet")
+
+    got = {
+        r["user_id"]: (r["n_sessions"], r["n_events"])
+        for r in QUERIES["events_sessionize"](spark, p).collect()
+    }
+    assert got == {1: (2, 2), 2: (1, 2)}
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM read_parquet("
+        f"'{p}/events.parquet/*.parquet')"
+    )
+    oracle = {
+        r[0]: (r[1], r[2])
+        for r in con.execute(ORACLES["events_sessionize"]).fetchall()
+    }
+    assert oracle == got
+
+
 # --- compaction plan invariants ---------------------------------------------
 
 
