@@ -618,3 +618,64 @@ def test_transform_with_state_matches_batch_totals(spark, event_dir):
         fn, fv = final[uid]
         assert fn == n
         assert abs(fv - v) < 1e-6
+
+
+def test_session_window_exact_gap_boundary_merges(spark, tmp_path):
+    """Pin the gap-merge boundary semantics the streaming_sessionize
+    oracle depends on: an inter-event gap of EXACTLY the session gap
+    merges (new session only when gap is strictly greater), matching
+    the batch/oracle lag+cumsum formulation's strict-`>` condition.
+    Probed against the real incremental engine, not the batch twin."""
+    import datetime
+
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+
+    def us(**kw):
+        return t0 + datetime.timedelta(**kw)
+
+    rows = [
+        (1, 10, us()), (2, 10, us(minutes=30)),                      # == gap: merge
+        (3, 20, us()), (4, 20, us(minutes=30, microseconds=1)),      # > gap by 1us: split
+        (5, 30, us()), (6, 30, us(minutes=29, seconds=59)),          # < gap: merge
+    ]
+    d = str(tmp_path / "boundary_events")
+    spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp"
+    ).withColumn("event_type", F.lit("x")).withColumn(
+        "value", F.lit(0.0)
+    ).withColumn("props", F.lit(None).cast("string")).write.parquet(d)
+
+    stream = read_event_stream(spark, d)
+    got = {
+        (r.user_id, r.n_events)
+        for r in run_to_memory(
+            session_windows(stream, "30 minutes"), "boundary_sessions"
+        ).collect()
+    }
+    assert got == {(10, 2), (20, 1), (30, 2)}
+
+
+def test_streaming_sessionize_driver_query_matches_batch_twin(spark, sf_dir):
+    """The registered driver query (incremental session_window path)
+    must agree with the batch lag+cumsum sessionization on session
+    count and total events per user."""
+    from etl_building_inspector_spark.plans.queries_core import events_sessionize
+    from etl_building_inspector_spark.plans.queries_streaming import (
+        streaming_sessionize,
+    )
+
+    stream_rows = streaming_sessionize(spark, sf_dir)
+    got = {
+        (r.user_id, r.n_sessions, r.n_events)
+        for r in stream_rows.groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_sessions"),
+            F.sum("n_events").cast("long").alias("n_events"),
+        )
+        .collect()
+    }
+    want = {
+        (r.user_id, r.n_sessions, r.n_events)
+        for r in events_sessionize(spark, sf_dir).collect()
+    }
+    assert got == want
