@@ -86,6 +86,13 @@ HEADLINE = [
     "median_exact_udaf",
     "time_weighted_value",
     "max_concurrent_intervals",
+    # round 3: semantic dedup, PQ, ER blocking, line dedup, gap-fill
+    "dedup_semantic_clusters",
+    "emb_pq_encode",
+    "ann_cosine_pq_adc",
+    "er_blocked_fuzzy_match",
+    "text_line_dedup",
+    "timeseries_gapfill_locf",
 ]
 
 

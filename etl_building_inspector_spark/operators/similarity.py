@@ -768,3 +768,260 @@ def kmeans_fit(
             by_cid.get(i, centroids[i]) for i in range(len(centroids))
         ]
     return assign, inertias
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: semantic dedup via cluster-then-prune
+# ---------------------------------------------------------------------------
+
+
+def semantic_dedup_sampled(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_centroids: int = 16,
+    tau: float = 0.35,
+    salt: str = "cent",
+) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023, public): bucket
+    the corpus into clusters, compare pairs ONLY within a cluster, and
+    drop every item that has a higher-priority (smaller-id) in-cluster
+    neighbor with cosine >= tau. Returns (id, cent_id, keep).
+
+    The cluster step here uses the same deterministic md5-sampled
+    centroids as cosine_topk_ivf_sampled, so the whole pipeline --
+    centroid choice, assignment, in-cluster pairs, prune rule -- has an
+    exact DuckDB oracle (KMeans centroids would refine cluster quality
+    without changing the shape).
+
+    100 TB shape: this is the entire point of SemDeDup -- the O(n^2)
+    cosine comparison is confined to clusters of ~n/n_centroids items
+    (one shuffle on cent_id co-locates each cluster), so cost is
+    n^2/n_centroids instead of n^2, and n_centroids grows with the
+    corpus (FAISS-scale runs use ~100k clusters). No broadcast of the
+    corpus anywhere; the only broadcast is the k x dim centroid table.
+    """
+    cent = (
+        corpus.select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("__cv"))
+        .orderBy(
+            F.md5(F.concat(F.lit(salt + ":"), F.col("cent_id").cast("string"))),
+            F.col("cent_id"),
+        )
+        .limit(n_centroids)
+    )
+
+    def _cos(a: Column, b: Column) -> Column:
+        return _dot(a, b) / (_norm(a) * _norm(b))
+
+    w_assign = Window.partitionBy("__id").orderBy(
+        F.col("__cc").desc(), F.col("cent_id").asc()
+    )
+    assign = (
+        corpus.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+        .crossJoin(F.broadcast(cent))
+        .withColumn("__cc", _cos(F.col("__v"), F.col("__cv")))
+        .withColumn("__arnk", F.row_number().over(w_assign))
+        .filter(F.col("__arnk") == 1)
+        .select("__id", "__v", "cent_id")
+    )
+    # assign feeds three consumers (pair-join sides + final output);
+    # one tracked persist computes the centroid fanout ONCE instead of
+    # three corpus scans (released at next query via release_persisted)
+    assign = track_persist(assign)
+    a = assign.select(
+        F.col("cent_id"), F.col("__id").alias("id_a"), F.col("__v").alias("__va")
+    )
+    b = assign.select(
+        F.col("cent_id"), F.col("__id").alias("id_b"), F.col("__v").alias("__vb")
+    )
+    # in-cluster pairs above tau where the partner id is SMALLER: id_b
+    # is dominated and will be dropped. Equi-join on cent_id: each
+    # cluster is one join group, never an all-pairs crossJoin.
+    dominated = (
+        a.join(b, "cent_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(_cos(F.col("__va"), F.col("__vb")) >= F.lit(tau))
+        .select("id_b")
+        .distinct()
+    )
+    return (
+        assign.join(dominated, assign["__id"] == dominated["id_b"], "left")
+        .select(
+            F.col("__id").alias(id_col),
+            "cent_id",
+            F.col("id_b").isNull().alias("keep"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): subspace codebooks + ADC search
+# ---------------------------------------------------------------------------
+
+
+def _pq_codebook(
+    corpus: DataFrame,
+    vec_col: str,
+    id_col: str,
+    n_sub: int,
+    sub_dim: int,
+    codes_per_sub: int,
+    salt: str,
+) -> DataFrame:
+    """Deterministic PQ codebooks: ONE md5(salt:id)-ranked sample of
+    codes_per_sub corpus vectors (a single orderBy+limit scan --
+    TakeOrderedAndProject, per-partition heaps, no global window), and
+    subspace j's codewords are the j-th subvectors of that sample
+    (standard PQ trains every subquantizer from one training sample).
+    Returns (sub_id, code, codeword): n_sub * codes_per_sub tiny rows.
+    Production refinement is per-subspace KMeans; shape is identical.
+    """
+    sample = (
+        corpus.select(F.col(id_col).alias("__sid"), F.col(vec_col).alias("__sv"))
+        .orderBy(
+            F.md5(F.concat(F.lit(salt + ":"), F.col("__sid").cast("string"))),
+            F.col("__sid"),
+        )
+        .limit(codes_per_sub)
+    )
+    # rank within the codes_per_sub-row sample only (window input is tiny)
+    ranked = sample.withColumn(
+        "code",
+        F.row_number().over(
+            Window.orderBy(
+                F.md5(F.concat(F.lit(salt + ":"), F.col("__sid").cast("string"))),
+                F.col("__sid"),
+            )
+        ),
+    )
+    return ranked.select(
+        F.explode(F.sequence(F.lit(0), F.lit(n_sub - 1))).alias("sub_id"),
+        "code",
+        "__sv",
+    ).select(
+        "sub_id",
+        "code",
+        F.expr(f"slice(__sv, sub_id * {sub_dim} + 1, {sub_dim})").alias("codeword"),
+    )
+
+
+def pq_encode_sampled(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_sub: int = 8,
+    codes_per_sub: int = 16,
+    dim: int = 64,
+    salt: str = "pq",
+) -> DataFrame:
+    """Product-quantization encode (Jegou et al. 2011, public): split
+    each vector into n_sub contiguous subvectors, quantize each to its
+    nearest codeword (squared L2, ties to the smaller code id), emit
+    (id, codes array<int>, recon array<double>) where recon is the
+    concatenation of the chosen codewords (the ADC lookup vector).
+
+    64-dim float32 -> 8 bytes of codes is the canonical 32x compression
+    for billion-scale ANN. Plan shape: the codebook (n_sub *
+    codes_per_sub rows) is broadcast; the corpus fans out x n_sub
+    (slice per subspace), joins the codebook on sub_id (broadcast hash
+    join, no shuffle of the corpus), argmin per (id, subspace) via one
+    window, then one groupBy id to collect codes in subspace order.
+    One shuffle total (the final groupBy); everything else is map-side.
+    """
+    sub_dim = dim // n_sub
+    cb = _pq_codebook(corpus, vec_col, id_col, n_sub, sub_dim, codes_per_sub, salt)
+
+    sub_ids = F.sequence(F.lit(0), F.lit(n_sub - 1))
+    fanout = corpus.select(
+        F.col(id_col).alias("__id"),
+        F.explode(sub_ids).alias("sub_id"),
+        F.col(vec_col).alias("__v"),
+    ).withColumn(
+        "__sv",
+        F.expr(
+            f"slice(__v, sub_id * {sub_dim} + 1, {sub_dim})"
+        ),
+    )
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("__sv"),
+            F.col("codeword"),
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("__id", "sub_id").orderBy(F.col("__d2").asc(), F.col("code").asc())
+    best = (
+        fanout.join(F.broadcast(cb), "sub_id")
+        .withColumn("__d2", d2)
+        .withColumn("__rnk", F.row_number().over(w))
+        .filter(F.col("__rnk") == 1)
+    )
+    return (
+        best.groupBy(F.col("__id").alias(id_col))
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("sub_id", "code", "codeword"))
+            ).alias("__parts")
+        )
+        .select(
+            id_col,
+            F.transform("__parts", lambda p: p["code"]).alias("codes"),
+            F.flatten(
+                F.transform(
+                    "__parts", lambda p: F.transform(p["codeword"], lambda x: x.cast("double"))
+                )
+            ).alias("recon"),
+        )
+    )
+
+
+def pq_adc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+    n_sub: int = 8,
+    codes_per_sub: int = 16,
+    dim: int = 64,
+    salt: str = "pq",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k: rank corpus items by
+    cos(query, recon(codes)) -- the query stays full-precision, the
+    corpus is represented only by its PQ reconstruction. Returns
+    (query_id, neighbor_id, adc_cosine, rank).
+
+    100 TB shape: after encoding, the scan side carries 8 small ints
+    per vector instead of 256 bytes of float32 -- the ADC pass reads
+    ~3% of the bytes of brute force. The deterministic codebooks make
+    the whole ranking exactly reproducible in the DuckDB oracle;
+    recall vs full-precision brute force is pinned in tests.
+    """
+    enc = pq_encode_sampled(
+        corpus, vec_col, id_col, n_sub=n_sub, codes_per_sub=codes_per_sub, dim=dim, salt=salt
+    ).select(F.col(id_col).alias("neighbor_id"), "recon")
+    qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
+
+    def _cos(a: Column, b: Column) -> Column:
+        return _dot(a, b) / (_norm(a) * _norm(b))
+
+    sims = (
+        enc.crossJoin(F.broadcast(qv))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            _cos(F.col("__qv"), F.col("recon")).alias("adc_cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adc_cosine", "rank")
+    )

@@ -116,3 +116,46 @@ def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "session_end",
         F.col("n_events").cast("long").alias("n_events"),
     )
+
+
+@_q(
+    "streaming_windowed_agg",
+    """
+SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 4) AS sum_value
+FROM events
+GROUP BY 1, 2
+""",
+)
+def streaming_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window counts executed INCREMENTALLY (the streaming
+    twin of events_windowed_agg, minus count(DISTINCT) which streaming
+    aggregation cannot hold in bounded state -- production uses
+    approx_count_distinct there). Complete output mode for the bounded
+    replay; at scale the same plan runs append-mode with the watermark
+    evicting closed windows."""
+    from ..streaming.events import read_event_stream, run_to_memory
+
+    events_dir = _stream_events_dir(spark, sf_dir)
+    stream = read_event_stream(spark, events_dir)
+    agg = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    _MEMORY_SINK_SEQ[0] += 1
+    result = run_to_memory(agg, f"streaming_windowed_agg_{_MEMORY_SINK_SEQ[0]}")
+    return result.select(
+        "window_start", "event_type", F.col("n_events").cast("long").alias("n_events"), "sum_value"
+    )

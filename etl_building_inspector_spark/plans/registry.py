@@ -21,6 +21,7 @@ from . import (
     queries_llm2,
     queries_llm3,
     queries_llm4,
+    queries_llm5,
     queries_spatial,
     queries_streaming,
     queries_surface,
@@ -130,6 +131,7 @@ for mod in (
     queries_llm2,
     queries_llm3,
     queries_llm4,
+    queries_llm5,
     queries_spatial,
     queries_streaming,
     queries_surface,

@@ -240,3 +240,54 @@ def test_join_strategy_hints_respected_and_equal(spark, sf_dir):
     results = {h: joined(h).collect()[0] for h in plans}
     vals = {(r["n"], r["cents"]) for r in results.values()}
     assert len(vals) == 1  # identical results under all strategies
+
+
+def test_semantic_dedup_in_cluster_equi_join(spark, sf_dir):
+    """SemDeDup's pair pass must be an equi-join on cent_id (clusters
+    co-located by one shuffle), never an all-pairs nested loop over
+    the corpus. The only nested-loop joins allowed are the tiny
+    broadcast centroid crossJoins (16 rows)."""
+    plan = _executed(spark, "dedup_semantic_clusters", sf_dir)
+    assert "CartesianProduct" not in plan
+    # assign (corpus x broadcast-centroids, the only nested-loop shape)
+    # is computed ONCE behind a tracked persist; its three consumers
+    # read the cache instead of re-fanning the corpus
+    assert "InMemoryTableScan" in plan
+    # the in-cluster pair join must be an equi-join on cent_id
+    assert "cent_id" in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+
+
+def test_pq_encode_codebook_broadcast_single_shuffle(spark, sf_dir):
+    """PQ encode: codebook joined broadcast (corpus never shuffles for
+    the join); the only wide stage is the final groupBy vec_id."""
+    plan = _executed(spark, "emb_pq_encode", sf_dir)
+    assert "BroadcastHashJoin" in plan  # fanout x codebook on sub_id
+    assert "SortMergeJoin" not in plan
+
+
+def test_line_dedup_shuffles_on_hash_not_text(spark, sf_dir):
+    """The keep-first window must partition by md5(line_text), a
+    fixed-width key -- never by the raw line text."""
+    plan = _full(spark, "text_line_dedup", sf_dir)
+    assert "md5(cast(line_text" in plan  # window partitions on md5, not raw text
+    # no cartesian / nested loop anywhere in line dedup
+    ep = _executed(spark, "text_line_dedup", sf_dir)
+    assert "CartesianProduct" not in ep
+    assert "BroadcastNestedLoopJoin" not in ep
+
+
+def test_er_fuzzy_match_is_blocked_equi_join(spark, sf_dir):
+    """Levenshtein must run inside block equi-join groups -- a
+    cartesian product here is the O(n^2) failure the blocking exists
+    to prevent."""
+    plan = _executed(spark, "er_blocked_fuzzy_match", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_gapfill_bounds_broadcast_not_collected(spark, sf_dir):
+    """The date-spine bounds are an in-plan one-row broadcast, not a
+    driver-side collect."""
+    plan = _executed(spark, "timeseries_gapfill_locf", sf_dir)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
