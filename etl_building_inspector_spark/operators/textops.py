@@ -282,7 +282,6 @@ def bloom_decontaminate(
     n: int = 4,
     num_bits: int = 1 << 20,
     k_hashes: int = 5,
-    persist_grams: bool = False,
 ) -> DataFrame:
     """Benchmark decontamination with a Bloom-filter PREFILTER and a
     confirm join on the gram's 128-bit xxhash64 pair — same output as
@@ -307,14 +306,13 @@ def bloom_decontaminate(
     strings in Python at all), and the confirm side joins on the same
     pair.
 
-    `persist_grams`: the train gram projection is referenced twice
-    (probe branch + per-doc totals). Default False = recompute it per
-    branch — the tokenize+hash scan is staged-projection cheap (45 ms
-    warm at sf0.1) while caching the nested struct-array column costs
-    ~0.7 s to materialize locally. On a real cluster where the text
-    scan is the dominant cost (TBs), flip it on to scan once and serve
-    the second branch from the (3-4x smaller, int-only) cached
-    projection instead of re-reading parquet.
+    The train text is tokenized/hashed ONCE per run: the exploded
+    (id, ha, hb) int rows go through one tracked persist and serve
+    both consumers (bloom-probe branch + per-doc totals). An earlier
+    revision cached the pre-explode nested struct-array column, which
+    cost more to materialize than it saved; flat int64 rows cache
+    cheaply, and on a real cluster the single text scan is the point
+    (the scan dominates at TB scale).
     """
     import numpy as np
 
@@ -381,12 +379,22 @@ def bloom_decontaminate(
             _pair_struct,
         ).alias("__gh"),
     )
-    if persist_grams:
-        tr = track_persist(tr)
-    pre = (
-        tr.select(id_col, F.explode("__gh").alias("__e"))
-        .select(id_col, F.col("__e.a").alias("__ha"), F.col("__e.b").alias("__hb"))
-        .filter(_might_contain(F.col("__ha"), F.col("__hb")))
+    # Explode FIRST, persist the slim (id, ha, hb) int rows, and serve
+    # BOTH branches (bloom-probe path + per-doc totals) from that one
+    # cache: the text is tokenized/hashed exactly once per run. This is
+    # what an earlier persist of the nested array column attempted, where
+    # the cache materialization cost more than the recompute; flat
+    # int64 rows columnar-cache at ~3 words/gram and made the single
+    # scan a win (measured at sf0.1). explode_outer keeps
+    # zero-shingle docs (ha NULL) so the totals branch sees every doc.
+    ex = track_persist(
+        tr.select(id_col, F.explode_outer("__gh").alias("__e")).select(
+            id_col, F.col("__e.a").alias("__ha"), F.col("__e.b").alias("__hb")
+        )
+    )
+    pre = ex.filter(
+        F.col("__ha").isNotNull()
+        & _might_contain(F.col("__ha"), F.col("__hb"))
     )
     hits = (
         # confirm: kills bloom FPs exactly (up to 128-bit collision)
@@ -394,10 +402,15 @@ def bloom_decontaminate(
         .groupBy(id_col)
         .agg(F.count("*").alias("__hits"))
     )
+    totals = ex.groupBy(id_col).agg(
+        F.count("__ha").cast("long").alias("n_shingles")
+    )
     n_cont = F.coalesce(F.col("__hits"), F.lit(0)).cast("long")
-    return tr.join(hits, id_col, "left").select(
+    # no broadcast hint on hits: usually tiny (contaminated docs) but
+    # unbounded at scale -- let AQE pick broadcast when it measures small
+    return totals.join(hits, id_col, "left").select(
         F.col(id_col),
-        F.size("__gh").cast("long").alias("n_shingles"),
+        "n_shingles",
         n_cont.alias("n_contaminated"),
         (n_cont > 0).alias("contaminated"),
     )
