@@ -30,6 +30,7 @@ from . import (
     queries_surface4,
     queries_surface5,
     queries_surface6,
+    queries_tpch,
 )
 
 QUERIES: dict = {}
@@ -140,6 +141,7 @@ for mod in (
     queries_surface4,
     queries_surface5,
     queries_surface6,
+    queries_tpch,
 ):
     QUERIES.update({k: _released(v) for k, v in mod.QUERIES.items()})
     ORACLES.update(mod.ORACLES)

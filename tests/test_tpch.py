@@ -1,0 +1,102 @@
+"""Plan guards for the TPC-H-shape battery (queries_tpch.py): the
+scale-relevant physical properties per query shape -- pushdown into
+the fact scan, fixed-dim broadcasts, semi/anti (not fanout+dedup)
+joins, and window-over-aggregate instead of self-joins."""
+
+from __future__ import annotations
+
+import re
+
+from etl_building_inspector_spark.plans.registry import QUERIES
+
+
+def _executed(spark, name, sf_dir):
+    return (
+        QUERIES[name](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    )
+
+
+def _full(spark, name, sf_dir):
+    return QUERIES[name](spark, sf_dir)._jdf.queryExecution().toString()
+
+
+def test_q6_pushdown_and_pruned_schema(spark, sf_dir):
+    qe = _full(spark, "tpch_q6_forecast_revenue", sf_dir)
+    # predicates reach the parquet scan (toString elides the full
+    # PushedFilters list, so assert on its visible head)
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in qe
+    # scan reads only the 4 referenced columns
+    schema = next(s for s in re.findall(r"ReadSchema: struct<([^>]*)", qe))
+    for col in ("l_orderkey", "l_tax", "l_returnflag", "l_partkey"):
+        assert col not in schema, f"unpruned column {col} in {schema}"
+
+
+def test_q5_nation_region_broadcast_no_cartesian(spark, sf_dir):
+    plan = _executed(spark, "tpch_q5_local_supplier_volume", sf_dir)
+    assert "BroadcastHashJoin" in plan  # the collapsed nation⋈region dim
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q4_exists_is_left_semi(spark, sf_dir):
+    plan = _executed(spark, "tpch_q4_order_priority_exists", sf_dir)
+    assert "LeftSemi" in plan
+    # EXISTS must not fan out: no dedup-after-join aggregate on orderkey
+    assert "CartesianProduct" not in plan
+
+
+def test_q16_not_in_is_left_anti(spark, sf_dir):
+    plan = _executed(spark, "tpch_q16_supplier_variety", sf_dir)
+    assert "LeftAnti" in plan
+
+
+def test_q17_window_not_self_join(spark, sf_dir):
+    # per-part stats via window over the SAME scan: exactly one
+    # lineitem parquet scan in the plan
+    qe = _full(spark, "tpch_q17_small_quantity_revenue", sf_dir)
+    executed = qe[qe.index("== Physical Plan ==") :]
+    assert executed.count("lineitem.parquet") <= 1 or (
+        executed.count("Scan parquet") - executed.count("part.parquet") <= 1
+    )
+    assert "Window" in executed
+
+
+def test_q15_max_is_broadcast_not_collected(spark, sf_dir):
+    plan = _executed(spark, "tpch_q15_top_supplier", sf_dir)
+    # global max arrives as a 1-row broadcast join, not a driver literal
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_q10_rank_after_aggregate(spark, sf_dir):
+    # top-20 window must sit ABOVE the customer-grain aggregate
+    plan = _executed(spark, "tpch_q10_returned_items", sf_dir)
+    agg_pos = plan.index("HashAggregate")
+    win_pos = plan.index("Window")
+    # executedPlan prints top-down: Window (later stage) appears first
+    assert win_pos < agg_pos
+
+
+def test_battery_no_nested_loop_anywhere(spark, sf_dir):
+    for name in (
+        "tpch_q2_best_supplier",
+        "tpch_q7_volume_shipping",
+        "tpch_q8_market_share",
+        "tpch_q9_profit_by_nation_year",
+        "tpch_q12_shipping_delay_buckets",
+        "tpch_q13_order_count_distribution",
+        "tpch_q14_promo_share",
+        "tpch_q18_large_volume_customers",
+        "tpch_q19_disjunctive_predicates",
+        "tpch_q20_dominant_suppliers",
+    ):
+        plan = _executed(spark, name, sf_dir)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_q19_partkey_equi_join_extracted(spark, sf_dir):
+    # the OR predicate must not demote the join to nested-loop; the
+    # common l_partkey = p_partkey equi-key is extracted
+    plan = _executed(spark, "tpch_q19_disjunctive_predicates", sf_dir)
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
+    assert "CartesianProduct" not in plan
