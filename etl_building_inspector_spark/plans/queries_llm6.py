@@ -1,0 +1,377 @@
+"""Round-3 curation batch 2: cross-set embedding decontamination,
+char-bigram OOV quality scoring, and incremental (new-vs-index)
+MinHash dedup.
+
+All three are the CROSS-DATASET variants of machinery that already
+exists for the within-dataset case -- the shapes a training-data
+pipeline actually runs daily: "is my corpus contaminated with the
+benchmark?", "score new docs against the corpus vocabulary", "which of
+today's crawl is a near-dup of the existing index?".
+
+Portability: oracles are generated from the SAME constants as the
+Spark plans (hyperplane seeds via similarity.lsh_planes, sha256-chunk
+minhash, integer ppm rates) -- pattern of queries_llm.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.dedup import minhash_signature
+from ..operators.similarity import cosine_arrow, lsh_buckets
+from ..sources.tables import load_table
+from .queries_llm import EMB_DIM, _planes_cte, _shingles_sql, _TOKS
+
+QUERIES: dict = {}
+ORACLES: dict[str, str] = {}
+
+
+def _q(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLES[name] = sql
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# Embedding-level decontamination: benchmark slice vs a corpus with
+# planted contamination (perturbed benchmark copies), LSH candidates,
+# exact cosine confirm. Completes the decontamination triple next to
+# the exact-n-gram and bloom-prefilter variants (textops).
+# ---------------------------------------------------------------------------
+
+DECON_EMB_TABLES = 6
+DECON_EMB_PLANES = 8
+DECON_EMB_THRESHOLD = 0.95
+
+# benchmark slice: every 20th vector. contaminated corpus: the rest,
+# plus near-copies of every 40th vector (deterministic per-coordinate
+# perturbation, cosine(orig, copy) ~ 0.9996 -- same regime as the
+# near-dup fixture in queries_llm).
+_DECON_SETS_SQL = """
+bench AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding
+  FROM embeddings WHERE vec_id % 20 = 0
+),
+corpus AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding
+  FROM embeddings WHERE vec_id % 20 <> 0
+  UNION ALL
+  SELECT vec_id + 200000 AS vec_id,
+         [CAST(embedding[i] AS DOUBLE) * (1 + 0.01 * (((i - 1) % 5) - 2))
+          for i in generate_series(1, len(embedding))] AS embedding
+  FROM embeddings WHERE vec_id % 40 = 0
+)
+"""
+
+_PLANE_DOT_E = (
+    "list_reduce([CAST(e.embedding[i] AS DOUBLE) * pl.vec[i] "
+    "for i in generate_series(1, len(e.embedding))], (x, y) -> x + y)"
+)
+
+_DOT_AB = (
+    "list_reduce([CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE) "
+    "for i in generate_series(1, len(a.embedding))], (x, y) -> x + y)"
+)
+_NORM_A = (
+    "sqrt(list_reduce([CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE) "
+    "for i in generate_series(1, len(a.embedding))], (x, y) -> x + y))"
+)
+_NORM_B = (
+    "sqrt(list_reduce([CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE) "
+    "for i in generate_series(1, len(b.embedding))], (x, y) -> x + y))"
+)
+
+
+def _buckets_for(src: str) -> str:
+    return f"""(
+  SELECT e.vec_id AS vid, pl.tbl AS tbl,
+         CAST(sum(CASE WHEN {_PLANE_DOT_E} > 0 THEN pl.bit ELSE 0 END) AS BIGINT) AS bucket
+  FROM {src} e CROSS JOIN planes pl
+  GROUP BY 1, 2
+)"""
+
+
+def _decon_emb_sql(
+    threshold: float = DECON_EMB_THRESHOLD,
+    n_tables: int = DECON_EMB_TABLES,
+    m: int = DECON_EMB_PLANES,
+) -> str:
+    return f"""
+WITH {_DECON_SETS_SQL.strip()},
+{_planes_cte(n_tables, m)},
+cb AS {_buckets_for("corpus")},
+bb AS {_buckets_for("bench")},
+cand AS (
+  SELECT DISTINCT cb.vid AS corpus_id, bb.vid AS bench_id
+  FROM cb JOIN bb ON cb.tbl = bb.tbl AND cb.bucket = bb.bucket
+),
+sims AS (
+  SELECT corpus_id, bench_id,
+         {_DOT_AB} / ({_NORM_A} * {_NORM_B}) AS cosine
+  FROM cand
+  JOIN corpus a ON a.vec_id = corpus_id
+  JOIN bench b ON b.vec_id = bench_id
+)
+SELECT CAST(corpus_id AS BIGINT) AS corpus_id,
+       CAST(bench_id AS BIGINT) AS bench_id,
+       cosine
+FROM sims
+WHERE cosine >= {threshold}
+QUALIFY row_number() OVER (
+  PARTITION BY corpus_id ORDER BY cosine DESC, bench_id
+) = 1
+"""
+
+
+@_q("decontaminate_embedding_lsh", _decon_emb_sql())
+def decontaminate_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-set embedding decontamination: flag corpus vectors whose
+    cosine to ANY benchmark vector >= threshold, with the best match.
+
+    100 TB shape: the benchmark set is small and bounded (eval suites
+    are KBs, the corpus is TBs), so its LSH bucket table is a
+    BROADCAST build side -- the candidate join is a broadcast hash
+    join streaming over corpus buckets, linear in corpus size, and no
+    bucket cap is needed (candidate fanout per corpus row is bounded
+    by benchmark bucket width <= |benchmark|). The confirm cosine runs
+    only on candidates. Compare textops.decontaminate_* for the
+    n-gram/bloom text variants of the same pipeline stage."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    bench = base.where(F.col("vec_id") % 20 == 0)
+    planted = base.where(F.col("vec_id") % 40 == 0).select(
+        (F.col("vec_id") + 200000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x, i: x * (1 + 0.01 * ((i % 5) - 2))
+        ).alias("embedding"),
+    )
+    corpus = base.where(F.col("vec_id") % 20 != 0).unionByName(planted)
+
+    kw = dict(
+        n_tables=DECON_EMB_TABLES,
+        planes_per_table=DECON_EMB_PLANES,
+        dim=EMB_DIM,
+        impl="arrow",
+    )
+    cb = lsh_buckets(corpus, "embedding", **kw).select(
+        F.col("vec_id").alias("corpus_id"),
+        F.col("embedding").alias("corpus_emb"),
+        "table",
+        "bucket",
+    )
+    bb = lsh_buckets(bench, "embedding", **kw).select(
+        F.col("vec_id").alias("bench_id"),
+        F.col("embedding").alias("bench_emb"),
+        "table",
+        "bucket",
+    )
+    cand = (
+        cb.join(F.broadcast(bb), ["table", "bucket"])
+        .select("corpus_id", "corpus_emb", "bench_id", "bench_emb")
+        .dropDuplicates(["corpus_id", "bench_id"])
+    )
+    sims = cosine_arrow(cand, "corpus_emb", "bench_emb").where(
+        F.col("cosine") >= DECON_EMB_THRESHOLD
+    )
+    w = Window.partitionBy("corpus_id").orderBy(
+        F.desc("cosine"), F.asc("bench_id")
+    )
+    return (
+        sims.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            F.col("corpus_id").cast("long").alias("corpus_id"),
+            F.col("bench_id").cast("long").alias("bench_id"),
+            "cosine",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Char-bigram OOV rate: corpus-trained top-K bigram vocabulary, per-doc
+# out-of-vocabulary rate in ppm. An n-gram-LM quality proxy that stays
+# integer-exact (a real log-prob LM needs ln(), which is not
+# bit-portable across engines).
+# ---------------------------------------------------------------------------
+
+OOV_VOCAB_K = 64
+
+
+@_q(
+    "text_oov_bigram_rate",
+    f"""
+WITH grams AS (
+  SELECT doc_id,
+         unnest([substr(text, i, 2) for i in generate_series(1, len(text) - 1)]) AS g
+  FROM documents
+),
+vocab AS (
+  SELECT g FROM grams GROUP BY g
+  QUALIFY row_number() OVER (ORDER BY count(*) DESC, g) <= {OOV_VOCAB_K}
+),
+scored AS (
+  SELECT doc_id, count(*) AS n_bigrams,
+         sum(CASE WHEN v.g IS NULL THEN 1 ELSE 0 END) AS n_oov
+  FROM grams LEFT JOIN vocab v USING (g)
+  GROUP BY doc_id
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(n_bigrams AS BIGINT) AS n_bigrams,
+       CAST(n_oov AS BIGINT) AS n_oov,
+       CAST(n_oov * 1000000 // n_bigrams AS BIGINT) AS oov_ppm
+FROM scored
+""",
+)
+def text_oov_bigram_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-trained char-bigram vocabulary (top-K by corpus frequency,
+    lexicographic tiebreak) -> per-doc OOV rate in integer ppm.
+
+    100 TB shape: the bigram explode is a narrow flatMap (linear in
+    corpus bytes); the vocabulary aggregate is map-side combinable and
+    its distinct-key space is bounded by charset^2 REGARDLESS of
+    corpus size, so the global top-K window runs over a few thousand
+    rows and the vocab is a broadcast build side for the scoring
+    join. The per-doc score is one more map-side-combinable agg."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("text") - 1),
+                lambda i: F.col("text").substr(i, F.lit(2)),
+            )
+        ).alias("g"),
+    )
+    wv = Window.orderBy(F.desc("cnt"), F.asc("g"))
+    vocab = (
+        grams.groupBy("g")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("rn", F.row_number().over(wv))
+        .where(F.col("rn") <= OOV_VOCAB_K)
+        .select("g", F.lit(True).alias("in_vocab"))
+    )
+    scored = (
+        grams.join(F.broadcast(vocab), "g", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_oov"),
+        )
+    )
+    return scored.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "n_bigrams",
+        "n_oov",
+        F.expr("n_oov * 1000000L div n_bigrams").cast("long").alias("oov_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup: today's crawl (new docs) vs the existing index --
+# banded MinHash collision flags, index side pre-aggregated per band
+# key so the join fanout is bounded.
+# ---------------------------------------------------------------------------
+
+_INC_K = 8
+_INC_BANDS = 4
+
+
+def _inc_minhash_sql(k: int = _INC_K, bands: int = _INC_BANDS, n: int = 3) -> str:
+    rpb = k // bands
+    sig_cols = ",\n  ".join(
+        f"list_min(list_transform(sh, x -> substr(sha256(x), {i * 8 + 1}, 8))) AS minhash_{i}"
+        for i in range(k)
+    )
+    band_selects = "\nUNION ALL\n".join(
+        f"SELECT doc_id, {b} AS band, md5(concat_ws('|', "
+        + ", ".join(f"minhash_{b * rpb + r}" for r in range(rpb))
+        + ")) AS key FROM sig"
+        for b in range(bands)
+    )
+    return f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+sh AS (SELECT doc_id, {_shingles_sql("toks", n)} AS sh FROM t),
+sig AS (SELECT doc_id, {sig_cols} FROM sh),
+bandkeys AS ({band_selects}),
+idx AS (
+  SELECT band, key, CAST(count(*) AS BIGINT) AS n_index_docs,
+         CAST(min(doc_id) AS BIGINT) AS first_match_id
+  FROM bandkeys WHERE doc_id % 10 <> 7
+  GROUP BY band, key
+),
+hits AS (
+  SELECT n.doc_id, idx.n_index_docs, idx.first_match_id
+  FROM bandkeys n JOIN idx USING (band, key)
+  WHERE n.doc_id % 10 = 7
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(count(*) AS BIGINT) AS hit_bands,
+       CAST(sum(n_index_docs) AS BIGINT) AS n_index_docs,
+       CAST(min(first_match_id) AS BIGINT) AS first_match_id
+FROM hits
+GROUP BY doc_id
+"""
+
+
+@_q("dedup_incremental_minhash", _inc_minhash_sql())
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup flagging: which NEW docs (deterministic
+    doc_id slice standing in for today's crawl) collide with the
+    existing index in >= 1 MinHash band.
+
+    100 TB shape: unlike pair enumeration (minhash_lsh_pairs), the
+    index side is PRE-AGGREGATED to one row per (band, key) before the
+    join -- a hot band key of w index docs contributes 1 joined row,
+    not w, so the join output is <= bands x |new docs| regardless of
+    index skew. No bucket cap needed; the count/min survive as
+    mergeable aggregates. This is the daily-ingest shape: the index
+    band table is exactly what an incremental pipeline persists
+    between runs."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sig = minhash_signature(docs, "text", k=_INC_K, shingle_n=3)
+    rpb = _INC_K // _INC_BANDS
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    *[f"minhash_{b * rpb + r}" for r in range(rpb)],
+                )
+            ).alias("key"),
+        )
+        for b in range(_INC_BANDS)
+    ]
+    bandkeys = sig.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bk")
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+    idx = (
+        bandkeys.where(F.col("doc_id") % 10 != 7)
+        .groupBy("band", "key")
+        .agg(
+            F.count("*").cast("long").alias("n_index_docs"),
+            F.min("doc_id").cast("long").alias("first_match_id"),
+        )
+    )
+    new = bandkeys.where(F.col("doc_id") % 10 == 7)
+    hits = new.join(idx, ["band", "key"])
+    return hits.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("hit_bands"),
+        F.sum("n_index_docs").cast("long").alias("n_index_docs"),
+        F.min("first_match_id").cast("long").alias("first_match_id"),
+    ).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "hit_bands",
+        "n_index_docs",
+        "first_match_id",
+    )

@@ -159,3 +159,46 @@ def streaming_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result.select(
         "window_start", "event_type", F.col("n_events").cast("long").alias("n_events"), "sum_value"
     )
+
+
+@_q(
+    "streaming_dim_join_agg",
+    """
+SELECT c_mktsegment AS segment,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(round(value * 10000, 0) AS BIGINT)) AS BIGINT) AS value_e4
+FROM events
+JOIN customer ON user_id = c_custkey
+GROUP BY c_mktsegment
+""",
+)
+def streaming_dim_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static dimension join executed INCREMENTALLY: the events
+    file stream joins the static customer dim per micro-batch, then
+    aggregates per market segment (complete mode, memory sink).
+
+    The stream-static join is the streaming twin of the batch
+    broadcast-dim enrich (flagship_enrich's join side): Spark re-plans
+    the static side per micro-batch, so a slowly-changing dim picked
+    up from storage is refreshed without restarting the query. Money
+    stays exact integer e4 BEFORE the sum so the incremental
+    (micro-batch merge) total is bit-equal to the batch oracle --
+    float sums would accumulate in arrival order and hash-mismatch."""
+    from ..sources.tables import load_table
+    from ..streaming.events import read_event_stream, run_to_memory
+
+    events_dir = _stream_events_dir(spark, sf_dir)
+    stream = read_event_stream(spark, events_dir)
+    dim = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    joined = stream.join(dim, stream.user_id == dim.c_custkey)
+    agg = joined.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.sum(F.round(F.col("value") * 10000, 0).cast("long"))
+        .cast("long")
+        .alias("value_e4"),
+    )
+    _MEMORY_SINK_SEQ[0] += 1
+    result = run_to_memory(agg, f"streaming_dim_join_{_MEMORY_SINK_SEQ[0]}")
+    return result.select("segment", "n_events", "value_e4")

@@ -22,6 +22,7 @@ from . import (
     queries_llm3,
     queries_llm4,
     queries_llm5,
+    queries_llm6,
     queries_spatial,
     queries_streaming,
     queries_surface,
@@ -133,6 +134,7 @@ for mod in (
     queries_llm3,
     queries_llm4,
     queries_llm5,
+    queries_llm6,
     queries_spatial,
     queries_streaming,
     queries_surface,
