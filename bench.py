@@ -93,6 +93,15 @@ HEADLINE = [
     "er_blocked_fuzzy_match",
     "text_line_dedup",
     "timeseries_gapfill_locf",
+    # round 3 batch 2/3: TPC-H battery heads + cross-set curation
+    "tpch_q5_local_supplier_volume",
+    "tpch_q6_forecast_revenue",
+    "tpch_q9_profit_by_nation_year",
+    "tpch_q13_order_count_distribution",
+    "tpch_q18_large_volume_customers",
+    "decontaminate_embedding_lsh",
+    "text_oov_bigram_rate",
+    "dedup_incremental_minhash",
 ]
 
 

@@ -239,6 +239,8 @@ def text_oov_bigram_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus size, so the global top-K window runs over a few thousand
     rows and the vocab is a broadcast build side for the scoring
     join. The per-doc score is one more map-side-combinable agg."""
+    from ..operators._cache import track_persist
+
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     grams = docs.select(
         "doc_id",
@@ -249,20 +251,28 @@ def text_oov_bigram_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("g"),
     )
+    # pre-aggregate to (doc, gram) counts ONCE and persist: both the
+    # vocabulary pass and the scoring pass read this slim aggregate
+    # instead of re-running the bigram explode over raw text (the DAG
+    # references grams twice; without the persist Spark recomputes the
+    # flatMap per consumer -- measured ~2x at sf0.1)
+    doc_grams = track_persist(
+        grams.groupBy("doc_id", "g").agg(F.count("*").alias("dg_cnt"))
+    )
     wv = Window.orderBy(F.desc("cnt"), F.asc("g"))
     vocab = (
-        grams.groupBy("g")
-        .agg(F.count("*").alias("cnt"))
+        doc_grams.groupBy("g")
+        .agg(F.sum("dg_cnt").alias("cnt"))
         .withColumn("rn", F.row_number().over(wv))
         .where(F.col("rn") <= OOV_VOCAB_K)
         .select("g", F.lit(True).alias("in_vocab"))
     )
     scored = (
-        grams.join(F.broadcast(vocab), "g", "left")
+        doc_grams.join(F.broadcast(vocab), "g", "left")
         .groupBy("doc_id")
         .agg(
-            F.count("*").cast("long").alias("n_bigrams"),
-            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+            F.sum("dg_cnt").cast("long").alias("n_bigrams"),
+            F.sum(F.when(F.col("in_vocab").isNull(), F.col("dg_cnt")).otherwise(0))
             .cast("long")
             .alias("n_oov"),
         )
@@ -374,4 +384,109 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "hit_bands",
         "n_index_docs",
         "first_match_id",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Linear-interpolation gap fill (the companion to queries_llm5's LOCF):
+# interpolate missing daily counts between the bracketing observations,
+# integer milli-units so both engines land on identical values.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "timeseries_gapfill_linear",
+    """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2),
+bounds AS (SELECT min(day) AS lo, max(day) AS hi FROM daily),
+types AS (SELECT DISTINCT event_type FROM daily),
+spine AS (
+  SELECT t.event_type,
+         CAST(unnest(generate_series(b.lo, b.hi, INTERVAL 1 DAY)) AS DATE) AS day
+  FROM types t CROSS JOIN bounds b),
+j AS (
+  SELECT s.event_type, s.day, d.n
+  FROM spine s LEFT JOIN daily d
+    ON s.event_type = d.event_type AND s.day = d.day),
+br AS (
+  SELECT event_type, day, n, n IS NOT NULL AS observed,
+    last_value(n IGNORE NULLS) OVER (
+      PARTITION BY event_type ORDER BY day
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_n,
+    max(CASE WHEN n IS NOT NULL THEN day END) OVER (
+      PARTITION BY event_type ORDER BY day
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_day,
+    first_value(n IGNORE NULLS) OVER (
+      PARTITION BY event_type ORDER BY day
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_n,
+    min(CASE WHEN n IS NOT NULL THEN day END) OVER (
+      PARTITION BY event_type ORDER BY day
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_day
+  FROM j)
+SELECT event_type, day, observed,
+  CASE
+    WHEN observed THEN n * 1000
+    WHEN prev_n IS NULL OR next_n IS NULL THEN NULL
+    ELSE prev_n * 1000
+         + (next_n - prev_n) * 1000 * date_diff('day', prev_day, day)
+           // date_diff('day', prev_day, next_day)
+  END AS interp_milli
+FROM br
+""",
+)
+def timeseries_gapfill_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation between the bracketing observations on a
+    dense date spine. Values are integer milli-units with BIGINT floor
+    division, so the interpolated series is bit-equal across engines
+    (a double slope would differ in the last ulp). NULL outside the
+    observed range (no extrapolation) -- the honest choice for
+    downstream feature pipelines.
+
+    100 TB shape: identical to the LOCF twin -- spine bounds are an
+    in-plan one-row broadcast, and both bracketing lookups are the
+    same partition-ordered window pass (no self-join against the
+    observation set)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count("*").cast("long").alias("n")
+    )
+    bounds = daily.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    types = daily.select("event_type").distinct()
+    spine = types.crossJoin(F.broadcast(bounds)).select(
+        "event_type", F.explode(F.sequence("lo", "hi")).alias("day")
+    )
+    j = spine.join(daily, ["event_type", "day"], "left")
+    wb = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_day = F.when(F.col("n").isNotNull(), F.col("day"))
+    br = (
+        j.withColumn("observed", F.col("n").isNotNull())
+        .withColumn("prev_n", F.last("n", ignorenulls=True).over(wb))
+        .withColumn("prev_day", F.max(obs_day).over(wb))
+        .withColumn("next_n", F.first("n", ignorenulls=True).over(wf))
+        .withColumn("next_day", F.min(obs_day).over(wf))
+    )
+    interp = (
+        F.when(F.col("observed"), F.col("n") * 1000)
+        .when(F.col("prev_n").isNull() | F.col("next_n").isNull(), F.lit(None))
+        .otherwise(
+            F.col("prev_n") * 1000
+            + F.expr(
+                "(next_n - prev_n) * 1000L * datediff(day, prev_day) "
+                "div datediff(next_day, prev_day)"
+            )
+        )
+    )
+    return br.select(
+        "event_type", "day", "observed", interp.cast("long").alias("interp_milli")
     )
