@@ -490,3 +490,171 @@ def timeseries_gapfill_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     return br.select(
         "event_type", "day", "observed", interp.cast("long").alias("interp_milli")
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus source-overlap matrix: shingle-set Jaccard between every pair
+# of sources, WITHOUT a shingle self-join -- per-shingle source-set
+# co-occurrence explode, bounded by the source catalog, not the corpus.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "corpus_source_overlap",
+    f"""
+WITH t AS (SELECT source, {_TOKS} AS toks FROM documents),
+s AS (
+  SELECT DISTINCT source, unnest({_shingles_sql("toks", 3)}) AS sh FROM t
+),
+per AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM s GROUP BY source),
+co AS (
+  SELECT a.source AS src_a, b.source AS src_b
+  FROM s a JOIN s b ON a.sh = b.sh AND a.source < b.source
+),
+cnt AS (
+  SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS n_common
+  FROM co GROUP BY src_a, src_b
+)
+SELECT src_a, src_b, n_common,
+       pa.n AS n_a, pb.n AS n_b,
+       CAST(n_common * 1000000 // (pa.n + pb.n - n_common) AS BIGINT) AS jaccard_ppm
+FROM cnt
+JOIN per pa ON pa.source = cnt.src_a
+JOIN per pb ON pb.source = cnt.src_b
+""",
+)
+def corpus_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise shingle-set Jaccard between corpus sources (the
+    "how much does slice A duplicate slice B" report that drives
+    mixture decisions).
+
+    100 TB shape: NO shingle self-join. Distinct (source, shingle)
+    pairs aggregate per shingle into a sorted source list, and pairs
+    explode from that list -- fanout per shingle is bounded by
+    C(|catalog|, 2) where the source catalog is small and fixed, while
+    a self-join on a hot shingle would be quadratic in its document
+    frequency. The pair counts then aggregate map-side. The DuckDB
+    oracle uses the plain self-join formulation (it need not scale),
+    proving the rewrite result-invisible."""
+    from ..functions.text import shingles, tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    staged = docs.select("source", tokens("text").alias("toks"))
+    s = (
+        staged.select(
+            "source", F.explode(shingles("text", 3, toks=F.col("toks"))).alias("sh")
+        )
+        .distinct()
+    )
+    per = s.groupBy("source").agg(F.count("*").cast("long").alias("n"))
+    by_sh = s.groupBy("sh").agg(
+        F.sort_array(F.collect_set("source")).alias("srcs")
+    )
+    pairs = by_sh.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "srcs",
+                    lambda a, i: F.transform(
+                        F.slice(F.col("srcs"), i + 2, F.size("srcs")),
+                        lambda b: F.struct(a.alias("src_a"), b.alias("src_b")),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select(F.col("p.src_a").alias("src_a"), F.col("p.src_b").alias("src_b"))
+    cnt = pairs.groupBy("src_a", "src_b").agg(
+        F.count("*").cast("long").alias("n_common")
+    )
+    pa = per.select(F.col("source").alias("sa"), F.col("n").alias("n_a"))
+    pb = per.select(F.col("source").alias("sb"), F.col("n").alias("n_b"))
+    return (
+        cnt.join(F.broadcast(pa), cnt.src_a == pa.sa)
+        .join(F.broadcast(pb), cnt.src_b == pb.sb)
+        .select(
+            "src_a",
+            "src_b",
+            "n_common",
+            "n_a",
+            "n_b",
+            F.expr("n_common * 1000000L div (n_a + n_b - n_common)")
+            .cast("long")
+            .alias("jaccard_ppm"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM changepoint detection on daily event counts -- fully integer
+# (deviations scaled by the day count so no mean division happens).
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "timeseries_cusum_changepoint",
+    """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2),
+st AS (
+  SELECT event_type, day, n,
+         CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n_days,
+         CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT) AS total
+  FROM daily),
+cu AS (
+  SELECT event_type, day, n, n_days, total,
+         sum(n * n_days - total) OVER (
+           PARTITION BY event_type ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS cusum_scaled
+  FROM st)
+SELECT event_type, day AS changepoint_day,
+       CAST(cusum_scaled AS BIGINT) AS cusum_scaled,
+       n_days, total
+FROM cu
+QUALIFY row_number() OVER (
+  PARTITION BY event_type ORDER BY abs(cusum_scaled) DESC, day
+) = 1
+""",
+)
+def timeseries_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint per event type: the day where the cumulative
+    deviation from the series mean peaks. Deviations are scaled by
+    n_days (dev_i = n_i * D - T) so the whole statistic stays BIGINT
+    -- no float mean, no drift, exact on both engines.
+
+    100 TB shape: one daily pre-aggregate (map-side combinable; the
+    shuffled grain is days x types, tiny), then two window passes over
+    that aggregate partitioned by type. Nothing here scales with raw
+    event count after the first aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count("*").cast("long").alias("n")
+    )
+    wt = Window.partitionBy("event_type")
+    wc = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    st = daily.withColumn("n_days", F.count("*").over(wt).cast("long")).withColumn(
+        "total", F.sum("n").over(wt).cast("long")
+    )
+    cu = st.withColumn(
+        "cusum_scaled",
+        F.sum(F.col("n") * F.col("n_days") - F.col("total")).over(wc),
+    )
+    wr = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("cusum_scaled")).desc(), F.asc("day")
+    )
+    return (
+        cu.withColumn("rn", F.row_number().over(wr))
+        .where(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("day").alias("changepoint_day"),
+            F.col("cusum_scaled").cast("long").alias("cusum_scaled"),
+            "n_days",
+            "total",
+        )
+    )
