@@ -102,6 +102,10 @@ HEADLINE = [
     "decontaminate_embedding_lsh",
     "text_oov_bigram_rate",
     "dedup_incremental_minhash",
+    "corpus_source_overlap",
+    "timeseries_cusum_changepoint",
+    "timeseries_gapfill_linear",
+    "multimodal_byte_histogram",
 ]
 
 

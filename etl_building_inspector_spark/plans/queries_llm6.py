@@ -658,3 +658,81 @@ def timeseries_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing with an EXACT oracle: byte-histogram features
+# over a binary column via an Arrow mapInPandas kernel. The blob is
+# synthesized from the (ASCII) text column so DuckDB can recompute the
+# identical histogram from code points -- the one multimodal kernel
+# whose output is value-checkable end to end without codecs.
+# ---------------------------------------------------------------------------
+
+_BHIST_SCHEMA = "doc_id long, n_bytes long, " + ", ".join(
+    f"h{b} long" for b in range(16)
+)
+
+
+def _bhist_sql() -> str:
+    bins = ",\n  ".join(
+        f"CAST(len(list_filter(codes, c -> c // 16 = {b})) AS BIGINT) AS h{b}"
+        for b in range(16)
+    )
+    return f"""
+WITH ascii_docs AS (
+  SELECT doc_id, text FROM documents
+  WHERE regexp_matches(text, '^[\\x20-\\x7e]*$')
+),
+codes_t AS (
+  SELECT doc_id, len(text) AS n,
+         [unicode(text[i]) for i in generate_series(1, len(text))] AS codes
+  FROM ascii_docs
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+  CAST(n AS BIGINT) AS n_bytes,
+  {bins}
+FROM codes_t
+"""
+
+
+@_q("multimodal_byte_histogram", _bhist_sql())
+def multimodal_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column feature extraction through the REAL multimodal
+    path: binary blobs -> Arrow-batched mapInPandas -> numpy bincount
+    over the high nibble (16 bins). The blob here is utf-8-encoded
+    ASCII text purely so the DuckDB twin can recompute the histogram
+    from code points and hash-check the kernel EXACTLY -- image/audio
+    blobs flow through the same kernel signature
+    (operators/multimodal.py; decode is codec-gated, the batch shape
+    and per-row error routing are identical).
+
+    100 TB shape: narrow mapInPandas, one Arrow batch per ~10k rows,
+    no shuffle; per-row cost is numpy-vectorized (frombuffer +
+    bincount), never a Python loop over bytes."""
+    from .._dist import ensure_workers_can_import
+
+    ensure_workers_can_import(spark)
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("text").rlike("^[\\x20-\\x7e]*$"))
+        .select("doc_id", F.encode("text", "utf-8").alias("blob"))
+    )
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        for b in batches:
+            ids = b["doc_id"].to_numpy()
+            rows = []
+            for blob in b["blob"]:
+                arr = np.frombuffer(blob, dtype=np.uint8)
+                hist = np.bincount(arr >> 4, minlength=16)
+                rows.append((len(arr), *hist.tolist()))
+            out = pd.DataFrame(
+                rows, columns=["n_bytes"] + [f"h{i}" for i in range(16)]
+            )
+            out.insert(0, "doc_id", ids)
+            yield out
+
+    return docs.mapInPandas(kernel, schema=_BHIST_SCHEMA)
