@@ -175,3 +175,124 @@ def spatial_pip_nomatch_log(spark: SparkSession, sf_dir: str) -> DataFrame:
             "error"
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Nearest-neighbor-within-radius join (grid-bucketed KNN, k=1): for
+# each point, the closest polygon CENTER in its layer within radius R.
+# Integer coordinates -> exact BIGINT squared distances on both
+# engines; the grid + 3x3 neighborhood is lossless for radius <= cell.
+# ---------------------------------------------------------------------------
+
+_KNN_RADIUS = 15  # also the grid cell size: 3x3 neighborhood covers R
+
+
+def _knn_sql(r: int = _KNN_RADIUS) -> str:
+    return f"""
+WITH centers AS (
+  SELECT CAST(s_suppkey AS BIGINT) AS poly_id,
+         CAST(s_nationkey % 5 AS BIGINT) AS layer_id,
+         CAST((s_suppkey % 40) * 10 AS BIGINT) AS sx,
+         CAST((s_suppkey // 40) * 10 AS BIGINT) AS sy
+  FROM supplier),
+pts AS (
+  SELECT CAST(c_custkey AS BIGINT) AS point_id,
+         CAST(c_nationkey % 5 AS BIGINT) AS layer_id,
+         CAST((c_custkey % 40) * 10 + c_custkey % 7 - 3 AS BIGINT) AS px,
+         CAST((c_custkey // 40 % 25) * 10 + c_custkey % 5 - 2 AS BIGINT) AS py
+  FROM customer),
+d AS (
+  SELECT point_id, poly_id,
+         (px - sx) * (px - sx) + (py - sy) * (py - sy) AS d2
+  FROM pts JOIN centers USING (layer_id)
+  WHERE (px - sx) * (px - sx) + (py - sy) * (py - sy) <= {r * r})
+SELECT point_id, poly_id, CAST(d2 AS BIGINT) AS d2
+FROM d
+QUALIFY row_number() OVER (PARTITION BY point_id ORDER BY d2, poly_id) = 1
+"""
+
+
+@_q("spatial_knn_join", _knn_sql())
+def spatial_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest neighbor within radius R via grid bucketing: centers
+    hash to one cell (cell = R), each point probes its 3x3 cell
+    neighborhood, exact integer squared-distance filter + argmin.
+    Lossless for radius <= cell size (any center within R is within
+    Chebyshev distance R, hence in the neighborhood).
+
+    100 TB shape: the candidate join is an EQUI join on (layer, cell)
+    with a fixed x9 point-side fanout -- never an all-pairs distance
+    join (the DuckDB oracle IS the all-pairs formulation, proving the
+    grid rewrite result-invisible). Skew is bounded by points-per-cell;
+    the argmin is a window over candidates only. Same shape scales to
+    k>1 (rank <= k) and to IVF-style ANN over embeddings
+    (operators/similarity.py) -- this is the geometric special case.
+
+    Reference anchor: geo-indices.js:22-56 builds per-layer R-trees
+    for containment; the grid cell here plays the R-tree node's role
+    with shuffle-friendly semantics (cf. operators/spatial.py grid
+    strategy)."""
+    sup = load_table(spark, sf_dir, "supplier")
+    centers = sup.select(
+        F.col("s_suppkey").cast("long").alias("poly_id"),
+        (F.col("s_nationkey") % 5).cast("long").alias("layer_id"),
+        ((F.col("s_suppkey") % 40) * 10).cast("long").alias("sx"),
+        (F.expr("s_suppkey DIV 40") * 10).cast("long").alias("sy"),
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    pts = cust.select(
+        F.col("c_custkey").cast("long").alias("point_id"),
+        (F.col("c_nationkey") % 5).cast("long").alias("layer_id"),
+        ((F.col("c_custkey") % 40) * 10 + F.col("c_custkey") % 7 - 3)
+        .cast("long")
+        .alias("px"),
+        ((F.expr("c_custkey DIV 40") % 25) * 10 + F.col("c_custkey") % 5 - 2)
+        .cast("long")
+        .alias("py"),
+    )
+    cell = F.lit(_KNN_RADIUS)
+    centers_g = centers.withColumn(
+        "cellx", F.floor(F.col("sx") / cell).cast("long")
+    ).withColumn("celly", F.floor(F.col("sy") / cell).cast("long"))
+    neigh = F.explode(
+        F.flatten(
+            F.transform(
+                F.sequence(F.lit(-1), F.lit(1)),
+                lambda dx: F.transform(
+                    F.sequence(F.lit(-1), F.lit(1)),
+                    lambda dy: F.struct(
+                        (F.floor(F.col("px") / cell) + dx)
+                        .cast("long")
+                        .alias("cellx"),
+                        (F.floor(F.col("py") / cell) + dy)
+                        .cast("long")
+                        .alias("celly"),
+                    ),
+                ),
+            )
+        )
+    )
+    pts_g = pts.withColumn("nc", neigh).select(
+        "point_id",
+        "layer_id",
+        "px",
+        "py",
+        F.col("nc.cellx").alias("cellx"),
+        F.col("nc.celly").alias("celly"),
+    )
+    d2 = (F.col("px") - F.col("sx")) * (F.col("px") - F.col("sx")) + (
+        F.col("py") - F.col("sy")
+    ) * (F.col("py") - F.col("sy"))
+    cand = (
+        pts_g.join(centers_g, ["layer_id", "cellx", "celly"])
+        .withColumn("d2", d2)
+        .where(F.col("d2") <= _KNN_RADIUS * _KNN_RADIUS)
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("point_id").orderBy("d2", "poly_id")
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("point_id", "poly_id", F.col("d2").cast("long").alias("d2"))
+    )

@@ -100,3 +100,28 @@ def test_q19_partkey_equi_join_extracted(spark, sf_dir):
     plan = _executed(spark, "tpch_q19_disjunctive_predicates", sf_dir)
     assert "HashJoin" in plan or "SortMergeJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_spatial_knn_grid_equi_join_only(spark, sf_dir):
+    # the KNN candidate join must be an equi hash join on (layer,
+    # cell), never a distance cross join
+    plan = _executed(spark, "spatial_knn_join", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_source_overlap_no_shingle_self_join(spark, sf_dir):
+    # pair generation is a per-shingle source-set explode; the only
+    # joins are the two broadcast per-source-count lookups
+    plan = _executed(spark, "corpus_source_overlap", sf_dir)
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "Generate explode" in plan or "Generate" in plan
+
+
+def test_cusum_single_preaggregate(spark, sf_dir):
+    # everything after the daily pre-agg runs at days x types grain:
+    # exactly one aggregate over raw events
+    plan = _executed(spark, "timeseries_cusum_changepoint", sf_dir)
+    assert plan.count("HashAggregate") <= 4  # partial+final daily agg (+AQE variants)
+    assert "Window" in plan
