@@ -122,12 +122,27 @@ def main() -> None:
 
     from etl_building_inspector_spark.operators._cache import release_persisted
 
+    import gc
+
+    _since_gc = [0]
+
     def run_once(name: str) -> float:
         t0 = time.time()
         df = QUERIES[name](spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         dt = time.time() - t0
         release_persisted()  # drop operator-internal self-join caches
+        # long-lived-session hygiene: drop py4j refs promptly so the
+        # ContextCleaner can unregister dead broadcasts/accumulators,
+        # and nudge the JVM periodically -- without this, ~150 query
+        # runs accumulate broadcast blocks and the warm pass measures
+        # GC pressure instead of the plans (observed 2-4x erratic
+        # spikes on individual warm queries)
+        gc.collect()
+        _since_gc[0] += 1
+        if _since_gc[0] >= 15:
+            _since_gc[0] = 0
+            spark.sparkContext._jvm.System.gc()
         return dt
 
     # cold pass first (includes per-plan whole-stage-codegen compile,
