@@ -6,6 +6,7 @@ Usage:
   python -m etl_building_inspector_spark download --landing DIR [--base-url URL]
   python -m etl_building_inspector_spark transform --landing DIR --out DIR
   python -m etl_building_inspector_spark query NAME [--sf-dir DIR] [-n ROWS]
+  python -m etl_building_inspector_spark explain NAME [--sf-dir DIR] [--mode M]
   python -m etl_building_inspector_spark list-queries
 """
 
@@ -60,6 +61,19 @@ def _cmd_query(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_explain(args: argparse.Namespace) -> int:
+    from .plans.registry import QUERIES
+    from .session import get_spark
+
+    if args.name not in QUERIES:
+        print(f"unknown query {args.name!r}; see list-queries", file=sys.stderr)
+        return 2
+    spark = get_spark("explain")
+    df = QUERIES[args.name](spark, args.sf_dir)
+    df.explain(args.mode)
+    return 0
+
+
 def _cmd_list(args: argparse.Namespace) -> int:
     from .plans.registry import ORACLES, QUERIES
 
@@ -92,6 +106,18 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     q.add_argument("-n", "--rows", type=int, default=20)
     q.set_defaults(fn=_cmd_query)
+
+    ex = sub.add_parser(
+        "explain", help="print a registered query's physical plan"
+    )
+    ex.add_argument("name")
+    ex.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ex.add_argument(
+        "--mode",
+        default="formatted",
+        choices=["simple", "extended", "formatted", "cost", "codegen"],
+    )
+    ex.set_defaults(fn=_cmd_explain)
 
     ls = sub.add_parser("list-queries", help="list registered queries")
     ls.set_defaults(fn=_cmd_list)

@@ -118,6 +118,13 @@ WINDOW_R3: list[str] = [
 def _released(fn):
     def wrapped(spark, sf_dir):
         release_persisted()
+        # also drop py4j refs from the PREVIOUS query promptly so the
+        # ContextCleaner can unregister its dead broadcasts -- a
+        # long-lived driver session (the correctness driver runs 50
+        # queries back to back) otherwise accumulates broadcast blocks
+        import gc
+
+        gc.collect()
         return fn(spark, sf_dir)
 
     wrapped.__name__ = fn.__name__
