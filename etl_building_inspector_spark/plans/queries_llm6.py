@@ -242,15 +242,15 @@ def text_oov_bigram_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators._cache import track_persist
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # explode POSITIONS, then a plain codegen substring -- the
+    # transform(...substr...) HOF variant builds the whole bigram
+    # array interpreted per row and measured ~2.4x slower cold at
+    # sf0.1 (the Generate+Project here stays in whole-stage codegen)
     grams = docs.select(
         "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.length("text") - 1),
-                lambda i: F.col("text").substr(i, F.lit(2)),
-            )
-        ).alias("g"),
-    )
+        "text",
+        F.explode(F.sequence(F.lit(1), F.length("text") - 1)).alias("i"),
+    ).select("doc_id", F.expr("substring(text, i, 2)").alias("g"))
     # pre-aggregate to (doc, gram) counts ONCE and persist: both the
     # vocabulary pass and the scoring pass read this slim aggregate
     # instead of re-running the bigram explode over raw text (the DAG
