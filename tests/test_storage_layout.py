@@ -165,3 +165,38 @@ def test_sql_cache_table_in_memory_scan(spark, sf_dir):
     finally:
         spark.sql("UNCACHE TABLE nation_cache_test")
     assert not spark.catalog.isCached("nation_cache_test")
+
+
+def test_compact_small_files_roundtrip(spark, sf_dir, tmp_path_factory):
+    """Executor for the compaction plan: a directory littered with
+    small files rewrites to ~target-sized files, data bit-identical."""
+    from etl_building_inspector_spark.operators.maintenance import (
+        compact_parquet_dir,
+        list_parquet_files,
+        plan_bins,
+    )
+
+    base = str(tmp_path_factory.mktemp("compact"))
+    littered, compacted = base + "/in", base + "/out"
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li.repartition(40).write.parquet(littered)  # simulate small-file litter
+
+    files = list_parquet_files(spark, littered)
+    assert len(files) >= 30
+
+    # bin plan invariants: deterministic, every file assigned, bins
+    # contiguous from 0
+    plan = plan_bins(files, target_bytes=64 * 1024)
+    assert set(plan) == {f for f, _ in files}
+    assert sorted(set(plan.values())) == list(range(max(plan.values()) + 1))
+
+    stats = compact_parquet_dir(
+        spark, littered, compacted, target_bytes=64 * 1024
+    )
+    assert stats["files_after"] < stats["files_before"]
+    assert stats["files_after"] <= stats["n_bins"]
+
+    a = spark.read.parquet(littered)
+    b = spark.read.parquet(compacted)
+    assert a.schema == b.schema
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
