@@ -679,3 +679,70 @@ def test_streaming_sessionize_driver_query_matches_batch_twin(spark, sf_dir):
         for r in events_sessionize(spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_checkpoint_restart_no_double_count(spark, sf_dir, tmp_path_factory):
+    """Kill a checkpointed aggregation mid-input, add more input,
+    restart with the SAME checkpoint: totals equal the batch answer --
+    the checkpoint replays offsets exactly once, never re-counting the
+    first tranche. (The recovery contract every production streaming
+    job leans on; memory-sink tests elsewhere never exercise it.)"""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from etl_building_inspector_spark.sources.tables import load_table
+    from etl_building_inspector_spark.streaming.events import read_event_stream
+
+    base = str(tmp_path_factory.mktemp("ckpt_restart"))
+    in_dir, ckpt, out = base + "/in", base + "/ckpt", base + "/out"
+    os.makedirs(in_dir)
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    first = ev.where(F.col("event_id") % 2 == 0)
+    second = ev.where(F.col("event_id") % 2 == 1)
+    first.write.parquet(in_dir + "/batch0")
+
+    def start():
+        stream = read_event_stream(spark, in_dir + "/*")
+        agg = stream.groupBy("event_type").agg(
+            F.count("*").alias("n"),
+            F.sum(F.round(F.col("value") * 10000, 0).cast("long")).alias(
+                "value_e4"
+            ),
+        )
+        return (
+            agg.writeStream.outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .format("memory")
+            .queryName("ckpt_restart_agg")
+            .start()
+        )
+
+    q = start()
+    q.processAllAvailable()
+    q.stop()  # simulate failure/redeploy after tranche 1 committed
+
+    second.write.parquet(in_dir + "/batch1")
+    q = start()
+    q.processAllAvailable()
+    got = {
+        (r.event_type, r.n, r.value_e4)
+        for r in spark.sql("SELECT * FROM ckpt_restart_agg").collect()
+    }
+    q.stop()
+
+    expect = {
+        (r.event_type, r.n, r.value_e4)
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.round(F.col("value") * 10000, 0).cast("long")).alias(
+                "value_e4"
+            ),
+        )
+        .collect()
+    }
+    assert got == expect
