@@ -115,6 +115,66 @@ WINDOW_R3: list[str] = [
 ]
 
 
+# Round-4 window, pre-staged (NOT yet the head -- flip WINDOW = this
+# list at the START of round 4, keeping the smoke anchor). Drawn from
+# the never-driver-checked tail per COVERAGE.md's rotation ledger:
+# event analytics, warehouse maintenance, TPC-H battery, round-3
+# cross-set/timeseries/multimodal/spatial additions. Validated below
+# so registry evolution can't silently break the handoff.
+WINDOW_R4_CANDIDATES: list[str] = [
+    "flagship_enrich",
+    "graph_degree_distribution",
+    "funnel_stages",
+    "cohort_retention",
+    "streaks_gaps_islands",
+    "skyline_price_size",
+    "event_path_topk",
+    "attribution_last_touch",
+    "attribution_first_touch",
+    "funnel_stages_windowed",
+    "funnel_time_to_convert",
+    "session_entry_exit",
+    "compaction_bin_plan",
+    "median_exact_groups",
+    "median_exact_udaf",
+    "profile_columns",
+    "incremental_agg_merge",
+    "basket_pair_support",
+    "basket_pair_lift",
+    "snapshot_diff",
+    "rolling_7d_active_users",
+    "skew_key_diagnostics",
+    "dq_constraint_checks",
+    "densify_date_spine",
+    "mom_revenue_growth",
+    "asof_join_tolerance",
+    "sql_recursive_reachability",
+    "max_concurrent_intervals",
+    "regression_slope_by_nation",
+    "time_weighted_value",
+    "zorder_bucket_stats",
+    "try_function_battery",
+    "id_gap_ranges",
+    "relational_division",
+    "rfm_segmentation",
+    "join_null_safe",
+    "outlier_iqr_by_group",
+    "provenance_file_counts",
+    "cumulative_unique_users",
+    "status_transition_matrix",
+    "revenue_concentration_8020",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q6_forecast_revenue",
+    "tpch_q10_returned_items",
+    "tpch_q17_small_quantity_revenue",
+    "decontaminate_embedding_lsh",
+    "dedup_incremental_minhash",
+    "corpus_source_overlap",
+    "multimodal_byte_histogram",
+    "spatial_knn_join",
+]
+
+
 def _released(fn):
     def wrapped(spark, sf_dir):
         release_persisted()
@@ -160,6 +220,9 @@ for mod in (
 _missing = [n for n in WINDOW_R3 if n not in QUERIES]
 assert not _missing, f"WINDOW_R3 names not registered: {_missing}"
 assert len(WINDOW_R3) == len(set(WINDOW_R3)) == 50, "window must be exactly 50 unique slots"
+_missing_r4 = [n for n in WINDOW_R4_CANDIDATES if n not in QUERIES]
+assert not _missing_r4, f"WINDOW_R4 names not registered: {_missing_r4}"
+assert len(WINDOW_R4_CANDIDATES) == len(set(WINDOW_R4_CANDIDATES)) == 50
 QUERIES = {
     **{n: QUERIES[n] for n in WINDOW_R3},
     **{n: q for n, q in QUERIES.items() if n not in set(WINDOW_R3)},
