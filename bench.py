@@ -106,6 +106,7 @@ HEADLINE = [
     "timeseries_cusum_changepoint",
     "timeseries_gapfill_linear",
     "multimodal_byte_histogram",
+    "pipeline_corpus_curation_e2e",
 ]
 
 

@@ -736,3 +736,138 @@ def multimodal_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield out
 
     return docs.mapInPandas(kernel, schema=_BHIST_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# The composed curation pipeline: quality gate -> exact dedup ->
+# benchmark decontamination -> near-dup removal, as ONE registered
+# query with ONE oracle. Each stage is individually oracled elsewhere;
+# this pins the COMPOSITION (stage order matters: dedup before
+# decontamination keeps one representative of a contaminated dup
+# cluster from slipping through under a different id; near-dup runs
+# last so its self-join sees the smallest candidate set).
+# ---------------------------------------------------------------------------
+
+_E2E_BENCH_MOD = 17
+_E2E_MIN_TOKENS = 30
+_E2E_MAX_TOKENS = 1000
+_E2E_DECON_N = 4
+_E2E_CAP = 32
+
+
+def _e2e_sql() -> str:
+    from .queries_llm import _NORM
+
+    k, bands = 8, 4
+    rpb = k // bands
+    sig_cols = ",\n  ".join(
+        f"list_min(list_transform(sh, x -> substr(sha256(x), {i * 8 + 1}, 8))) AS minhash_{i}"
+        for i in range(k)
+    )
+    band_selects = "\nUNION ALL\n".join(
+        f"SELECT doc_id, {b} AS band, md5(concat_ws('|', "
+        + ", ".join(f"minhash_{b * rpb + r}" for r in range(rpb))
+        + ")) AS key FROM sig"
+        for b in range(bands)
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id, lang, source, text, {_TOKS} AS toks FROM documents),
+quality AS (
+  SELECT * FROM t
+  WHERE len(toks) BETWEEN {_E2E_MIN_TOKENS} AND {_E2E_MAX_TOKENS}),
+fp AS (SELECT *, md5({_NORM}) AS f FROM quality),
+keep1 AS (
+  SELECT fp.* FROM fp
+  JOIN (SELECT f, min(doc_id) AS keeper FROM fp GROUP BY f) m
+    ON fp.f = m.f AND fp.doc_id = m.keeper),
+grams AS (
+  SELECT doc_id, list_distinct({_shingles_sql("toks", _E2E_DECON_N)}) AS g
+  FROM keep1),
+bench_grams AS (
+  SELECT DISTINCT unnest(g) AS bg FROM grams
+  WHERE doc_id % {_E2E_BENCH_MOD} = 0),
+train AS (SELECT * FROM keep1 WHERE doc_id % {_E2E_BENCH_MOD} <> 0),
+contaminated AS (
+  SELECT DISTINCT e.doc_id
+  FROM (SELECT doc_id, unnest(g) AS gg FROM grams
+        WHERE doc_id % {_E2E_BENCH_MOD} <> 0) e
+  JOIN bench_grams ON gg = bg),
+clean AS (
+  SELECT train.* FROM train
+  LEFT JOIN contaminated USING (doc_id)
+  WHERE contaminated.doc_id IS NULL),
+sh AS (SELECT doc_id, {_shingles_sql("toks", 3)} AS sh FROM clean),
+sig AS (SELECT doc_id, {sig_cols} FROM sh),
+bandkeys AS ({band_selects}),
+kept_b AS (SELECT band, key FROM bandkeys GROUP BY band, key
+           HAVING count(*) <= {_E2E_CAP}),
+b2 AS (SELECT bandkeys.* FROM bandkeys JOIN kept_b USING (band, key)),
+neardup_drop AS (
+  SELECT DISTINCT b.doc_id
+  FROM b2 a JOIN b2 b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+final AS (
+  SELECT clean.* FROM clean
+  LEFT JOIN neardup_drop USING (doc_id)
+  WHERE neardup_drop.doc_id IS NULL)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, source,
+       CAST(len(toks) AS BIGINT) AS n_tokens
+FROM final
+"""
+
+
+@_q("pipeline_corpus_curation_e2e", _e2e_sql())
+def pipeline_corpus_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation stages COMPOSED, as a user would run them nightly:
+    token-count quality gate -> exact dedup (keep lowest id per
+    normalized-text md5) -> benchmark exclusion + 4-gram
+    decontamination (bench grams broadcast) -> MinHash-LSH near-dup
+    removal (keep-lowest policy, capped buckets). Returns the
+    surviving training corpus.
+
+    100 TB plan: each stage's shape is the one its standalone query
+    uses (see dedup_exact_text, decontaminate_ngram,
+    dedup_minhash_lsh_pairs); composing them adds NO new shuffles
+    beyond the stages' own -- Catalyst pipelines the narrow stages and
+    the near-dup self-join runs over the post-filter survivor set,
+    which is the point of the ordering."""
+    from ..functions.text import fingerprint, tokens
+    from ..operators.dedup import minhash_lsh_pairs
+    from ..operators.textops import decontaminate_ngrams
+
+    docs = load_table(spark, sf_dir, "documents")
+    staged = docs.withColumn("toks", tokens("text")).withColumn(
+        "n_tokens", F.size("toks")
+    )
+    quality = staged.where(
+        F.col("n_tokens").between(_E2E_MIN_TOKENS, _E2E_MAX_TOKENS)
+    )
+    fp = quality.withColumn("f", fingerprint("text"))
+    keepers = fp.groupBy("f").agg(F.min("doc_id").alias("keeper"))
+    keep1 = fp.join(
+        keepers,
+        (fp.f == keepers.f) & (fp.doc_id == keepers.keeper),
+    ).select(fp["*"])
+
+    bench = keep1.where(F.col("doc_id") % _E2E_BENCH_MOD == 0)
+    train = keep1.where(F.col("doc_id") % _E2E_BENCH_MOD != 0)
+    decon = decontaminate_ngrams(train, bench, "text", "doc_id", n=_E2E_DECON_N)
+    clean = train.join(
+        decon.where(F.col("contaminated")).select("doc_id"),
+        "doc_id",
+        "left_anti",
+    )
+
+    pairs = minhash_lsh_pairs(
+        clean, "text", "doc_id", k=8, bands=4, shingle_n=3,
+        max_bucket_width=_E2E_CAP,
+    )
+    drop = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    final = clean.join(drop, "doc_id", "left_anti")
+    return final.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "lang",
+        "source",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+    )
