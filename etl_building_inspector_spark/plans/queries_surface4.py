@@ -13,7 +13,7 @@ order.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.sampling import (
@@ -533,4 +533,93 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         deg.groupBy("degree")
         .agg(F.count("*").cast("long").alias("n_nodes"))
         .orderBy("degree")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Label propagation (community detection): synchronous rounds with a
+# DETERMINISTIC update -- adopt the most frequent neighbor label,
+# ties broken by smallest label. Unrolled rounds (like the PageRank
+# twin) make the iterative algorithm exactly oracle-checkable.
+# ---------------------------------------------------------------------------
+
+_LPA_ROUNDS = 2
+
+
+def _lpa_sql(rounds: int = _LPA_ROUNDS) -> str:
+    parts = [
+        """
+WITH e0 AS (
+  SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS u,
+                  greatest(a.l_partkey, b.l_partkey) AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+),
+e AS (SELECT u AS s, v AS d FROM e0 UNION ALL SELECT v AS s, u AS d FROM e0),
+nodes AS (SELECT DISTINCT s AS node FROM e),
+lp0 AS (SELECT node, node AS lab FROM nodes)"""
+    ]
+    for k in range(1, rounds + 1):
+        parts.append(
+            f""",
+lp{k} AS (
+  SELECT n.node, COALESCE(c.best, p.lab) AS lab
+  FROM nodes n
+  JOIN lp{k - 1} p ON p.node = n.node
+  LEFT JOIN (
+    SELECT node, lab AS best FROM (
+      SELECT e.d AS node, q.lab, count(*) AS cnt,
+             row_number() OVER (PARTITION BY e.d
+                                ORDER BY count(*) DESC, q.lab) AS rn
+      FROM e JOIN lp{k - 1} q ON e.s = q.node
+      GROUP BY e.d, q.lab) t
+    WHERE rn = 1) c ON c.node = n.node)"""
+        )
+    parts.append(
+        f"""
+SELECT CAST(node AS BIGINT) AS node, CAST(lab AS BIGINT) AS community
+FROM lp{rounds}"""
+    )
+    return "".join(parts)
+
+
+@_q("graph_label_propagation", _lpa_sql())
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation over the
+    co-purchase graph -- {rounds} unrolled rounds, each adopting the
+    most frequent neighbor label (smallest label on ties, so the
+    normally run-order-dependent LPA is fully deterministic and
+    value-oracled).
+
+    100 TB shape per round: edges join labels (shuffle on src), count
+    by (dst, label) with map-side combine, then an argmax window
+    PARTITIONED BY dst whose width is the node's DISTINCT-neighbor-
+    label count (bounded by degree, shrinking as labels coalesce) --
+    never a global sort. Same iterative discipline as
+    pagerank_integer/connected_components (operators/graph.py)."""
+    e = _copurchase_sym_edges(spark, sf_dir)
+    nodes = e.select(F.col("s").alias("node")).distinct()
+    labels = nodes.withColumn("lab", F.col("node"))
+    for _ in range(_LPA_ROUNDS):
+        freq = (
+            e.join(labels, e.s == labels.node)
+            .groupBy(F.col("d").alias("nd"), "lab")
+            .agg(F.count("*").alias("cnt"))
+        )
+        w = Window.partitionBy("nd").orderBy(F.desc("cnt"), F.asc("lab"))
+        best = (
+            freq.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select(F.col("nd"), F.col("lab").alias("best"))
+        )
+        labels = (
+            labels.join(best, labels.node == best.nd, "left")
+            .select(
+                "node",
+                F.coalesce(F.col("best"), F.col("lab")).alias("lab"),
+            )
+        )
+    return labels.select(
+        F.col("node").cast("long").alias("node"),
+        F.col("lab").cast("long").alias("community"),
     )
