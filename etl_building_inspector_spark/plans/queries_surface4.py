@@ -623,3 +623,74 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").cast("long").alias("node"),
         F.col("lab").cast("long").alias("community"),
     )
+
+
+# ---------------------------------------------------------------------------
+# k-core peeling: iteratively drop nodes with degree < k. Unrolled
+# peel rounds (deterministic prefix of the fixpoint -- the fixture
+# converges within them; at scale you iterate with the same
+# count-and-stop discipline as connected_components).
+# ---------------------------------------------------------------------------
+
+_KCORE_K = 60
+_KCORE_ROUNDS = 3
+
+
+def _kcore_sql(k: int = _KCORE_K, rounds: int = _KCORE_ROUNDS) -> str:
+    parts = [
+        """
+WITH e0 AS (
+  SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS u,
+                  greatest(a.l_partkey, b.l_partkey) AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+),
+edges0 AS (SELECT u AS s, v AS d FROM e0 UNION ALL SELECT v AS s, u AS d FROM e0)"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f""",
+keep{r} AS (
+  SELECT s AS node FROM edges{r - 1} GROUP BY s HAVING count(*) >= {k}),
+edges{r} AS (
+  SELECT e.s, e.d FROM edges{r - 1} e
+  JOIN keep{r} a ON e.s = a.node
+  JOIN keep{r} b ON e.d = b.node)"""
+        )
+    parts.append(
+        f"""
+SELECT CAST(s AS BIGINT) AS node, CAST(count(*) AS BIGINT) AS core_degree
+FROM edges{rounds} GROUP BY s"""
+    )
+    return "".join(parts)
+
+
+@_q("graph_kcore", _kcore_sql())
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{k}-core of the co-purchase graph by iterative peeling: each
+    round drops nodes with degree < k and every edge touching them
+    (a dropped node can push its neighbors under k, hence the
+    iteration). Surviving nodes report their within-core degree.
+
+    100 TB shape per round: one map-side-combinable degree aggregate
+    + two semi-join filters on the edge list -- no windows, no
+    all-pairs anything. Unrolled rounds keep the oracle exact; the
+    production loop adds the changed-count early stop used by
+    connected_components (operators/graph.py)."""
+    e = _copurchase_sym_edges(spark, sf_dir)
+    for _ in range(_KCORE_ROUNDS):
+        keep = (
+            e.groupBy("s")
+            .agg(F.count("*").alias("deg"))
+            .where(F.col("deg") >= _KCORE_K)
+            .select(F.col("s").alias("node"))
+        )
+        e = e.join(
+            keep.select(F.col("node").alias("ks")), e.s == F.col("ks"), "left_semi"
+        ).join(
+            keep.select(F.col("node").alias("kd")), e.d == F.col("kd"), "left_semi"
+        )
+    return e.groupBy("s").agg(F.count("*").alias("core_degree")).select(
+        F.col("s").cast("long").alias("node"),
+        F.col("core_degree").cast("long").alias("core_degree"),
+    )
