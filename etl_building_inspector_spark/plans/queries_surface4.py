@@ -694,3 +694,82 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s").cast("long").alias("node"),
         F.col("core_degree").cast("long").alias("core_degree"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Link prediction: top-k NON-neighbor candidates per node by
+# common-neighbor count, hub middles capped (the wedge join through a
+# hub is the quadratic hazard -- same discipline as the jaccard
+# document-frequency cap).
+# ---------------------------------------------------------------------------
+
+_CN_TOPK = 5
+_CN_HUB_CAP = 100
+
+
+def _common_neighbors_sql(k: int = _CN_TOPK, cap: int = _CN_HUB_CAP) -> str:
+    return f"""
+WITH e0 AS (
+  SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS u,
+                  greatest(a.l_partkey, b.l_partkey) AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+),
+e AS (SELECT u AS s, v AS d FROM e0 UNION ALL SELECT v AS s, u AS d FROM e0),
+mid AS (SELECT s AS m FROM e GROUP BY s HAVING count(*) <= {cap}),
+ec AS (SELECT e.s, e.d FROM e JOIN mid ON e.d = mid.m),
+wedge AS (
+  SELECT a.s AS u, b.d AS v
+  FROM ec a JOIN ec b ON a.d = b.s AND a.s < b.d),
+cn AS (SELECT u, v, CAST(count(*) AS BIGINT) AS common FROM wedge GROUP BY u, v),
+cand AS (
+  SELECT cn.* FROM cn
+  LEFT JOIN e0 ON cn.u = e0.u AND cn.v = e0.v
+  WHERE e0.u IS NULL)
+SELECT CAST(u AS BIGINT) AS node, CAST(v AS BIGINT) AS candidate, common,
+       CAST(row_number() OVER (PARTITION BY u ORDER BY common DESC, v) AS BIGINT) AS rk
+FROM cand
+QUALIFY rk <= {k}
+"""
+
+
+@_q("graph_common_neighbors_topk", _common_neighbors_sql())
+def graph_common_neighbors_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{k} link-prediction candidates per node: rank NON-adjacent
+    pairs (u < v) by common-neighbor count. The wedge join runs only
+    through middles with degree <= {cap}: a hub of degree d produces
+    d^2/2 wedges, so capping the MIDDLE bounds the join output at
+    cap * |edges| -- linear in the graph, and dropping hub-mediated
+    wedges is also the right semantics (everyone shares the hub;
+    it predicts nothing). The oracle applies the identical cap."""
+    e = _copurchase_sym_edges(spark, sf_dir)
+    mid = (
+        e.groupBy("s")
+        .agg(F.count("*").alias("deg"))
+        .where(F.col("deg") <= _CN_HUB_CAP)
+        .select(F.col("s").alias("m"))
+    )
+    ec = e.join(mid, e.d == F.col("m"), "left_semi")
+    a = ec.select(F.col("s").alias("u"), F.col("d").alias("mm"))
+    b = ec.select(F.col("s").alias("mm2"), F.col("d").alias("v"))
+    wedge = a.join(b, (a.mm == b.mm2) & (a.u < b.v))
+    cn = wedge.groupBy("u", "v").agg(F.count("*").alias("common"))
+    e0 = (
+        e.where(F.col("s") < F.col("d"))
+        .select(F.col("s").alias("eu"), F.col("d").alias("ev"))
+        .distinct()
+    )
+    cand = cn.join(
+        e0, (cn.u == e0.eu) & (cn.v == e0.ev), "left_anti"
+    )
+    w = Window.partitionBy("u").orderBy(F.desc("common"), F.asc("v"))
+    return (
+        cand.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= _CN_TOPK)
+        .select(
+            F.col("u").cast("long").alias("node"),
+            F.col("v").cast("long").alias("candidate"),
+            F.col("common").cast("long").alias("common"),
+            F.col("rk").cast("long").alias("rk"),
+        )
+    )
