@@ -125,3 +125,27 @@ def test_cusum_single_preaggregate(spark, sf_dir):
     plan = _executed(spark, "timeseries_cusum_changepoint", sf_dir)
     assert plan.count("HashAggregate") <= 4  # partial+final daily agg (+AQE variants)
     assert "Window" in plan
+
+
+def test_graph_additions_no_nested_loop(spark, sf_dir):
+    for name in (
+        "graph_label_propagation",
+        "graph_kcore",
+        "graph_common_neighbors_topk",
+    ):
+        plan = _executed(spark, name, sf_dir)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_kcore_rounds_are_semi_joins(spark, sf_dir):
+    plan = _executed(spark, "graph_kcore", sf_dir)
+    # peel filters must be semi joins (no fanout), 2 per round
+    assert plan.count("LeftSemi") >= 6
+
+
+def test_e2e_pipeline_no_nested_loop_and_anti_joins(spark, sf_dir):
+    plan = _executed(spark, "pipeline_corpus_curation_e2e", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "LeftAnti" in plan  # decontamination + near-dup removal
