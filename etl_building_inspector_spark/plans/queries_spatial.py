@@ -296,3 +296,133 @@ def spatial_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") == 1)
         .select("point_id", "poly_id", F.col("d2").cast("long").alias("d2"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Bbox-intersection join (polygon-polygon overlap candidates): both
+# sides explode to covered grid cells, equi-join on (layer, cell),
+# dedup, exact interval test. Integer coordinates -> exact on both
+# engines. The polygon-polygon generalization of the PIP grid
+# strategy (operators/spatial.py).
+# ---------------------------------------------------------------------------
+
+_BBOX_CELL = 10
+
+
+def _bbox_sql(cell: int = _BBOX_CELL) -> str:
+    return f"""
+WITH sup_box AS (
+  SELECT CAST(s_suppkey AS BIGINT) AS a_id,
+         CAST(s_nationkey % 5 AS BIGINT) AS layer_id,
+         CAST((s_suppkey % 40) * 10 - (3 + s_suppkey % 4) AS BIGINT) AS ax0,
+         CAST((s_suppkey % 40) * 10 + (3 + s_suppkey % 4) AS BIGINT) AS ax1,
+         CAST((s_suppkey // 40) * 10 - (3 + s_suppkey % 4) AS BIGINT) AS ay0,
+         CAST((s_suppkey // 40) * 10 + (3 + s_suppkey % 4) AS BIGINT) AS ay1
+  FROM supplier),
+part_box AS (
+  SELECT CAST(p_partkey AS BIGINT) AS b_id,
+         CAST(p_partkey % 5 AS BIGINT) AS layer_id,
+         CAST((p_partkey % 40) * 10 + 2 - (1 + p_partkey % 3) AS BIGINT) AS bx0,
+         CAST((p_partkey % 40) * 10 + 2 + (1 + p_partkey % 3) AS BIGINT) AS bx1,
+         CAST((p_partkey // 40 % 25) * 10 + 2 - (1 + p_partkey % 3) AS BIGINT) AS by0,
+         CAST((p_partkey // 40 % 25) * 10 + 2 + (1 + p_partkey % 3) AS BIGINT) AS by1
+  FROM part),
+a1 AS (
+  SELECT a_id, layer_id, ax0, ax1, ay0, ay1,
+         unnest(generate_series(ax0 // {cell}, ax1 // {cell})) AS cx
+  FROM sup_box),
+a_cells AS (
+  SELECT a_id, layer_id, ax0, ax1, ay0, ay1, cx,
+         unnest(generate_series(ay0 // {cell}, ay1 // {cell})) AS cy
+  FROM a1),
+b1 AS (
+  SELECT b_id, layer_id, bx0, bx1, by0, by1,
+         unnest(generate_series(bx0 // {cell}, bx1 // {cell})) AS cx
+  FROM part_box),
+b_cells AS (
+  SELECT b_id, layer_id, bx0, bx1, by0, by1, cx,
+         unnest(generate_series(by0 // {cell}, by1 // {cell})) AS cy
+  FROM b1),
+cand AS (
+  SELECT DISTINCT a_id, b_id, ax0, ax1, ay0, ay1, bx0, bx1, by0, by1
+  FROM a_cells a JOIN b_cells b
+    ON a.layer_id = b.layer_id AND a.cx = b.cx AND a.cy = b.cy)
+SELECT a_id AS poly_id, b_id AS box_id
+FROM cand
+WHERE ax0 <= bx1 AND bx0 <= ax1 AND ay0 <= by1 AND by0 <= ay1
+"""
+
+
+@_q("spatial_bbox_intersect_join", _bbox_sql())
+def spatial_bbox_intersect_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polygon-polygon overlap candidates via shared grid cells: each
+    box explodes to the cells it covers, candidates are equi-join hits
+    on (layer, cell), then the exact closed-interval bbox test. All
+    integer coordinates -- exact on both engines.
+
+    100 TB shape: fanout per box = covered-cell count (bounded by
+    box-extent/cell, here <= 4), the join is an EQUI hash join on the
+    cell key, and the dedup-before-test bounds duplicate candidates
+    from boxes spanning several shared cells. No nested-loop anywhere
+    -- this is the polygon-polygon generalization of the PIP grid
+    strategy (operators/spatial.py:145-229) and the standard
+    spatial-join decomposition on a cluster."""
+    sup = load_table(spark, sf_dir, "supplier")
+    r = F.lit(3) + F.col("s_suppkey") % 4
+    acx = (F.col("s_suppkey") % 40) * 10
+    acy = F.expr("s_suppkey DIV 40") * 10
+    a = sup.select(
+        F.col("s_suppkey").cast("long").alias("a_id"),
+        (F.col("s_nationkey") % 5).cast("long").alias("layer_id"),
+        (acx - r).cast("long").alias("ax0"),
+        (acx + r).cast("long").alias("ax1"),
+        (acy - r).cast("long").alias("ay0"),
+        (acy + r).cast("long").alias("ay1"),
+    )
+    part = load_table(spark, sf_dir, "part")
+    h = F.lit(1) + F.col("p_partkey") % 3
+    bcx = (F.col("p_partkey") % 40) * 10 + 2
+    bcy = (F.expr("p_partkey DIV 40") % 25) * 10 + 2
+    b = part.select(
+        F.col("p_partkey").cast("long").alias("b_id"),
+        (F.col("p_partkey") % 5).cast("long").alias("layer_id"),
+        (bcx - h).cast("long").alias("bx0"),
+        (bcx + h).cast("long").alias("bx1"),
+        (bcy - h).cast("long").alias("by0"),
+        (bcy + h).cast("long").alias("by1"),
+    )
+    cell = _BBOX_CELL
+
+    def cells(df, x0, x1, y0, y1):
+        return df.withColumn(
+            "cx",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col(x0) / cell).cast("long"),
+                    F.floor(F.col(x1) / cell).cast("long"),
+                )
+            ),
+        ).withColumn(
+            "cy",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col(y0) / cell).cast("long"),
+                    F.floor(F.col(y1) / cell).cast("long"),
+                )
+            ),
+        )
+
+    ac = cells(a, "ax0", "ax1", "ay0", "ay1")
+    bc = cells(b, "bx0", "bx1", "by0", "by1")
+    cand = ac.join(bc, ["layer_id", "cx", "cy"]).dropDuplicates(
+        ["a_id", "b_id"]
+    )
+    hit = cand.where(
+        (F.col("ax0") <= F.col("bx1"))
+        & (F.col("bx0") <= F.col("ax1"))
+        & (F.col("ay0") <= F.col("by1"))
+        & (F.col("by0") <= F.col("ay1"))
+    )
+    return hit.select(
+        F.col("a_id").alias("poly_id"), F.col("b_id").alias("box_id")
+    )
