@@ -980,3 +980,97 @@ def session_entry_exit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_session.groupBy("entry", "exit").agg(
         F.count("*").alias("sessions")
     )
+
+
+# ---------------------------------------------------------------------------
+# Merge overlapping intervals per key (the set-union of time ranges):
+# running-max-of-ends window -> island flag -> island aggregate.
+# The dual of max_concurrent_intervals' sweep line.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "intervals_merge_overlaps",
+    """
+WITH iv AS (
+  SELECT user_id, event_id,
+         epoch_us(CAST(ts AS TIMESTAMP)) AS s_us,
+         epoch_us(CAST(ts AS TIMESTAMP)) + (1 + event_id % 120) * 60000000 AS e_us
+  FROM events),
+flagged AS (
+  SELECT user_id, s_us, e_us,
+         CASE WHEN s_us > max(e_us) OVER (
+                PARTITION BY user_id ORDER BY s_us, e_us, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              OR max(e_us) OVER (
+                PARTITION BY user_id ORDER BY s_us, e_us, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+         THEN 1 ELSE 0 END AS new_island,
+         event_id
+  FROM iv),
+islands AS (
+  SELECT user_id, s_us, e_us,
+         sum(new_island) OVER (
+           PARTITION BY user_id ORDER BY s_us, e_us, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM flagged)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(island AS BIGINT) AS island,
+       CAST(min(s_us) AS BIGINT) AS start_us,
+       CAST(max(e_us) AS BIGINT) AS end_us,
+       CAST(count(*) AS BIGINT) AS n_intervals
+FROM islands
+GROUP BY user_id, island
+""",
+)
+def intervals_merge_overlaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collapse overlapping [start, end] intervals per user into their
+    covering union (booking/session/maintenance-window coalescing).
+    An interval starts a new island iff its start exceeds the RUNNING
+    MAX of all previous ends (not just the previous row's end -- an
+    early long interval can swallow several later ones); island id is
+    the running sum of those flags. Integer epoch-micros end to end.
+
+    100 TB shape: one shuffle on user_id; both windows and the final
+    aggregate share that partitioning (the island aggregate is
+    map-side combinable). The sweep never materializes pairwise
+    overlaps -- compare max_concurrent_intervals for the counting
+    dual."""
+    ev = load_table(spark, sf_dir, "events")
+    s_us = epoch_micros("ts")
+    iv = ev.select(
+        "user_id",
+        "event_id",
+        s_us.alias("s_us"),
+        (s_us + (F.lit(1) + F.col("event_id") % 120) * 60000000).alias("e_us"),
+    )
+    order = [F.asc("s_us"), F.asc("e_us"), F.asc("event_id")]
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    prev_max_end = F.max("e_us").over(w_prev)
+    flagged = iv.withColumn(
+        "new_island",
+        F.when(
+            prev_max_end.isNull() | (F.col("s_us") > prev_max_end), F.lit(1)
+        ).otherwise(F.lit(0)),
+    )
+    islands = flagged.withColumn("island", F.sum("new_island").over(w_run))
+    return islands.groupBy("user_id", "island").agg(
+        F.min("s_us").cast("long").alias("start_us"),
+        F.max("e_us").cast("long").alias("end_us"),
+        F.count("*").cast("long").alias("n_intervals"),
+    ).select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("island").cast("long").alias("island"),
+        "start_us",
+        "end_us",
+        "n_intervals",
+    )

@@ -149,3 +149,17 @@ def test_e2e_pipeline_no_nested_loop_and_anti_joins(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "LeftAnti" in plan  # decontamination + near-dup removal
+
+
+def test_bbox_join_equi_only(spark, sf_dir):
+    plan = _executed(spark, "spatial_bbox_intersect_join", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_intervals_merge_single_user_shuffle(spark, sf_dir):
+    # windows + final aggregate all share the user_id partitioning:
+    # at most 2 exchanges (scan->user_id shuffle, +AQE artifacts)
+    plan = _executed(spark, "intervals_merge_overlaps", sf_dir)
+    assert plan.count("Exchange") <= 3
+    assert "Window" in plan
