@@ -1074,3 +1074,76 @@ def intervals_merge_overlaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         "end_us",
         "n_intervals",
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact weighted median: the smallest value whose cumulative weight
+# reaches half the total (lower weighted median -- deterministic,
+# integer-only; the weighted companion of median_exact_groups).
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "weighted_median_exact",
+    """
+WITH w AS (
+  SELECT p_brand,
+         CAST(round(p_retailprice * 100, 0) AS BIGINT) AS price_cents,
+         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS wt
+  FROM part JOIN lineitem ON p_partkey = l_partkey
+  GROUP BY p_brand, round(p_retailprice * 100, 0)),
+c AS (
+  SELECT p_brand, price_cents, wt,
+         sum(wt) OVER (PARTITION BY p_brand ORDER BY price_cents
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw,
+         sum(wt) OVER (PARTITION BY p_brand) AS total
+  FROM w)
+SELECT p_brand AS brand, CAST(price_cents AS BIGINT) AS weighted_median_cents,
+       CAST(total AS BIGINT) AS total_weight
+FROM c
+WHERE 2 * cumw >= total
+QUALIFY row_number() OVER (PARTITION BY p_brand ORDER BY price_cents) = 1
+""",
+)
+def weighted_median_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median retail price per brand: pre-aggregate
+    weights at (group, value) grain -- shrinking the sort input to
+    distinct values, not raw rows -- then one cumulative-weight window
+    picks the first value with 2*cumw >= total. Lower-median rule so
+    the result is a real data value and fully integer.
+
+    100 TB shape: the weight aggregate is map-side combinable and the
+    window partitions by brand over DISTINCT prices only (the same
+    cardinality-collapse trick as skyline_price_size's running max)."""
+    part = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    w = (
+        part.join(li, part.p_partkey == li.l_partkey)
+        .groupBy(
+            "p_brand",
+            F.round(F.col("p_retailprice") * 100, 0)
+            .cast("long")
+            .alias("price_cents"),
+        )
+        .agg(F.sum(F.col("l_quantity").cast("long")).cast("long").alias("wt"))
+    )
+    wc = (
+        Window.partitionBy("p_brand")
+        .orderBy("price_cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt_total = Window.partitionBy("p_brand")
+    c = w.withColumn("cumw", F.sum("wt").over(wc)).withColumn(
+        "total", F.sum("wt").over(wt_total)
+    )
+    picked = c.where(2 * F.col("cumw") >= F.col("total"))
+    wr = Window.partitionBy("p_brand").orderBy("price_cents")
+    return (
+        picked.withColumn("rn", F.row_number().over(wr))
+        .where(F.col("rn") == 1)
+        .select(
+            F.col("p_brand").alias("brand"),
+            F.col("price_cents").alias("weighted_median_cents"),
+            F.col("total").cast("long").alias("total_weight"),
+        )
+    )
