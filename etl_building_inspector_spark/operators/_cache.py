@@ -6,6 +6,17 @@ shingles). But a long-lived session running many queries (bench /
 driver loops) leaks cached blocks if nothing unpersists them -- so
 every operator-internal persist registers here and callers (bench.py,
 tests, the CLI) call release_persisted() between queries.
+
+ONE-LIVE-QUERY CONSTRAINT: release_persisted() degrades the two
+tracked classes differently. An unpersist()ed DataFrame silently
+recomputes from lineage on its next action; a freed localCheckpoint
+CANNOT (lineage is truncated by construction), so acting on a held
+DataFrame from query A after building query B raises. The registry
+wrapper releases at query ENTRY, which is safe under the driver/bench
+contract (each result is fully materialized before the next query is
+built). Interleaving registered-query builds -- build A, build B, then
+collect A -- is unsupported; hold A's .collect()/.toPandas() output,
+not its DataFrame, across query boundaries.
 """
 
 from __future__ import annotations

@@ -77,12 +77,37 @@ def compact_parquet_dir(
     plan = plan_bins(files, target_bytes)
     n_bins = max(plan.values()) + 1
 
+    # Key the lookup by file BASENAME, not Path.toString(): the Hadoop
+    # listing renders the local scheme as 'file:/root/...' while
+    # input_file_name() renders 'file:///root/...', so a full-path map
+    # silently returns NULL for every row and the repartition hashes
+    # everything onto one constant key (one task rewrites the whole
+    # table). Parquet part names carry a per-task UUID, so basenames
+    # are unique; assert that rather than assume it.
+    base_plan = {os.path.basename(k): v for k, v in plan.items()}
+    if len(base_plan) != len(plan):
+        raise ValueError("duplicate parquet basenames; cannot key bin map")
     mapping = F.create_map(
-        *[F.lit(x) for kv in plan.items() for x in kv]
+        *[F.lit(x) for kv in base_plan.items() for x in kv]
     )
     df = spark.read.parquet(in_dir)
+    basename = F.element_at(F.split(F.input_file_name(), "/"), -1)
+    # try_element_at: NULL on a missing key even under ANSI mode, so
+    # the raise_error below owns the failure message.
+    bin_col = F.try_element_at(mapping, basename).cast("int")
+    # Fail fast if any row's file missed the plan (null key would
+    # otherwise degrade sizing silently -- the exact bug this guards).
     binned = df.withColumn(
-        "__bin", mapping.getItem(F.input_file_name()).cast("int")
+        "__bin",
+        F.when(
+            bin_col.isNull(),
+            F.raise_error(
+                F.concat(
+                    F.lit("compact_parquet_dir: no bin for file "),
+                    F.input_file_name(),
+                )
+            ).cast("int"),
+        ).otherwise(bin_col),
     )
     (
         binned.repartition(n_bins, "__bin")

@@ -426,3 +426,153 @@ def spatial_bbox_intersect_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hit.select(
         F.col("a_id").alias("poly_id"), F.col("b_id").alias("box_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact polygon-polygon intersection join (VERDICT r3 #4): the
+# J3-grid generalization's final step. Candidates from shared grid
+# cells (the bbox stage above), then the exact separating-axis test.
+# A-side = supplier DIAMONDS (convex quads, edge normals (1,1) and
+# (1,-1)); B-side = part RECTANGLES (normals (1,0),(0,1)) -- so SAT
+# needs exactly 4 axes: x, y, x+y, x-y. Closed intervals (touching
+# counts as intersecting); all-integer projections -> exact on both
+# engines. Reference anchor: geo-indices.js:38-50 (R-tree candidate
+# stage, then exact geometry test).
+# ---------------------------------------------------------------------------
+
+
+def _poly_intersect_sql(cell: int = _BBOX_CELL) -> str:
+    return f"""
+WITH dia AS (
+  SELECT CAST(s_suppkey AS BIGINT) AS poly_id,
+         CAST(s_nationkey % 5 AS BIGINT) AS layer_id,
+         CAST((s_suppkey % 40) * 10 AS BIGINT) AS acx,
+         CAST((s_suppkey // 40) * 10 AS BIGINT) AS acy,
+         CAST(3 + s_suppkey % 4 AS BIGINT) AS r
+  FROM supplier),
+rect AS (
+  SELECT CAST(p_partkey AS BIGINT) AS box_id,
+         CAST(p_partkey % 5 AS BIGINT) AS layer_id,
+         CAST((p_partkey % 40) * 10 + 2 - (1 + p_partkey % 3) AS BIGINT) AS bx0,
+         CAST((p_partkey % 40) * 10 + 2 + (1 + p_partkey % 3) AS BIGINT) AS bx1,
+         CAST((p_partkey // 40 % 25) * 10 + 2 - (1 + p_partkey % 3) AS BIGINT) AS by0,
+         CAST((p_partkey // 40 % 25) * 10 + 2 + (1 + p_partkey % 3) AS BIGINT) AS by1
+  FROM part),
+a1 AS (
+  SELECT poly_id, layer_id, acx, acy, r,
+         unnest(generate_series((acx - r) // {cell}, (acx + r) // {cell})) AS cx
+  FROM dia),
+a_cells AS (
+  SELECT poly_id, layer_id, acx, acy, r, cx,
+         unnest(generate_series((acy - r) // {cell}, (acy + r) // {cell})) AS cy
+  FROM a1),
+b1 AS (
+  SELECT box_id, layer_id, bx0, bx1, by0, by1,
+         unnest(generate_series(bx0 // {cell}, bx1 // {cell})) AS cx
+  FROM rect),
+b_cells AS (
+  SELECT box_id, layer_id, bx0, bx1, by0, by1, cx,
+         unnest(generate_series(by0 // {cell}, by1 // {cell})) AS cy
+  FROM b1),
+cand AS (
+  SELECT DISTINCT poly_id, box_id, acx, acy, r, bx0, bx1, by0, by1
+  FROM a_cells a JOIN b_cells b
+    ON a.layer_id = b.layer_id AND a.cx = b.cx AND a.cy = b.cy)
+SELECT poly_id, box_id
+FROM cand
+WHERE bx0 <= acx + r AND acx - r <= bx1
+  AND by0 <= acy + r AND acy - r <= by1
+  AND bx0 + by0 <= acx + acy + r AND acx + acy - r <= bx1 + by1
+  AND bx0 - by1 <= acx - acy + r AND acx - acy - r <= bx1 - by0
+"""
+
+
+@_q("spatial_polygon_intersect_join", _poly_intersect_sql())
+def spatial_polygon_intersect_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT polygon-polygon intersection pairs: grid-cell candidate
+    stage (identical to spatial_bbox_intersect_join), then the
+    separating-axis theorem test instead of stopping at the bbox
+    overlap. Supplier diamonds vs part rectangles; SAT over the union
+    of both shapes' edge normals -- x, y for the rectangle, the
+    diagonals x+y / x-y for the diamond. A pair intersects iff ALL
+    four projection-interval pairs overlap (closed: touching counts).
+    Every projection is integer arithmetic, so both engines agree
+    bit-for-bit. Strictly stronger than the bbox test: a rectangle in
+    the diamond's bbox CORNER passes x/y but fails a diagonal axis.
+
+    100 TB shape: same as the bbox join -- bounded cell fanout, one
+    equi hash join on (layer, cell), dedup, then the SAT predicate is
+    pure whole-stage-codegen column arithmetic (no UDF, no nested
+    loop). This is the standard filter-refine spatial decomposition
+    (grid index = filter, SAT = refine); reference anchor
+    geo-indices.js:38-50 does the same with an R-tree then an exact
+    test."""
+    sup = load_table(spark, sf_dir, "supplier")
+    r = (F.lit(3) + F.col("s_suppkey") % 4).cast("long")
+    acx = ((F.col("s_suppkey") % 40) * 10).cast("long")
+    acy = (F.expr("s_suppkey DIV 40") * 10).cast("long")
+    a = sup.select(
+        F.col("s_suppkey").cast("long").alias("poly_id"),
+        (F.col("s_nationkey") % 5).cast("long").alias("layer_id"),
+        acx.alias("acx"),
+        acy.alias("acy"),
+        r.alias("r"),
+    )
+    part = load_table(spark, sf_dir, "part")
+    h = F.lit(1) + F.col("p_partkey") % 3
+    bcx = (F.col("p_partkey") % 40) * 10 + 2
+    bcy = (F.expr("p_partkey DIV 40") % 25) * 10 + 2
+    b = part.select(
+        F.col("p_partkey").cast("long").alias("box_id"),
+        (F.col("p_partkey") % 5).cast("long").alias("layer_id"),
+        (bcx - h).cast("long").alias("bx0"),
+        (bcx + h).cast("long").alias("bx1"),
+        (bcy - h).cast("long").alias("by0"),
+        (bcy + h).cast("long").alias("by1"),
+    )
+    cell = _BBOX_CELL
+
+    def grid(df, x0, x1, y0, y1):
+        return df.withColumn(
+            "cx",
+            F.explode(
+                F.sequence(
+                    F.floor(x0 / cell).cast("long"),
+                    F.floor(x1 / cell).cast("long"),
+                )
+            ),
+        ).withColumn(
+            "cy",
+            F.explode(
+                F.sequence(
+                    F.floor(y0 / cell).cast("long"),
+                    F.floor(y1 / cell).cast("long"),
+                )
+            ),
+        )
+
+    ac = grid(
+        a,
+        F.col("acx") - F.col("r"),
+        F.col("acx") + F.col("r"),
+        F.col("acy") - F.col("r"),
+        F.col("acy") + F.col("r"),
+    )
+    bc = grid(b, F.col("bx0"), F.col("bx1"), F.col("by0"), F.col("by1"))
+    cand = ac.join(bc, ["layer_id", "cx", "cy"]).dropDuplicates(
+        ["poly_id", "box_id"]
+    )
+    ax, ay, rr = F.col("acx"), F.col("acy"), F.col("r")
+    bx0, bx1 = F.col("bx0"), F.col("bx1")
+    by0, by1 = F.col("by0"), F.col("by1")
+    sat = (
+        (bx0 <= ax + rr)
+        & (ax - rr <= bx1)
+        & (by0 <= ay + rr)
+        & (ay - rr <= by1)
+        & (bx0 + by0 <= ax + ay + rr)
+        & (ax + ay - rr <= bx1 + by1)
+        & (bx0 - by1 <= ax - ay + rr)
+        & (ax - ay - rr <= bx1 - by0)
+    )
+    return cand.where(sat).select("poly_id", "box_id")

@@ -202,3 +202,64 @@ def streaming_dim_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     _MEMORY_SINK_SEQ[0] += 1
     result = run_to_memory(agg, f"streaming_dim_join_{_MEMORY_SINK_SEQ[0]}")
     return result.select("segment", "n_events", "value_e4")
+
+
+@_q(
+    "streaming_stream_stream_join",
+    """
+SELECT CAST(c.user_id AS BIGINT) AS user_id,
+       CAST(c.event_id AS BIGINT) AS click_id,
+       c.ts AS click_ts,
+       CAST(p.event_id AS BIGINT) AS purchase_id,
+       p.ts AS purchase_ts,
+       p.value AS purchase_value
+FROM events c
+JOIN events p
+  ON c.user_id = p.user_id
+ AND c.ts <= p.ts
+ AND c.ts >= p.ts - INTERVAL 1 HOUR
+WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+""",
+)
+def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STREAM inner join executed incrementally (VERDICT r3 #6):
+    clicks and purchases read as two independent file streams, joined
+    on user with a 1-hour attribution range, append-mode memory sink.
+
+    The time-range predicate is the scale contract: with both sides
+    watermarked, Spark derives per-side state-eviction bounds from the
+    range (a click leaves state once the purchase-side watermark
+    proves nothing can reach back to it), so join state is O(events
+    per horizon), never O(stream). Inner matches emit as soon as both
+    sides arrive, so the bounded replay materializes exactly the batch
+    twin -- the DuckDB oracle is the identical self-join over the
+    batch events table, and the comparison is a full value hash (no
+    aggregation: raw ids/timestamps/values pass through bit-exact)."""
+    from ..streaming.events import (
+        read_event_stream,
+        run_to_memory_append,
+        stream_stream_click_purchase_join,
+    )
+
+    events_dir = _stream_events_dir(spark, sf_dir)
+    clicks = read_event_stream(spark, events_dir).where(
+        F.col("event_type") == "click"
+    )
+    purchases = read_event_stream(spark, events_dir).where(
+        F.col("event_type") == "purchase"
+    )
+    joined = stream_stream_click_purchase_join(
+        clicks, purchases, horizon="1 hour", watermark="2 hours"
+    )
+    _MEMORY_SINK_SEQ[0] += 1
+    result = run_to_memory_append(
+        joined, f"streaming_ss_join_{_MEMORY_SINK_SEQ[0]}"
+    )
+    return result.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("click_id").cast("long").alias("click_id"),
+        "click_ts",
+        F.col("purchase_id").cast("long").alias("purchase_id"),
+        "purchase_ts",
+        "purchase_value",
+    )

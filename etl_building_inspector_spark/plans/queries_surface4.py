@@ -215,6 +215,39 @@ def split_train_valid_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "sample_reservoir_merge",
+    """
+SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+       CAST(n_chars AS BIGINT) AS n_chars
+FROM documents
+ORDER BY md5('rsvm:' || CAST(doc_id AS VARCHAR)), doc_id
+LIMIT 50
+""",
+)
+def sample_reservoir_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-partition reservoir + merge with a DETERMINISTIC priority
+    (operators/sampling.py::reservoir_sample_deterministic): each task
+    holds only its 50 smallest md5-priority rows (the O(k) reservoir
+    invariant, enforced inside an Arrow kernel), then the partial
+    reservoirs merge by global bottom-k on the same priority. The
+    hash priority makes the result partitioning-independent, so the
+    oracle is plain ORDER BY md5 LIMIT k -- while the Spark side
+    exercises the real two-stage reservoir structure you need when
+    TakeOrdered-through-the-driver is not an option (wide rows,
+    sample feeding another distributed stage)."""
+    from ..operators.sampling import reservoir_sample_deterministic
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    return reservoir_sample_deterministic(docs, "doc_id", 50, salt="rsvm").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "source",
+        F.col("n_chars").cast("long").alias("n_chars"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Corpus n-gram profile: top word-trigrams (boilerplate detection /
 # contamination analysis input). Narrow explode + one agg shuffle;
@@ -733,10 +766,11 @@ WITH e0 AS (
 ),
 e AS (SELECT u AS s, v AS d FROM e0 UNION ALL SELECT v AS s, u AS d FROM e0),
 mid AS (SELECT s AS m FROM e GROUP BY s HAVING count(*) <= {cap}),
-ec AS (SELECT e.s, e.d FROM e JOIN mid ON e.d = mid.m),
+eca AS (SELECT e.s, e.d FROM e JOIN mid ON e.d = mid.m),
+ecb AS (SELECT e.s, e.d FROM e JOIN mid ON e.s = mid.m),
 wedge AS (
   SELECT a.s AS u, b.d AS v
-  FROM ec a JOIN ec b ON a.d = b.s AND a.s < b.d),
+  FROM eca a JOIN ecb b ON a.d = b.s AND a.s < b.d),
 cn AS (SELECT u, v, CAST(count(*) AS BIGINT) AS common FROM wedge GROUP BY u, v),
 cand AS (
   SELECT cn.* FROM cn
@@ -757,7 +791,10 @@ def graph_common_neighbors_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     d^2/2 wedges, so capping the MIDDLE bounds the join output at
     cap * |edges| -- linear in the graph, and dropping hub-mediated
     wedges is also the right semantics (everyone shares the hub;
-    it predicts nothing). The oracle applies the identical cap."""
+    it predicts nothing). ONLY middles are capped: the a-side keeps
+    edges whose DEST (the middle) is low-degree, the b-side edges
+    whose SOURCE (the middle) is -- so hub endpoints u/v remain
+    eligible candidates. The oracle applies the identical rule."""
     e = _copurchase_sym_edges(spark, sf_dir, materialize=True)
     mid = (
         e.groupBy("s")
@@ -765,9 +802,10 @@ def graph_common_neighbors_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("deg") <= _CN_HUB_CAP)
         .select(F.col("s").alias("m"))
     )
-    ec = e.join(mid, e.d == F.col("m"), "left_semi")
-    a = ec.select(F.col("s").alias("u"), F.col("d").alias("mm"))
-    b = ec.select(F.col("s").alias("mm2"), F.col("d").alias("v"))
+    eca = e.join(mid, e.d == F.col("m"), "left_semi")
+    ecb = e.join(mid, e.s == F.col("m"), "left_semi")
+    a = eca.select(F.col("s").alias("u"), F.col("d").alias("mm"))
+    b = ecb.select(F.col("s").alias("mm2"), F.col("d").alias("v"))
     wedge = a.join(b, (a.mm == b.mm2) & (a.u < b.v))
     cn = wedge.groupBy("u", "v").agg(F.count("*").alias("common"))
     e0 = (

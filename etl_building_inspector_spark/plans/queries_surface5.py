@@ -1147,3 +1147,96 @@ def weighted_median_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("total").cast("long").alias("total_weight"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Delta-style MERGE-on-files copy-on-write simulation (VERDICT r3 #8):
+# the planning half of MERGE INTO. Rows live in logical range-files
+# (file_id = key DIV 4096, the synthesized-file-stats convention of
+# compaction_bin_plan); a changeset of updates (keys % 97 = 0) and
+# inserts (shifted keys, guaranteed non-matching) arrives; the plan
+# decides per file: REWRITE (holds >= 1 matched key), KEEP (untouched
+# -- never read beyond its key range), or APPEND (one new file for
+# the not-matched inserts).
+# ---------------------------------------------------------------------------
+
+_MERGE_COW_SQL = """
+WITH base AS (
+  SELECT CAST(o_orderkey AS BIGINT) AS k,
+         CAST(o_orderkey // 4096 AS BIGINT) AS file_id
+  FROM orders),
+upd AS (
+  SELECT CAST(o_orderkey AS BIGINT) AS k FROM orders WHERE o_orderkey % 97 = 0),
+ins AS (
+  SELECT CAST(o_orderkey + 100000000 AS BIGINT) AS k
+  FROM orders WHERE o_orderkey % 499 = 0),
+touched AS (
+  SELECT b.file_id,
+         CAST(count(*) AS BIGINT) AS n_rows_before,
+         CAST(count(u.k) AS BIGINT) AS n_matched
+  FROM base b LEFT JOIN upd u ON b.k = u.k
+  GROUP BY b.file_id)
+SELECT file_id, n_rows_before, n_matched,
+       CASE WHEN n_matched > 0 THEN 'rewrite' ELSE 'keep' END AS action,
+       n_rows_before AS n_rows_after
+FROM touched
+UNION ALL
+SELECT CAST(-1 AS BIGINT) AS file_id, CAST(0 AS BIGINT) AS n_rows_before,
+       CAST(0 AS BIGINT) AS n_matched, 'append' AS action,
+       CAST((SELECT count(*) FROM ins) AS BIGINT) AS n_rows_after
+"""
+
+
+@_q("merge_on_files_cow", _MERGE_COW_SQL)
+def merge_on_files_cow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-on-write MERGE file plan: which files must be rewritten to
+    apply an upsert changeset, which survive untouched, and the one
+    appended file carrying the not-matched inserts. Matched-file
+    identification is a LEFT join base-to-updates collapsed straight
+    into a per-file aggregate -- metadata-sized output (one row per
+    FILE, never per row) -- and unmatched files are never rewritten.
+    That asymmetry is the entire COW scale story: updating 0.1% of
+    keys on a 100 TB table rewrites only the files those keys land
+    in, while the 99.9% KEEP files cost one semi-join probe each. At
+    cluster scale the probe side prunes further with a min/max-key
+    manifest (file skipping) before any data is read; the per-file
+    plan here is exactly the input a Delta/Iceberg commit would turn
+    into remove+add manifest actions. Update rows replace in place
+    (n_rows_after = n_rows_before); inserts land in file_id -1."""
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        F.col("o_orderkey").cast("long").alias("k"),
+        F.expr("o_orderkey DIV 4096").cast("long").alias("file_id"),
+    )
+    upd = (
+        orders.where(F.col("o_orderkey") % 97 == 0)
+        .select(F.col("o_orderkey").cast("long").alias("uk"))
+    )
+    ins = orders.where(F.col("o_orderkey") % 499 == 0).select(
+        (F.col("o_orderkey") + 100000000).cast("long").alias("k")
+    )
+    touched = (
+        base.join(upd, base.k == F.col("uk"), "left")
+        .groupBy("file_id")
+        .agg(
+            F.count("*").cast("long").alias("n_rows_before"),
+            F.count("uk").cast("long").alias("n_matched"),
+        )
+    )
+    plan = touched.select(
+        "file_id",
+        "n_rows_before",
+        "n_matched",
+        F.when(F.col("n_matched") > 0, F.lit("rewrite"))
+        .otherwise(F.lit("keep"))
+        .alias("action"),
+        F.col("n_rows_before").alias("n_rows_after"),
+    )
+    appended = ins.agg(F.count("*").cast("long").alias("n_rows_after")).select(
+        F.lit(-1).cast("long").alias("file_id"),
+        F.lit(0).cast("long").alias("n_rows_before"),
+        F.lit(0).cast("long").alias("n_matched"),
+        F.lit("append").alias("action"),
+        "n_rows_after",
+    )
+    return plan.unionByName(appended)

@@ -13,6 +13,8 @@ the driver materializes each result before invoking the next query.
 
 from __future__ import annotations
 
+import os
+
 from ..operators._cache import release_persisted
 from . import (
     queries_core,
@@ -115,13 +117,16 @@ WINDOW_R3: list[str] = [
 ]
 
 
-# Round-4 window, pre-staged (NOT yet the head -- flip WINDOW = this
-# list at the START of round 4, keeping the smoke anchor). Drawn from
-# the never-driver-checked tail per COVERAGE.md's rotation ledger:
-# event analytics, warehouse maintenance, TPC-H battery, round-3
-# cross-set/timeseries/multimodal/spatial additions. Validated below
-# so registry evolution can't silently break the handoff.
-WINDOW_R4_CANDIDATES: list[str] = [
+# Round-4 window (the head this round, flipped per VERDICT r3 #1).
+# Drawn from the never-driver-checked tail per COVERAGE.md's rotation
+# ledger: event analytics, warehouse maintenance, TPC-H battery heads,
+# round-3 cross-set/timeseries/multimodal/spatial additions. Two edits
+# vs the r3-staged list, per VERDICT r3 #6 (the judge expected the
+# streaming pair in this window): streaming_windowed_agg and
+# streaming_dim_join_agg swapped in; try_function_battery and
+# join_null_safe (test-pinned SQL batteries, lowest rotation risk)
+# displaced to the r5 staging.
+WINDOW_R4: list[str] = [
     "flagship_enrich",
     "graph_degree_distribution",
     "funnel_stages",
@@ -153,11 +158,11 @@ WINDOW_R4_CANDIDATES: list[str] = [
     "regression_slope_by_nation",
     "time_weighted_value",
     "zorder_bucket_stats",
-    "try_function_battery",
+    "streaming_windowed_agg",
     "id_gap_ranges",
     "relational_division",
     "rfm_segmentation",
-    "join_null_safe",
+    "streaming_dim_join_agg",
     "outlier_iqr_by_group",
     "provenance_file_counts",
     "cumulative_unique_users",
@@ -176,15 +181,24 @@ WINDOW_R4_CANDIDATES: list[str] = [
 
 
 def _released(fn):
+    # ONE-LIVE-QUERY CONSTRAINT: release_persisted() at entry frees the
+    # previous query's tracked persists AND localCheckpoints. Persists
+    # recompute transparently; a freed localCheckpoint cannot (lineage
+    # truncated), so do not hold query A's DataFrame across query B's
+    # build -- materialize A first (the driver/bench contract does).
+    # See operators/_cache.py module docstring.
     def wrapped(spark, sf_dir):
         release_persisted()
-        # also drop py4j refs from the PREVIOUS query promptly so the
+        # Drop py4j refs from the PREVIOUS query promptly so the
         # ContextCleaner can unregister its dead broadcasts -- a
         # long-lived driver session (the correctness driver runs 50
-        # queries back to back) otherwise accumulates broadcast blocks
-        import gc
+        # queries back to back) otherwise accumulates broadcast blocks.
+        # Gate on env for interactive use (~10-30 ms/call is noise at
+        # 50 queries but real in a tight exploratory loop).
+        if os.environ.get("SPARK_GRAFT_NO_GC", "") != "1":
+            import gc
 
-        gc.collect()
+            gc.collect()
         return fn(spark, sf_dir)
 
     wrapped.__name__ = fn.__name__
@@ -215,15 +229,61 @@ for mod in (
     QUERIES.update({k: _released(v) for k, v in mod.QUERIES.items()})
     ORACLES.update(mod.ORACLES)
 
+# Round-5 window, pre-staged (NOT yet the head -- flip WINDOW = this
+# list at the START of round 5, keeping the smoke anchor). Covers
+# EVERY remaining never-driver-checked query: the TPC-H battery tail,
+# the graph family completion, timeseries/intervals/spatial round-3
+# additions, the SemDeDup/PQ trio, the e2e curation pipeline, the two
+# batteries displaced from r4, and this round's new queries. After r5,
+# driver-row union = 190/190 registered.
+WINDOW_R5_CANDIDATES: list[str] = [
+    "flagship_enrich",
+    "dedup_semantic_clusters",
+    "emb_pq_encode",
+    "ann_cosine_pq_adc",
+    "er_blocked_fuzzy_match",
+    "text_line_dedup",
+    "timeseries_gapfill_locf",
+    "text_oov_bigram_rate",
+    "timeseries_gapfill_linear",
+    "timeseries_cusum_changepoint",
+    "pipeline_corpus_curation_e2e",
+    "spatial_bbox_intersect_join",
+    "spatial_polygon_intersect_join",
+    "streaming_stream_stream_join",
+    "graph_label_propagation",
+    "graph_kcore",
+    "graph_common_neighbors_topk",
+    "intervals_merge_overlaps",
+    "weighted_median_exact",
+    "try_function_battery",
+    "join_null_safe",
+    "sample_reservoir_merge",
+    "merge_on_files_cow",
+    "tpch_q2_best_supplier",
+    "tpch_q4_order_priority_exists",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_profit_by_nation_year",
+    "tpch_q12_shipping_delay_buckets",
+    "tpch_q13_order_count_distribution",
+    "tpch_q14_promo_share",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_variety",
+    "tpch_q18_large_volume_customers",
+    "tpch_q19_disjunctive_predicates",
+    "tpch_q20_dominant_suppliers",
+]
+
 # Reorder so the curated window is the dict head (insertion order is
 # the driver's iteration order); everything else keeps module order.
-_missing = [n for n in WINDOW_R3 if n not in QUERIES]
-assert not _missing, f"WINDOW_R3 names not registered: {_missing}"
-assert len(WINDOW_R3) == len(set(WINDOW_R3)) == 50, "window must be exactly 50 unique slots"
-_missing_r4 = [n for n in WINDOW_R4_CANDIDATES if n not in QUERIES]
-assert not _missing_r4, f"WINDOW_R4 names not registered: {_missing_r4}"
-assert len(WINDOW_R4_CANDIDATES) == len(set(WINDOW_R4_CANDIDATES)) == 50
+_missing = [n for n in WINDOW_R4 if n not in QUERIES]
+assert not _missing, f"WINDOW_R4 names not registered: {_missing}"
+assert len(WINDOW_R4) == len(set(WINDOW_R4)) == 50, "window must be exactly 50 unique slots"
+_missing_r5 = [n for n in WINDOW_R5_CANDIDATES if n not in QUERIES]
+assert not _missing_r5, f"WINDOW_R5 names not registered: {_missing_r5}"
+assert len(WINDOW_R5_CANDIDATES) == len(set(WINDOW_R5_CANDIDATES)) <= 50
 QUERIES = {
-    **{n: QUERIES[n] for n in WINDOW_R3},
-    **{n: q for n, q in QUERIES.items() if n not in set(WINDOW_R3)},
+    **{n: QUERIES[n] for n in WINDOW_R4},
+    **{n: q for n, q in QUERIES.items() if n not in set(WINDOW_R4)},
 }

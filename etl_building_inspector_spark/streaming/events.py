@@ -321,6 +321,26 @@ def run_to_memory(df: DataFrame, name: str) -> DataFrame:
     return df.sparkSession.sql(f"SELECT * FROM {name}")
 
 
+def run_to_memory_append(df: DataFrame, name: str) -> DataFrame:
+    """Append-mode twin of run_to_memory, for plans that FORBID
+    complete mode (stream-stream joins, append-only stateful ops).
+    Inner-join matches emit as soon as both sides arrive, so a bounded
+    replay materializes every match; only watermark-gated emissions
+    (outer-join nulls, closed windows) would additionally need an
+    end-of-stream flush at the source."""
+    q = (
+        df.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return df.sparkSession.sql(f"SELECT * FROM {name}")
+
+
 def stream_stream_left_outer_join(
     clicks: DataFrame,
     purchases: DataFrame,

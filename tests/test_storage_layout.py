@@ -195,6 +195,12 @@ def test_compact_small_files_roundtrip(spark, sf_dir, tmp_path_factory):
     )
     assert stats["files_after"] < stats["files_before"]
     assert stats["files_after"] <= stats["n_bins"]
+    # The sizing contract must actually hold: output file count close
+    # to the planned bin count. A fully degenerated binning (all rows
+    # hashed on a constant NULL key -> 1-2 files) previously satisfied
+    # the two inequalities above and masked a bin-map key mismatch.
+    assert stats["n_bins"] >= 5, "fixture should plan several bins"
+    assert stats["files_after"] >= stats["n_bins"] - 1
 
     a = spark.read.parquet(littered)
     b = spark.read.parquet(compacted)
