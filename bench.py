@@ -107,7 +107,22 @@ HEADLINE = [
     "timeseries_gapfill_linear",
     "multimodal_byte_histogram",
     "pipeline_corpus_curation_e2e",
+    # round 4: exact spatial refine, COW merge plan, reservoir merge
+    "spatial_knn_join",
+    "spatial_bbox_intersect_join",
+    "spatial_polygon_intersect_join",
+    "sample_reservoir_merge",
+    "merge_on_files_cow",
 ]
+
+# The N slowest warm queries get best-of-K isolated reruns (fresh GC
+# before each), reported as queries_warm_best: a per-query time the
+# session's accumulated state can't inflate, so a round-over-round
+# drift on the session-warm number is attributable (plan regression
+# moves BOTH; host contention / GC pressure moves only the session
+# number). VERDICT r3 "what's wrong" #1.
+WARM_BEST_TOPN = 10
+WARM_BEST_RUNS = 3
 
 
 def main() -> None:
@@ -156,6 +171,19 @@ def main() -> None:
     for name in HEADLINE:
         warm[name] = round(run_once(name), 3)
 
+    # isolated best-of-K for the slowest warm queries: force a full
+    # GC (python + JVM) before every rerun so each measurement starts
+    # from the same heap state, then take the min -- the closest a
+    # long-lived session gets to a fresh-session per-query time
+    warm_best: dict[str, float] = {}
+    top = sorted(warm, key=warm.get, reverse=True)[:WARM_BEST_TOPN]
+    for name in top:
+        best = warm[name]
+        for _ in range(WARM_BEST_RUNS):
+            spark.sparkContext._jvm.System.gc()
+            best = min(best, run_once(name))
+        warm_best[name] = round(best, 3)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -166,6 +194,7 @@ def main() -> None:
                 "queries": timings,
                 "queries_warm": warm,
                 "value_warm": round(sum(warm.values()), 3),
+                "queries_warm_best": warm_best,
                 "sf": float(sf),
             }
         )

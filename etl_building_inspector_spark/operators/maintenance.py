@@ -123,3 +123,98 @@ def compact_parquet_dir(
         "bytes_after": sum(s for _, s in after),
         "n_bins": n_bins,
     }
+
+
+def merge_on_files(
+    spark: SparkSession,
+    base_dir: str,
+    out_dir: str,
+    updates,
+    key: str,
+    set_cols: list[str],
+) -> dict:
+    """Copy-on-write MERGE executor (the physical half of the
+    merge_on_files_cow plan query): apply an upsert changeset to a
+    parquet directory by rewriting ONLY the files that contain a
+    matched key, Delta/Iceberg-OPTIMIZE style.
+
+    Phases, and why each scales:
+    1. TOUCH PROBE: base left-semi-joins the update keys, collapses to
+       distinct input_file_name() -- output is one row per TOUCHED
+       FILE (metadata-sized; the one sanctioned collect, same contract
+       as list_parquet_files). Untouched files are never rewritten.
+    2. REWRITE: the touched files are re-read BY PATH -- real file
+       pruning, the scan never opens an untouched file -- left-joined
+       to the changeset, and matched rows take the update's set_cols
+       (unmatched rows in a touched file pass through). Written to
+       out_dir/rewritten.
+    3. APPEND: not-matched-by-key updates (left-anti against the base
+       KEY projection -- a column-pruned scan) land in out_dir/appended.
+    4. COMMIT (simulated): the returned manifest lists kept files,
+       rewritten output, and the appended file -- exactly the
+       remove+add actions a Delta commit would publish. The final
+       logical table is kept + rewritten + appended; the base dir is
+       untouched (snapshot isolation for free).
+
+    At 100 TB with 0.1% of keys updated, phase 2 touches only the
+    files those keys land in; with a min/max-key manifest the phase-1
+    probe itself prunes to candidate files before reading data."""
+    from pyspark.sql import functions as _F
+
+    base = spark.read.parquet(base_dir)
+    upd_keys = updates.select(key).distinct()
+    # input_file_name() must bind to a SINGLE file source, so project
+    # it directly above the base scan BEFORE the join (evaluating it
+    # after would see two sources -- the changeset may itself come
+    # from parquet -- and fail PreReadCheck)
+    base_f = base.select(key, _F.input_file_name().alias("__f"))
+    touched = sorted(
+        r[0]
+        for r in base_f.join(upd_keys, key, "left_semi")
+        .select("__f")
+        .distinct()
+        .collect()
+    )
+    all_files = sorted(f for f, _ in list_parquet_files(spark, base_dir))
+    # input_file_name() and the Hadoop listing render the local scheme
+    # differently (file:/// vs file:/) -- compare by basename, the
+    # same normalization the compaction bin map uses
+    touched_base = {os.path.basename(f) for f in touched}
+    kept = [f for f in all_files if os.path.basename(f) not in touched_base]
+
+    rows_rewritten = 0
+    if touched:
+        tbase = spark.read.parquet(*touched).alias("b")
+        u = updates.alias("u")
+        out_cols = []
+        for c in base.columns:
+            if c in set_cols:
+                out_cols.append(
+                    _F.coalesce(_F.col("u." + c), _F.col("b." + c)).alias(c)
+                )
+            else:
+                out_cols.append(_F.col("b." + c).alias(c))
+        merged = tbase.join(u, _F.col("b." + key) == _F.col("u." + key), "left")
+        merged.select(out_cols).write.mode("overwrite").parquet(
+            out_dir + "/rewritten"
+        )
+        rows_rewritten = spark.read.parquet(out_dir + "/rewritten").count()
+
+    inserts = updates.join(base.select(key), key, "left_anti")
+    n_inserts = 0
+    if set(updates.columns) == set(base.columns):
+        inserts.select(base.columns).write.mode("overwrite").parquet(
+            out_dir + "/appended"
+        )
+        n_inserts = spark.read.parquet(out_dir + "/appended").count()
+
+    return {
+        "files_total": len(all_files),
+        "files_rewritten": len(touched),
+        "files_kept": len(kept),
+        "kept": kept,
+        "rewritten_dir": out_dir + "/rewritten" if touched else None,
+        "appended_dir": out_dir + "/appended" if n_inserts else None,
+        "rows_rewritten": rows_rewritten,
+        "rows_inserted": n_inserts,
+    }

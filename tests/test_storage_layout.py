@@ -206,3 +206,76 @@ def test_compact_small_files_roundtrip(spark, sf_dir, tmp_path_factory):
     b = spark.read.parquet(compacted)
     assert a.schema == b.schema
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_merge_on_files_cow_roundtrip(spark, sf_dir, tmp_path_factory):
+    """COW MERGE executor: only files containing matched keys are
+    rewritten; kept + rewritten + appended reconstructs exactly the
+    logical upsert of the whole table."""
+    from pyspark.sql import functions as F
+
+    from etl_building_inspector_spark.operators.maintenance import (
+        merge_on_files,
+    )
+
+    base = str(tmp_path_factory.mktemp("cow"))
+    base_dir, out_dir = base + "/base", base + "/delta"
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    # range-cluster keys so an update hits few files (the COW premise)
+    orders.repartitionByRange(20, "o_orderkey").write.parquet(base_dir)
+
+    # changeset: update 30 clustered keys' status, insert 5 new keys
+    upd = (
+        spark.read.parquet(base_dir)
+        .orderBy("o_orderkey")
+        .limit(30)
+        .withColumn("o_orderstatus", F.lit("U"))
+    )
+    ins = (
+        spark.read.parquet(base_dir)
+        .orderBy(F.desc("o_orderkey"))
+        .limit(5)
+        .withColumn("o_orderkey", F.col("o_orderkey") + 100000000)
+        .withColumn("o_orderstatus", F.lit("I"))
+    )
+    updates = upd.unionByName(ins)
+    updates.persist().count()
+
+    stats = merge_on_files(
+        spark, base_dir, out_dir, updates, "o_orderkey", ["o_orderstatus"]
+    )
+    # the 30 updated keys are range-clustered -> only a few of the 20
+    # files contain them; the COW contract is rewritten << total
+    assert stats["files_rewritten"] >= 1
+    assert stats["files_rewritten"] < stats["files_total"]
+    assert stats["files_kept"] + stats["files_rewritten"] == stats["files_total"]
+    assert stats["rows_inserted"] == 5
+
+    # reconstruct the post-commit table: kept + rewritten + appended
+    parts = list(stats["kept"])
+    if stats["rewritten_dir"]:
+        parts.append(stats["rewritten_dir"])
+    if stats["appended_dir"]:
+        parts.append(stats["appended_dir"])
+    final = spark.read.parquet(*parts)
+
+    # expected: classic MERGE semantics over the whole base
+    b = spark.read.parquet(base_dir).alias("b")
+    u = updates.alias("u")
+    merged = b.join(u, F.col("b.o_orderkey") == F.col("u.o_orderkey"), "left")
+    cols = [
+        (
+            F.coalesce(F.col("u.o_orderstatus"), F.col("b.o_orderstatus")).alias(
+                "o_orderstatus"
+            )
+            if c == "o_orderstatus"
+            else F.col("b." + c).alias(c)
+        )
+        for c in b.columns
+    ]
+    expected = merged.select(cols).unionByName(ins.select(b.columns))
+
+    assert final.count() == expected.count()
+    assert final.exceptAll(expected).count() == 0
+    assert expected.exceptAll(final).count() == 0
+    updates.unpersist()
