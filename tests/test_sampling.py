@@ -97,3 +97,29 @@ def test_triangle_count_no_triangles(spark):
         [(i, i + 1) for i in range(10)], "u int, v int"
     )
     assert triangle_count(edges, "u", "v").first().n_triangles == 0
+
+
+def test_reservoir_merge_deterministic_equals_bottomk(spark, sf_dir):
+    """reservoir_sample_deterministic is partitioning-independent and
+    equal to plain bottom-k on the same salted hash: the per-task
+    reservoirs (bounded O(k) state) plus the merge reproduce exactly
+    the k globally-smallest priorities regardless of layout."""
+    from etl_building_inspector_spark.operators.sampling import (
+        reservoir_sample_deterministic,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source"
+    )
+    a = {
+        r.doc_id
+        for r in reservoir_sample_deterministic(docs, "doc_id", 25, "t").collect()
+    }
+    b = {
+        r.doc_id
+        for r in reservoir_sample_deterministic(
+            docs.repartition(17), "doc_id", 25, "t"
+        ).collect()
+    }
+    c = {r.doc_id for r in bottom_k_sample(docs, "doc_id", 25, salt="t").collect()}
+    assert a == b == c and len(a) == 25

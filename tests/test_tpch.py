@@ -163,3 +163,65 @@ def test_intervals_merge_single_user_shuffle(spark, sf_dir):
     plan = _executed(spark, "intervals_merge_overlaps", sf_dir)
     assert plan.count("Exchange") <= 3
     assert "Window" in plan
+
+
+# --- round 4: exact spatial refine + COW merge plan guards ----------------
+
+
+def test_polygon_intersect_equi_only_and_subset_of_bbox(spark, sf_dir):
+    """The SAT refine must stay an equi grid join (no nested loop),
+    and its result must be a SUBSET of the bbox-stage pairs (SAT can
+    only reject candidates, never add)."""
+    plan = _executed(spark, "spatial_polygon_intersect_join", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+    exact = {
+        (r["poly_id"], r["box_id"])
+        for r in QUERIES["spatial_polygon_intersect_join"](spark, sf_dir).collect()
+    }
+    bbox = {
+        (r["poly_id"], r["box_id"])
+        for r in QUERIES["spatial_bbox_intersect_join"](spark, sf_dir).collect()
+    }
+    assert exact <= bbox
+
+
+def test_polygon_sat_rejects_corner_only_overlap(spark):
+    """Unit pin of the separating-axis semantics: a unit rectangle in
+    the diamond bbox's corner overlaps the bbox but not the diamond
+    (the diagonal axis separates); a rectangle crossing an edge
+    midpoint intersects; touching exactly at a vertex counts (closed
+    intervals)."""
+    # diamond: center (0,0), r=4 -> vertices (4,0),(0,4),(-4,0),(0,-4)
+    def sat(bx0, bx1, by0, by1, acx=0, acy=0, r=4):
+        return (
+            bx0 <= acx + r and acx - r <= bx1
+            and by0 <= acy + r and acy - r <= by1
+            and bx0 + by0 <= acx + acy + r and acx + acy - r <= bx1 + by1
+            and bx0 - by1 <= acx - acy + r and acx - acy - r <= bx1 - by0
+        )
+
+    assert not sat(3, 4, 3, 4)      # bbox corner: x+y in [6,8] > 4 -> separated
+    assert sat(3, 5, -1, 1)         # crosses the right vertex region
+    assert sat(4, 6, 0, 2)          # touches vertex (4,0) exactly -> counts
+    assert not sat(5, 6, 0, 2)      # fully right of the diamond
+    assert sat(-1, 1, -1, 1)        # contained
+
+
+def test_merge_cow_plan_no_per_row_output(spark, sf_dir):
+    """The COW plan's output is per FILE (metadata-sized): row count
+    == n_files + 1 (append line), and the rewrite set is exactly the
+    files holding matched keys."""
+    rows = QUERIES["merge_on_files_cow"](spark, sf_dir).collect()
+    by_action = {}
+    for r in rows:
+        by_action.setdefault(r["action"], []).append(r)
+    n_orders = spark.read.parquet(f"{sf_dir}/orders.parquet").count()
+    assert sum(r["n_rows_before"] for r in rows) == n_orders
+    assert len(by_action["append"]) == 1
+    # every rewrite row really holds a matched key; keep rows hold none
+    for r in by_action.get("rewrite", []):
+        assert r["n_matched"] > 0
+    for r in by_action.get("keep", []):
+        assert r["n_matched"] == 0
