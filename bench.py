@@ -113,6 +113,7 @@ HEADLINE = [
     "spatial_polygon_intersect_join",
     "sample_reservoir_merge",
     "merge_on_files_cow",
+    "dedup_containment",
 ]
 
 # The N slowest warm queries get best-of-K isolated reruns (fresh GC

@@ -408,3 +408,126 @@ def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("chunk").cast("long").alias("chunk_len"),
         F.concat_ws(" ", "chunk").alias("chunk_text"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Containment dedup: documents mostly CONTAINED in a bigger document
+# (quote inclusion / subset duplication -- the near-dup case Jaccard
+# misses, because a small doc inside a huge one has tiny union-overlap
+# but ~100% containment). Built on the winnowing fingerprints above:
+# winnowing guarantees any shared run of >= k+w-1 tokens yields a
+# shared fingerprint, so fingerprint containment lower-bounds run
+# coverage of the smaller doc.
+# ---------------------------------------------------------------------------
+
+CONTAIN_DF_CAP = 50  # doc-freq cap on the fp self-join (same
+CONTAIN_TAU_PCT = 80  # discipline as dedup_ngram_jaccard's cap)
+
+
+def _containment_sql() -> str:
+    from .queries_llm import _shingles_sql
+
+    k, w, cap, tau = WINNOW_K, WINNOW_W, CONTAIN_DF_CAP, CONTAIN_TAU_PCT
+    u32 = "CAST(concat('0x', substr(md5(x), 1, 8)) AS BIGINT)"
+    return f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+sh AS (SELECT doc_id, {_shingles_sql("toks", k)} AS sh FROM t),
+h AS (SELECT doc_id, list_transform(sh, x -> {u32}) AS h FROM sh),
+m AS (SELECT doc_id,
+  CASE WHEN len(h) < {w} THEN list_distinct(h)
+       ELSE list_distinct([list_min(h[i:i+{w - 1}])
+             for i in generate_series(1, len(h) - {w - 1})]) END AS fps
+FROM h),
+fps AS (SELECT doc_id, unnest(fps) AS fp FROM m),
+nf AS (SELECT doc_id, count(*) AS n FROM fps GROUP BY 1),
+rare AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= {cap}),
+f2 AS (SELECT fps.* FROM fps JOIN rare USING (fp)),
+pairs AS (
+  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS shared
+  FROM f2 a JOIN f2 b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+j AS (SELECT da, db, shared, na.n AS n_a, nb.n AS n_b
+      FROM pairs JOIN nf na ON da = na.doc_id JOIN nf nb ON db = nb.doc_id)
+SELECT CAST(CASE WHEN n_a < n_b OR (n_a = n_b AND da < db) THEN da ELSE db END
+            AS BIGINT) AS contained_id,
+       CAST(CASE WHEN n_a < n_b OR (n_a = n_b AND da < db) THEN db ELSE da END
+            AS BIGINT) AS container_id,
+       CAST(shared AS BIGINT) AS shared_fp,
+       CAST(least(n_a, n_b) AS BIGINT) AS n_contained_fp
+FROM j
+WHERE shared * 100 >= {tau} * least(n_a, n_b)
+"""
+
+
+@_q("dedup_containment", _containment_sql())
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-dup: pairs where >= {tau}% of the smaller
+    document's winnowing fingerprints appear in the other document.
+    Catches quote-inclusion / doc-inside-doc duplication that
+    symmetric Jaccard misses (tiny union-overlap, total containment).
+
+    Plan shape (the jaccard-cap discipline applied to fingerprints):
+    fingerprints are winnowing minima -- O(len/w) per doc, NOT every
+    shingle -- so the exploded table is w-fold smaller than the
+    jaccard one to begin with; the self-join runs only over
+    fingerprints with document frequency <= {cap} (boilerplate fps
+    are dropped BEFORE the join, making pair fanout <= cap x |fps|;
+    the cap undercounts `shared` identically in both engines, a
+    conservative and exact-twin choice); per-doc totals join back on
+    doc_id. One persisted fingerprint table serves the nf / rare /
+    join branches. Integer containment test (shared*100 >= tau*n) --
+    no float ratios near the driver's hash compare."""
+    from ..functions.text import _u32_of, shingles, winnow_fingerprints
+    from ..operators._cache import track_persist
+
+    docs = load_table(spark, sf_dir, "documents")
+    staged = docs.withColumn(
+        "__h", F.transform(shingles("text", WINNOW_K), _u32_of)
+    )
+    fps = track_persist(
+        staged.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.explode(
+                winnow_fingerprints(
+                    "text", WINNOW_K, WINNOW_W, hashes=F.col("__h")
+                )
+            ).alias("fp"),
+        )
+    )
+    nf = fps.groupBy("doc_id").agg(F.count("*").alias("n"))
+    rare = (
+        fps.groupBy("fp")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") <= CONTAIN_DF_CAP)
+        .select("fp")
+    )
+    f2 = track_persist(fps.join(rare, "fp", "left_semi"))
+    a = f2.select(F.col("doc_id").alias("da"), F.col("fp").alias("fpa"))
+    b = f2.select(F.col("doc_id").alias("db"), F.col("fp").alias("fpb"))
+    pairs = (
+        a.join(b, (F.col("fpa") == F.col("fpb")) & (F.col("da") < F.col("db")))
+        .groupBy("da", "db")
+        .agg(F.count("*").alias("shared"))
+    )
+    na = nf.select(F.col("doc_id").alias("da"), F.col("n").alias("n_a"))
+    nb = nf.select(F.col("doc_id").alias("db"), F.col("n").alias("n_b"))
+    j = pairs.join(na, "da").join(nb, "db")
+    small_is_a = (F.col("n_a") < F.col("n_b")) | (
+        (F.col("n_a") == F.col("n_b")) & (F.col("da") < F.col("db"))
+    )
+    return (
+        j.where(
+            F.col("shared") * 100
+            >= CONTAIN_TAU_PCT * F.least(F.col("n_a"), F.col("n_b"))
+        )
+        .select(
+            F.when(small_is_a, F.col("da")).otherwise(F.col("db"))
+            .cast("long")
+            .alias("contained_id"),
+            F.when(small_is_a, F.col("db")).otherwise(F.col("da"))
+            .cast("long")
+            .alias("container_id"),
+            F.col("shared").cast("long").alias("shared_fp"),
+            F.least(F.col("n_a"), F.col("n_b")).cast("long").alias("n_contained_fp"),
+        )
+    )

@@ -260,6 +260,7 @@ WINDOW_R5_CANDIDATES: list[str] = [
     "join_null_safe",
     "sample_reservoir_merge",
     "merge_on_files_cow",
+    "dedup_containment",
     "tpch_q2_best_supplier",
     "tpch_q4_order_priority_exists",
     "tpch_q7_volume_shipping",

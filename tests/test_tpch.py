@@ -225,3 +225,41 @@ def test_merge_cow_plan_no_per_row_output(spark, sf_dir):
         assert r["n_matched"] > 0
     for r in by_action.get("keep", []):
         assert r["n_matched"] == 0
+
+
+def test_containment_capped_join_and_exact_dup_crosscheck(spark, sf_dir):
+    """dedup_containment: no nested loop (the fp self-join is an equi
+    join over df-capped fingerprints), and every EXACT duplicate pair
+    (same md5(text), from the exact-dedup operator's key) must appear
+    with 100% containment (shared == n_contained) -- a cross-operator
+    consistency pin."""
+    from pyspark.sql import functions as F
+
+    plan = _executed(spark, "dedup_containment", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+    rows = QUERIES["dedup_containment"](spark, sf_dir).collect()
+    got = {(r["contained_id"], r["container_id"]): r for r in rows}
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    dups = (
+        docs.select("doc_id", F.md5("text").alias("h"))
+        .groupBy("h")
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .where(F.size("ids") >= 2)
+        .collect()
+    )
+    for r in dups:  # sf0.001 may plant none; sf0.01 does
+        ids = sorted(r["ids"])
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                pair = got.get((ids[i], ids[j])) or got.get((ids[j], ids[i]))
+                assert pair is not None, (ids[i], ids[j])
+                assert pair["shared_fp"] == pair["n_contained_fp"]
+    # unconditional invariants: containment is a partial overlap count
+    # of the smaller side's fingerprints, directed small -> large
+    for p in rows:
+        assert p["contained_id"] != p["container_id"]
+        assert 0 < p["shared_fp"] <= p["n_contained_fp"]
+        assert p["shared_fp"] * 100 >= 80 * p["n_contained_fp"]
