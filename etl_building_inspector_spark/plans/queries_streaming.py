@@ -263,3 +263,51 @@ def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "purchase_ts",
         "purchase_value",
     )
+
+
+@_q(
+    "streaming_dedup_exact",
+    """
+SELECT CAST(event_id AS BIGINT) AS event_id,
+       CAST(user_id AS BIGINT) AS user_id,
+       event_type, ts
+FROM events
+""",
+)
+def streaming_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup with BOUNDED state, fed real duplicates:
+    the events fixture is read as a stream from TWO copies of every
+    file (self-union of the staged dir), so every event arrives twice;
+    dropDuplicatesWithinWatermark(event_id) must emit each exactly
+    once -- the oracle is simply the batch table (all events, once).
+
+    The WithinWatermark variant is the one that survives an unbounded
+    firehose: plain dropDuplicates would hold every key ever seen
+    (state = O(stream)), while this keeps a key only until the
+    watermark passes it (state = O(keys per horizon)) and still
+    guarantees exactly-once for duplicates arriving within the
+    horizon -- the at-least-once-source ingest guard in front of the
+    corpus-level dedup passes. Append mode: dedup'd rows emit as seen
+    (the first arrival wins), so the bounded replay materializes the
+    full distinct set."""
+    from ..streaming.events import (
+        read_event_stream,
+        run_to_memory_append,
+        streaming_dedup,
+    )
+
+    events_dir = _stream_events_dir(spark, sf_dir)
+    a = read_event_stream(spark, events_dir)
+    b = read_event_stream(spark, events_dir)
+    doubled = a.unionByName(b)
+    deduped = streaming_dedup(doubled, ["event_id"], watermark="2 hours")
+    _MEMORY_SINK_SEQ[0] += 1
+    result = run_to_memory_append(
+        deduped, f"streaming_dedup_{_MEMORY_SINK_SEQ[0]}"
+    )
+    return result.select(
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("user_id").cast("long").alias("user_id"),
+        "event_type",
+        "ts",
+    )

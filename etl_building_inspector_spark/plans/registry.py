@@ -261,6 +261,7 @@ WINDOW_R5_CANDIDATES: list[str] = [
     "sample_reservoir_merge",
     "merge_on_files_cow",
     "dedup_containment",
+    "streaming_dedup_exact",
     "tpch_q2_best_supplier",
     "tpch_q4_order_priority_exists",
     "tpch_q7_volume_shipping",
