@@ -114,6 +114,7 @@ HEADLINE = [
     "sample_reservoir_merge",
     "merge_on_files_cow",
     "dedup_containment",
+    "spatial_convex_sat_join",
 ]
 
 # The N slowest warm queries get best-of-K isolated reruns (fresh GC

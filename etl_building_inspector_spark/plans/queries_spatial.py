@@ -576,3 +576,119 @@ def spatial_polygon_intersect_join(spark: SparkSession, sf_dir: str) -> DataFram
         & (ax - ay - rr <= bx1 - by0)
     )
     return cand.where(sat).select("poly_id", "box_id")
+
+
+# ---------------------------------------------------------------------------
+# GENERAL convex SAT join (operators/spatial.py::convex_sat_join):
+# shape-agnostic, arbitrary convex CCW integer rings. Driven here
+# with diamonds vs TRIANGLES -- edges at non-axis-aligned angles, so
+# the test exercises axes the specialized diamond/rect query never
+# produces. Same filter-refine shape; the refine is an interpreted
+# HOF over candidate pairs only.
+# ---------------------------------------------------------------------------
+
+
+def _convex_sat_sql(cell: int = _BBOX_CELL) -> str:
+    # cross((p[i+1]-p[i]), (v-p[i])) < 0  == v strictly outside edge i
+    def sep(p: str, q: str) -> str:
+        return (
+            f"len(list_filter(generate_series(1, len({p}) - 1), i -> "
+            f"len(list_filter({q}, v -> "
+            f"({p}[i+1][1] - {p}[i][1]) * (v[2] - {p}[i][2]) - "
+            f"({p}[i+1][2] - {p}[i][2]) * (v[1] - {p}[i][1]) < 0)) = len({q}))) > 0"
+        )
+
+    return f"""
+WITH dia AS (
+  SELECT CAST(s_suppkey AS BIGINT) AS poly_id,
+         CAST(s_nationkey % 5 AS BIGINT) AS layer_id,
+         [[cx + r, cy], [cx, cy + r], [cx - r, cy], [cx, cy - r], [cx + r, cy]] AS ra
+  FROM (SELECT s_suppkey, s_nationkey,
+               CAST((s_suppkey % 40) * 10 AS BIGINT) AS cx,
+               CAST((s_suppkey // 40) * 10 AS BIGINT) AS cy,
+               CAST(3 + s_suppkey % 4 AS BIGINT) AS r
+        FROM supplier)),
+tri AS (
+  SELECT CAST(p_partkey AS BIGINT) AS tri_id,
+         CAST(p_partkey % 5 AS BIGINT) AS layer_id,
+         [[cx + h, cy], [cx - h, cy + h], [cx - h, cy - h], [cx + h, cy]] AS rb
+  FROM (SELECT p_partkey,
+               CAST((p_partkey % 40) * 10 + 2 AS BIGINT) AS cx,
+               CAST((p_partkey // 40 % 25) * 10 + 2 AS BIGINT) AS cy,
+               CAST(1 + p_partkey % 3 AS BIGINT) AS h
+        FROM part)),
+a1 AS (
+  SELECT poly_id, layer_id, ra,
+         unnest(generate_series(list_min(list_transform(ra, v -> v[1])) // {cell},
+                                list_max(list_transform(ra, v -> v[1])) // {cell})) AS cx
+  FROM dia),
+a_cells AS (
+  SELECT poly_id, layer_id, ra, cx,
+         unnest(generate_series(list_min(list_transform(ra, v -> v[2])) // {cell},
+                                list_max(list_transform(ra, v -> v[2])) // {cell})) AS cy
+  FROM a1),
+b1 AS (
+  SELECT tri_id, layer_id, rb,
+         unnest(generate_series(list_min(list_transform(rb, v -> v[1])) // {cell},
+                                list_max(list_transform(rb, v -> v[1])) // {cell})) AS cx
+  FROM tri),
+b_cells AS (
+  SELECT tri_id, layer_id, rb, cx,
+         unnest(generate_series(list_min(list_transform(rb, v -> v[2])) // {cell},
+                                list_max(list_transform(rb, v -> v[2])) // {cell})) AS cy
+  FROM b1),
+cand AS (
+  SELECT DISTINCT poly_id, tri_id, ra, rb
+  FROM a_cells a JOIN b_cells b
+    ON a.layer_id = b.layer_id AND a.cx = b.cx AND a.cy = b.cy)
+SELECT poly_id, tri_id
+FROM cand
+WHERE NOT ({sep("ra", "rb")}) AND NOT ({sep("rb", "ra")})
+"""
+
+
+@_q("spatial_convex_sat_join", _convex_sat_sql())
+def spatial_convex_sat_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shape-AGNOSTIC exact convex intersection join: supplier
+    diamonds vs part triangles through
+    operators/spatial.py::convex_sat_join -- grid-cell filter, then
+    the full separating-axis test over BOTH rings' edge normals (the
+    triangle contributes non-axis-aligned axes the specialized
+    diamond/rect query can't express). Closed CCW integer rings;
+    touching counts as intersecting (strict outside test). The DuckDB
+    twin evaluates the identical cross-product arithmetic via list
+    comprehensions, so the value-hash check is exact."""
+    from ..operators.spatial import convex_sat_join
+
+    sup = load_table(spark, sf_dir, "supplier")
+    r = (F.lit(3) + F.col("s_suppkey") % 4).cast("long")
+    cx = ((F.col("s_suppkey") % 40) * 10).cast("long")
+    cy = (F.expr("s_suppkey DIV 40") * 10).cast("long")
+    dia = sup.select(
+        F.col("s_suppkey").cast("long").alias("poly_id"),
+        (F.col("s_nationkey") % 5).cast("long").alias("layer_id"),
+        F.array(
+            F.array(cx + r, cy),
+            F.array(cx, cy + r),
+            F.array(cx - r, cy),
+            F.array(cx, cy - r),
+            F.array(cx + r, cy),
+        ).alias("ring"),
+    )
+    part = load_table(spark, sf_dir, "part")
+    h = (F.lit(1) + F.col("p_partkey") % 3).cast("long")
+    bx = ((F.col("p_partkey") % 40) * 10 + 2).cast("long")
+    by = ((F.expr("p_partkey DIV 40") % 25) * 10 + 2).cast("long")
+    tri = part.select(
+        F.col("p_partkey").cast("long").alias("tri_id"),
+        (F.col("p_partkey") % 5).cast("long").alias("layer_id"),
+        F.array(
+            F.array(bx + h, by),
+            F.array(bx - h, by + h),
+            F.array(bx - h, by - h),
+            F.array(bx + h, by),
+        ).alias("ring"),
+    )
+    return convex_sat_join(
+        dia, tri, cell=_BBOX_CELL, a_id="poly_id", b_id="tri_id"
+    )

@@ -263,3 +263,93 @@ def test_containment_capped_join_and_exact_dup_crosscheck(spark, sf_dir):
         assert p["contained_id"] != p["container_id"]
         assert 0 < p["shared_fp"] <= p["n_contained_fp"]
         assert p["shared_fp"] * 100 >= 80 * p["n_contained_fp"]
+
+
+def test_convex_sat_hand_checked_shapes(spark):
+    """convex_intersects on hand-built cases: near-miss where bboxes
+    overlap but shapes don't, edge-touching (counts), vertex-touching
+    (counts), full containment (no separating axis), and an angled
+    triangle pair the axis-aligned tests can't distinguish."""
+    from pyspark.sql import functions as F
+
+    from etl_building_inspector_spark.operators.spatial import (
+        convex_intersects,
+    )
+
+    def ring(*pts):
+        return [list(p) for p in pts + (pts[0],)]
+
+    dia = ring((4, 0), (0, 4), (-4, 0), (0, -4))          # diamond r=4
+    corner_sq = ring((3, 3), (4, 3), (4, 4), (3, 4))      # bbox-corner miss
+    touch_sq = ring((4, 0), (6, 0), (6, 2), (4, 2))       # vertex touch
+    inner_sq = ring((-1, -1), (1, -1), (1, 1), (-1, 1))   # contained
+    tri_hit = ring((2, 2), (-2, 3), (1, -1))              # crosses edge
+    tri_miss = ring((5, 5), (9, 5), (5, 9))               # far
+    big = ring((-10, -10), (10, -10), (10, 10), (-10, 10))  # contains dia
+
+    cases = [
+        (dia, corner_sq, False),
+        (dia, touch_sq, True),
+        (dia, inner_sq, True),
+        (dia, tri_hit, True),
+        (dia, tri_miss, False),
+        (dia, big, True),
+        (big, dia, True),  # containment is symmetric in SAT
+    ]
+    df = spark.createDataFrame(
+        [(i, a, b) for i, (a, b, _) in enumerate(cases)],
+        "i int, ra array<array<bigint>>, rb array<array<bigint>>",
+    )
+    got = {
+        r["i"]: r["hit"]
+        for r in df.select(
+            "i", convex_intersects(F.col("ra"), F.col("rb")).alias("hit")
+        ).collect()
+    }
+    for i, (_, _, want) in enumerate(cases):
+        assert got[i] == want, f"case {i}: want {want}"
+
+
+def test_convex_sat_join_matches_specialized_diamond_rect(spark, sf_dir):
+    """The general SAT operator, fed the SAME diamond/rect geometry as
+    spatial_polygon_intersect_join, must produce the identical pair
+    set -- the generalization is consistent with its special case."""
+    from pyspark.sql import functions as F
+
+    from etl_building_inspector_spark.operators.spatial import convex_sat_join
+    from etl_building_inspector_spark.sources.tables import load_table
+
+    sup = load_table(spark, sf_dir, "supplier")
+    r = (F.lit(3) + F.col("s_suppkey") % 4).cast("long")
+    cx = ((F.col("s_suppkey") % 40) * 10).cast("long")
+    cy = (F.expr("s_suppkey DIV 40") * 10).cast("long")
+    dia = sup.select(
+        F.col("s_suppkey").cast("long").alias("a_id"),
+        (F.col("s_nationkey") % 5).cast("long").alias("layer_id"),
+        F.array(
+            F.array(cx + r, cy), F.array(cx, cy + r),
+            F.array(cx - r, cy), F.array(cx, cy - r), F.array(cx + r, cy),
+        ).alias("ring"),
+    )
+    part = load_table(spark, sf_dir, "part")
+    h = (F.lit(1) + F.col("p_partkey") % 3).cast("long")
+    bx = ((F.col("p_partkey") % 40) * 10 + 2).cast("long")
+    by = ((F.expr("p_partkey DIV 40") % 25) * 10 + 2).cast("long")
+    rect = part.select(
+        F.col("p_partkey").cast("long").alias("b_id"),
+        (F.col("p_partkey") % 5).cast("long").alias("layer_id"),
+        F.array(  # CCW rectangle ring
+            F.array(bx - h, by - h), F.array(bx + h, by - h),
+            F.array(bx + h, by + h), F.array(bx - h, by + h),
+            F.array(bx - h, by - h),
+        ).alias("ring"),
+    )
+    general = {
+        (r["a_id"], r["b_id"])
+        for r in convex_sat_join(dia, rect, cell=10).collect()
+    }
+    special = {
+        (r["poly_id"], r["box_id"])
+        for r in QUERIES["spatial_polygon_intersect_join"](spark, sf_dir).collect()
+    }
+    assert general == special and len(general) > 0

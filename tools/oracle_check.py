@@ -70,7 +70,17 @@ def main() -> int:
         try:
             sdf = fn(spark, sf_dir)
             spark_cols = sdf.columns
-            spark_rows = [tuple(r) for r in sdf.collect()]
+            # collect() is sanctioned here: the gate runs at sf<=0.01
+            # (<=60k-row fixtures). Stream + cap so a future fixture
+            # bump degrades loudly instead of OOMing the driver.
+            spark_rows = []
+            for r in sdf.toLocalIterator():
+                spark_rows.append(tuple(r))
+                if len(spark_rows) > 5_000_000:
+                    raise RuntimeError(
+                        "oracle_check row cap exceeded (5M); "
+                        "this gate is for small-SF fixtures only"
+                    )
         except Exception as e:
             print(f"FAIL {name}: spark error: {str(e)[:300]}")
             n_fail += 1
