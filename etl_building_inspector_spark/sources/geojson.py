@@ -193,3 +193,52 @@ def parse_addresses(raw: F.Column) -> F.Column:
         raw.isNotNull() & raw.startswith("["),
         F.from_json(raw, T.ArrayType(ADDRESS_ENTRY)),
     )
+
+
+def read_jsonl_with_quarantine(
+    spark: SparkSession, path: str, schema
+) -> tuple[DataFrame, DataFrame]:
+    """Schema'd JSONL scan that QUARANTINES malformed lines instead of
+    nulling them silently (PERMISSIVE default) or killing the job
+    (FAILFAST). Returns (good_rows, quarantined) where quarantined
+    carries the raw offending line for replay/repair.
+
+    This is the reference's logs-as-data discipline (S10,
+    building-inspector.js:129-136 -- bad input becomes a record, the
+    job continues) applied to the INGEST boundary: at 100 TB some
+    landed lines WILL be truncated or malformed, and the difference
+    between a job that quarantines 0.001% and one that dies at hour
+    six is this split.
+
+    Mechanics: a TEXT scan (splittable, one raw line per row) +
+    `from_json`, which yields NULL for a syntactically-invalid line.
+    This deliberately avoids the json reader's
+    columnNameOfCorruptRecord route: Spark refuses plans that
+    reference ONLY the corrupt column from a raw scan
+    (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN) and its
+    documented workaround is cache() -- caching a 100 TB landing scan
+    is not an ingest pattern. Here both outputs are plain column
+    predicates over one codegen'd from_json pass; a valid-JSON line
+    that merely mismatches the schema stays on the good side with
+    NULL fields (schema drift is a different failure class than
+    corruption and is handled by dq_constraint_checks). from_json's
+    PERMISSIVE mode signals corruption through its OWN corrupt-record
+    field (an all-null struct is NOT distinguishable otherwise)."""
+    from pyspark.sql import types as T
+
+    with_corrupt = T.StructType(
+        list(schema.fields) + [T.StructField("_corrupt", T.StringType())]
+    )
+    raw = spark.read.text(path).select(
+        F.col("value").alias("raw_line"),
+        F.input_file_name().alias("src_file"),
+        F.from_json(
+            F.col("value"),
+            with_corrupt,
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt"},
+        ).alias("data"),
+    )
+    bad = F.col("data").isNull() | F.col("data._corrupt").isNotNull()
+    good = raw.where(~bad).select("data.*").drop("_corrupt")
+    quarantined = raw.where(bad).select("raw_line", "src_file")
+    return good, quarantined

@@ -136,3 +136,38 @@ def test_grid_and_broadcast_spatial_join_agree(spark, sf_dir):
         for r in spatial_pip_join_grid(spark, sf_dir).collect()
     }
     assert bc == gr and len(bc) > 0
+
+
+def test_jsonl_quarantine_splits_corrupt_lines(spark, tmp_path_factory):
+    """Malformed JSONL lines land in the quarantine side with their
+    raw text; good rows parse cleanly; nothing is silently dropped."""
+    from pyspark.sql import types as T
+
+    from etl_building_inspector_spark.sources.geojson import (
+        read_jsonl_with_quarantine,
+    )
+
+    d = tmp_path_factory.mktemp("quarantine")
+    p = d / "data.jsonl"
+    lines = [
+        '{"id": 1, "name": "ok"}',
+        '{"id": 2, "name": "also ok"}',
+        '{"id": 3, "name": "trunca',          # truncated JSON
+        'not json at all',                     # garbage
+        '{"id": 4, "name": "fine"}',
+    ]
+    p.write_text("\n".join(lines) + "\n")
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("name", T.StringType())]
+    )
+    good, quarantined = read_jsonl_with_quarantine(spark, str(p), schema)
+    g = good.collect()
+    q = quarantined.collect()
+    assert {r["id"] for r in g} == {1, 2, 4}
+    assert "_corrupt" not in good.columns
+    assert len(q) == 2
+    raws = {r["raw_line"] for r in q}
+    assert 'not json at all' in raws
+    assert any("trunca" in r for r in raws)
+    assert all(r["src_file"].endswith("data.jsonl") for r in q)
+    assert len(g) + len(q) == len(lines)
