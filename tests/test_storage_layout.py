@@ -279,3 +279,29 @@ def test_merge_on_files_cow_roundtrip(spark, sf_dir, tmp_path_factory):
     assert final.exceptAll(expected).count() == 0
     assert expected.exceptAll(final).count() == 0
     updates.unpersist()
+
+
+def test_schema_evolution_merge_and_prune(spark, sf_dir, tmp_path_factory):
+    """A long-lived table whose later files added a column: mergeSchema
+    reconciles (old files read NULL for the new column), and a query
+    touching only original columns must NOT pay the wide schema --
+    ReadSchema stays pruned to what's referenced."""
+    out = str(tmp_path_factory.mktemp("evolve")) + "/t"
+    n1 = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    n1.write.parquet(out + "/batch=1")
+    n2 = n1.withColumn("iso_code", F.concat(F.lit("N"), F.col("n_nationkey")))
+    n2.write.parquet(out + "/batch=2")
+
+    merged = spark.read.option("mergeSchema", "true").parquet(out)
+    assert "iso_code" in merged.columns
+    rows = merged.where(F.col("batch") == 1).select("iso_code").collect()
+    assert all(r["iso_code"] is None for r in rows)  # old files -> NULL
+    n_new = merged.where(F.col("iso_code").isNotNull()).count()
+    assert n_new == n1.count()
+
+    narrow = merged.select("n_nationkey", "n_name")
+    qe = narrow._jdf.queryExecution().toString()
+    import re as _re
+
+    schema = next(s for s in _re.findall(r"ReadSchema: struct<([^>]*)", qe))
+    assert "iso_code" not in schema  # evolution must not break pruning
