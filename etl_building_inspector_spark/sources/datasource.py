@@ -29,8 +29,10 @@ from collections.abc import Iterator
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 
 FORMAT_NAME = "building_inspector"
@@ -54,6 +56,9 @@ class BuildingInspectorDataSource(DataSource):
 
     def simpleStreamReader(self, schema) -> SimpleDataSourceStreamReader:
         return _StreamReader(self.options)
+
+    def writer(self, schema, overwrite: bool) -> "DataSourceWriter":
+        return _NdjsonWriter(self.options, schema, overwrite)
 
 
 class _Reader(DataSourceReader):
@@ -143,6 +148,74 @@ class _StreamReader(SimpleDataSourceStreamReader):
     def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
         files = self._files()
         return self._rows(files[int(start["page_count"]) : int(end["page_count"])])
+
+
+class _StagedFile(WriterCommitMessage):
+    def __init__(self, staged: str, final: str, rows: int):
+        self.staged = staged
+        self.final = final
+        self.rows = rows
+
+
+class _NdjsonWriter(DataSourceWriter):
+    """NDJSON sink with TWO-PHASE COMMIT -- the reference's S9 record
+    sink (building-inspector.js:265-268) re-expressed with the commit
+    discipline a distributed writer needs. Each task streams its rows
+    to `path/_staging/<uuid>.ndjson` and returns a commit message; the
+    driver's commit() renames every staged file into place and stamps
+    _SUCCESS, abort() deletes the staging leftovers. A task that fails
+    (or a speculative duplicate attempt) therefore never publishes
+    partial output -- readers only ever see files the commit renamed,
+    which is exactly the contract FileOutputCommitter/Delta commits
+    give JVM sinks.
+
+    Rows serialize as JSON objects of the input schema (default=str
+    covers date/timestamp), so any DataFrame can use
+    .write.format('building_inspector') -- the writer twin of the raw
+    `value string` reader above."""
+
+    def __init__(self, options, schema, overwrite: bool):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("building_inspector writer needs path")
+        self.schema = schema
+        self.overwrite = overwrite
+        self.fields = [f.name for f in schema.fields]
+
+    def write(self, iterator) -> _StagedFile:
+        import uuid
+
+        name = f"part-{uuid.uuid4().hex}.ndjson"
+        staging = os.path.join(self.path, "_staging")
+        os.makedirs(staging, exist_ok=True)
+        staged = os.path.join(staging, name)
+        n = 0
+        with open(staged, "w") as f:
+            for row in iterator:
+                obj = {k: v for k, v in zip(self.fields, row)}
+                f.write(json.dumps(obj, separators=(",", ":"), default=str))
+                f.write("\n")
+                n += 1
+        return _StagedFile(staged, os.path.join(self.path, name), n)
+
+    def commit(self, messages) -> None:
+        import shutil
+
+        if self.overwrite:
+            for old in glob.glob(os.path.join(self.path, "part-*.ndjson")):
+                os.remove(old)
+        total = 0
+        for m in messages:
+            os.replace(m.staged, m.final)
+            total += m.rows
+        shutil.rmtree(os.path.join(self.path, "_staging"), ignore_errors=True)
+        with open(os.path.join(self.path, "_SUCCESS"), "w") as f:
+            f.write(str(total))
+
+    def abort(self, messages) -> None:
+        import shutil
+
+        shutil.rmtree(os.path.join(self.path, "_staging"), ignore_errors=True)
 
 
 def register(spark) -> None:

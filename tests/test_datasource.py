@@ -89,3 +89,49 @@ def test_datasource_streaming_incremental_pages(spark, tmp_path):
     ids = sorted(json.loads(r.value)["properties"]["id"] for r in rows)
     assert len(ids) == 9  # no re-emission of pages 1-2
     assert ids[-3:] == [300, 301, 302]
+
+
+def test_ndjson_writer_two_phase_commit(spark, tmp_path_factory):
+    """DSv2 writer: rows land as NDJSON only after commit (staged files
+    renamed, _SUCCESS stamped, staging dir gone); overwrite replaces
+    prior parts; roundtrip through spark.read.json is lossless."""
+    import glob as g
+    import json as j
+    import os
+
+    from etl_building_inspector_spark.sources.datasource import register
+
+    register(spark)
+    out = str(tmp_path_factory.mktemp("dsv2w")) + "/sink"
+    df = spark.range(100).selectExpr(
+        "id", "concat('rec-', id) AS name", "id * 2 AS double_id"
+    )
+    df.write.format("building_inspector").mode("append").save(out)
+
+    assert os.path.exists(os.path.join(out, "_SUCCESS"))
+    assert not os.path.exists(os.path.join(out, "_staging"))
+    parts = g.glob(os.path.join(out, "part-*.ndjson"))
+    assert parts
+    rows = []
+    for p in parts:
+        with open(p) as f:
+            rows += [j.loads(line) for line in f if line.strip()]
+    assert len(rows) == 100
+    assert {r["id"] for r in rows} == set(range(100))
+    assert all(r["double_id"] == r["id"] * 2 for r in rows)
+    with open(os.path.join(out, "_SUCCESS")) as f:
+        assert f.read() == "100"
+
+    # overwrite mode replaces previous parts
+    spark.range(7).selectExpr(
+        "id", "'x' AS name", "id AS double_id"
+    ).write.format("building_inspector").mode("overwrite").save(out)
+    rows2 = []
+    for p in g.glob(os.path.join(out, "part-*.ndjson")):
+        with open(p) as f:
+            rows2 += [j.loads(line) for line in f if line.strip()]
+    assert len(rows2) == 7
+
+    # readable back by the stock json reader
+    back = spark.read.json(out)
+    assert back.count() == 7
