@@ -218,3 +218,61 @@ def merge_on_files(
         "rows_rewritten": rows_rewritten,
         "rows_inserted": n_inserts,
     }
+
+
+def zorder_rewrite(
+    spark: SparkSession,
+    in_dir: str,
+    out_dir: str,
+    x_col: str,
+    y_col: str,
+    n_files: int = 16,
+    bits: int = 10,
+) -> dict:
+    """Z-order clustering executor (the physical half of the
+    zorder_bucket_stats plan query; Delta OPTIMIZE ZORDER / Iceberg
+    sort-order rewrite): recluster a table so file-level min/max
+    stats prune on EITHER of two dimensions.
+
+    Mechanics: z = bit-interleave of the two keys (masked to `bits`
+    bits each, pure codegen integer arithmetic), then
+    repartitionByRange(n_files, z) + sortWithinPartitions(z) -> one
+    range shuffle, n_files output files each covering a compact z
+    range, i.e. a compact rectangle-ish region of (x, y) space. A
+    point/range predicate on x OR y then overlaps only the files
+    whose rectangle crosses it -- at 100 TB the difference between
+    scanning ~sqrt-fraction of files and scanning all of them.
+    Returns per-file (x, y) min/max spans -- exactly the stats a
+    manifest/pruning layer would persist -- plus file counts."""
+    df = spark.read.parquet(in_dir)
+    mask = (1 << bits) - 1
+    x = F.col(x_col).cast("long").bitwiseAND(F.lit(mask))
+    y = F.col(y_col).cast("long").bitwiseAND(F.lit(mask))
+    z = F.lit(0)
+    for i in range(bits):
+        z = z + F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i)
+        z = z + F.shiftleft(F.shiftright(y, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+    (
+        df.withColumn("__z", z)
+        .repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(out_dir)
+    )
+    stats = (
+        spark.read.parquet(out_dir)
+        .groupBy(F.input_file_name().alias("file"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min(x_col).alias("x_min"),
+            F.max(x_col).alias("x_max"),
+            F.min(y_col).alias("y_min"),
+            F.max(y_col).alias("y_max"),
+        )
+        .collect()
+    )
+    return {
+        "files": len(stats),
+        "spans": [r.asDict() for r in stats],
+    }

@@ -305,3 +305,56 @@ def test_schema_evolution_merge_and_prune(spark, sf_dir, tmp_path_factory):
 
     schema = next(s for s in _re.findall(r"ReadSchema: struct<([^>]*)", qe))
     assert "iso_code" not in schema  # evolution must not break pruning
+
+
+def test_zorder_rewrite_prunes_both_dimensions(spark, sf_dir, tmp_path_factory):
+    """After the z-order rewrite, a point predicate on EITHER key
+    overlaps only a small fraction of files (by min/max span), while
+    the unclustered layout overlaps nearly all -- the measurable
+    pruning win the rewrite exists for. Data bit-identical."""
+    from etl_building_inspector_spark.operators.maintenance import (
+        zorder_rewrite,
+    )
+
+    base = str(tmp_path_factory.mktemp("zorder"))
+    in_dir, out_dir = base + "/in", base + "/z"
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity"
+    )
+    li.repartition(16).write.parquet(in_dir)  # hash layout: no locality
+
+    stats = zorder_rewrite(
+        spark, in_dir, out_dir, "l_partkey", "l_suppkey", n_files=16
+    )
+    assert stats["files"] >= 8
+
+    def overlap_fraction(spans, col_min, col_max, probe):
+        hit = sum(1 for s in spans if s[col_min] <= probe <= s[col_max])
+        return hit / len(spans)
+
+    # probe a mid-range value on each dimension
+    xs = sorted(s["x_min"] for s in stats["spans"])
+    probe_x = xs[len(xs) // 2]
+    fx = overlap_fraction(stats["spans"], "x_min", "x_max", probe_x)
+    fy = overlap_fraction(stats["spans"], "y_min", "y_max", probe_x)
+
+    # unclustered baseline: per-file spans of the hash layout
+    base_spans = (
+        spark.read.parquet(in_dir)
+        .groupBy(F.input_file_name())
+        .agg(
+            F.min("l_partkey").alias("x_min"),
+            F.max("l_partkey").alias("x_max"),
+            F.min("l_suppkey").alias("y_min"),
+            F.max("l_suppkey").alias("y_max"),
+        )
+        .collect()
+    )
+    bx = overlap_fraction([r.asDict() for r in base_spans], "x_min", "x_max", probe_x)
+    assert bx >= 0.9  # hash layout: essentially every file spans every key
+    assert fx <= 0.6 and fy <= 0.6  # z layout prunes on BOTH dimensions
+    assert fx < bx
+
+    a = spark.read.parquet(in_dir)
+    b = spark.read.parquet(out_dir)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
