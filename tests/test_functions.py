@@ -184,3 +184,130 @@ def test_hypertable_rollup_levels_lossless(spark, sf_dir):
             for r in rollup_base(ev, res).collect()
         }
         assert derived == direct, res
+
+
+def test_winnow_guarantee_shared_run_yields_shared_fp(spark):
+    """The winnowing GUARANTEE (MOSS): any shared token run of length
+    >= k + w - 1 produces at least one common fingerprint. Randomized
+    batch: 30 doc pairs, each sharing a planted run inside otherwise
+    unrelated noise; all pairs checked in one Spark job."""
+    import random
+
+    from etl_building_inspector_spark.functions.text import (
+        _u32_of,
+        shingles,
+        winnow_fingerprints,
+    )
+    from etl_building_inspector_spark.plans.queries_llm3 import (
+        WINNOW_K,
+        WINNOW_W,
+    )
+
+    rng = random.Random(42)
+    run_len = WINNOW_K + WINNOW_W - 1
+
+    def words(n, tag):
+        return [f"{tag}{rng.randrange(10**6)}" for _ in range(n)]
+
+    rows = []
+    for pair in range(30):
+        shared = [f"shared{pair}x{i}" for i in range(run_len + rng.randrange(4))]
+        a = words(rng.randrange(0, 30), "a")
+        b = words(rng.randrange(0, 30), "b")
+        ia = rng.randrange(len(a) + 1)
+        ib = rng.randrange(len(b) + 1)
+        doc_a = " ".join(a[:ia] + shared + a[ia:])
+        doc_b = " ".join(b[:ib] + shared + b[ib:])
+        rows.append((pair, 0, doc_a))
+        rows.append((pair, 1, doc_b))
+    df = spark.createDataFrame(rows, "pair int, side int, text string")
+    staged = df.withColumn(
+        "__h", F.transform(shingles("text", WINNOW_K), _u32_of)
+    )
+    fps = staged.select(
+        "pair",
+        "side",
+        winnow_fingerprints(
+            "text", WINNOW_K, WINNOW_W, hashes=F.col("__h")
+        ).alias("fps"),
+    ).collect()
+    by_key = {(r["pair"], r["side"]): set(r["fps"]) for r in fps}
+    for pair in range(30):
+        common = by_key[(pair, 0)] & by_key[(pair, 1)]
+        assert common, f"pair {pair}: shared run produced no common fp"
+
+
+def _py_convex_intersects(ra, rb):
+    """Reference SAT in plain python (closed CCW integer rings)."""
+    def separates(p, q):
+        for i in range(len(p) - 1):
+            (ax, ay), (bx, by) = p[i], p[i + 1]
+            if all((bx - ax) * (vy - ay) - (by - ay) * (vx - ax) < 0 for vx, vy in q):
+                return True
+        return False
+
+    return not separates(ra, rb) and not separates(rb, ra)
+
+
+def _rand_convex(rng, cx, cy, r):
+    """Random convex CCW integer polygon: convex hull (monotone chain)
+    of random integer points in a disc -- hull of any point set is
+    convex and CCW by construction, surviving integer coordinates."""
+    pts = {
+        (cx + rng.randint(-r, r), cy + rng.randint(-r, r)) for _ in range(12)
+    }
+    pts = sorted(pts)
+    if len(pts) < 3:
+        pts = [(cx - r, cy - r), (cx + r, cy - r), (cx, cy + r)]
+
+    def half(points):
+        out = []
+        for p in points:
+            while len(out) >= 2 and (
+                (out[-1][0] - out[-2][0]) * (p[1] - out[-2][1])
+                - (out[-1][1] - out[-2][1]) * (p[0] - out[-2][0])
+            ) <= 0:
+                out.pop()
+            out.append(p)
+        return out
+
+    lower = half(pts)
+    upper = half(list(reversed(pts)))
+    hull = lower[:-1] + upper[:-1]
+    if len(hull) < 3:
+        hull = [(cx - r, cy - r), (cx + r, cy - r), (cx, cy + r)]
+    return [list(p) for p in hull + [hull[0]]]
+
+
+def test_convex_sat_matches_python_reference(spark):
+    """convex_intersects (Spark column expression) vs the plain-python
+    SAT on 60 random convex-polygon pairs spanning overlapping,
+    touching-ish, and disjoint placements -- one Spark job."""
+    import random
+
+    from etl_building_inspector_spark.operators.spatial import (
+        convex_intersects,
+    )
+
+    rng = random.Random(7)
+    cases = []
+    for i in range(60):
+        ra = _rand_convex(rng, 0, 0, rng.randint(2, 8))
+        # offsets chosen to mix definite hits, near misses, and far misses
+        dx, dy = rng.randint(-12, 12), rng.randint(-12, 12)
+        rb = _rand_convex(rng, dx, dy, rng.randint(2, 8))
+        cases.append((i, ra, rb, _py_convex_intersects(ra, rb)))
+    df = spark.createDataFrame(
+        [(i, a, b) for i, a, b, _ in cases],
+        "i int, ra array<array<bigint>>, rb array<array<bigint>>",
+    )
+    got = {
+        r["i"]: r["hit"]
+        for r in df.select(
+            "i", convex_intersects(F.col("ra"), F.col("rb")).alias("hit")
+        ).collect()
+    }
+    hits = sum(1 for _, _, _, w in cases if w)
+    assert 5 <= hits <= 55  # the batch genuinely mixes both outcomes
+    for i, _, _, want in cases:
+        assert got[i] == want, f"case {i}"
