@@ -531,3 +531,60 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.least(F.col("n_a"), F.col("n_b")).cast("long").alias("n_contained_fp"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic epoch shuffle: the training-order contract. Each
+# epoch's seed produces an independent, reproducible permutation of
+# the corpus, sharded for parallel dataloaders. Pure hash ordering --
+# no RNG state, survives resharding/engine swaps, and any shard can
+# be regenerated alone (the property that matters when one of 1000
+# dataloader shards needs replay).
+# ---------------------------------------------------------------------------
+
+EPOCH_SHUFFLE_SEED = 3
+EPOCH_SHUFFLE_SHARDS = 8
+
+
+def _epoch_shuffle_sql(seed: int = EPOCH_SHUFFLE_SEED, shards: int = EPOCH_SHUFFLE_SHARDS) -> str:
+    u32 = (
+        f"CAST(concat('0x', substr(md5('ep{seed}:' || CAST(doc_id AS VARCHAR)), 1, 8)) "
+        "AS BIGINT)"
+    )
+    return f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST({u32} % {shards} AS BIGINT) AS shard,
+       CAST(row_number() OVER (
+         PARTITION BY {u32} % {shards}
+         ORDER BY md5('ep{seed}:' || CAST(doc_id AS VARCHAR)), doc_id
+       ) AS BIGINT) AS position
+FROM documents
+"""
+
+
+@_q("corpus_epoch_shuffle", _epoch_shuffle_sql())
+def corpus_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-{seed} training order: shard = u32(md5(seed:id)) % {n},
+    position = rank of md5(seed:id) within the shard. Hash-ordering
+    by i.i.d.-uniform-ish digests is a uniform permutation per seed,
+    and seeds give independent permutations -- randomSplit/shuffle
+    cannot promise either across partitionings. One shuffle on the
+    shard key; each shard's order is a local sort, so shard files
+    write out pre-sorted for sequential dataloader reads."""
+    from ..operators.sampling import sample_hash_u32
+
+    docs = load_table(spark, sf_dir, "documents")
+    salt = f"ep{EPOCH_SHUFFLE_SEED}"
+    u32 = sample_hash_u32("doc_id", salt)
+    h = F.md5(
+        F.concat(F.lit(salt + ":"), F.col("doc_id").cast("string"))
+    )
+    from pyspark.sql import Window
+
+    shard = (u32 % EPOCH_SHUFFLE_SHARDS).cast("long")
+    w = Window.partitionBy(shard).orderBy(h.asc(), F.col("doc_id").asc())
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        shard.alias("shard"),
+        F.row_number().over(w).cast("long").alias("position"),
+    )

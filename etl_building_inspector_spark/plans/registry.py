@@ -263,6 +263,7 @@ WINDOW_R5_CANDIDATES: list[str] = [
     "dedup_containment",
     "streaming_dedup_exact",
     "spatial_convex_sat_join",
+    "corpus_epoch_shuffle",
     "tpch_q2_best_supplier",
     "tpch_q4_order_priority_exists",
     "tpch_q7_volume_shipping",
