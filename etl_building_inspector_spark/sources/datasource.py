@@ -201,15 +201,21 @@ class _NdjsonWriter(DataSourceWriter):
     def commit(self, messages) -> None:
         import shutil
 
+        total = 0
+        marker = os.path.join(self.path, "_SUCCESS")
         if self.overwrite:
             for old in glob.glob(os.path.join(self.path, "part-*.ndjson")):
                 os.remove(old)
-        total = 0
+        elif os.path.exists(marker):
+            # append mode: the marker is the directory's TOTAL row
+            # count, so carry the prior committed total forward
+            with open(marker) as f:
+                total = int(f.read() or 0)
         for m in messages:
             os.replace(m.staged, m.final)
             total += m.rows
         shutil.rmtree(os.path.join(self.path, "_staging"), ignore_errors=True)
-        with open(os.path.join(self.path, "_SUCCESS"), "w") as f:
+        with open(marker, "w") as f:
             f.write(str(total))
 
     def abort(self, messages) -> None:

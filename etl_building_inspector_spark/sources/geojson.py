@@ -218,12 +218,17 @@ def read_jsonl_with_quarantine(
     (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN) and its
     documented workaround is cache() -- caching a 100 TB landing scan
     is not an ingest pattern. Here both outputs are plain column
-    predicates over one codegen'd from_json pass; a valid-JSON line
-    that merely mismatches the schema stays on the good side with
-    NULL fields (schema drift is a different failure class than
-    corruption and is handled by dq_constraint_checks). from_json's
-    PERMISSIVE mode signals corruption through its OWN corrupt-record
-    field (an all-null struct is NOT distinguishable otherwise)."""
+    predicates over one codegen'd from_json pass. from_json signals
+    BOTH syntactic corruption and per-field type mismatches through
+    its corrupt-record field (an all-null struct is not
+    distinguishable otherwise), so a line whose value cannot coerce
+    to the declared type ({"id": "abc"} against id LONG) is ALSO
+    quarantined -- deliberately: a type-drifted feed should surface
+    as quarantine volume with the raw lines preserved for replay
+    after a schema fix, not as silent NULLs corrupting aggregates
+    downstream. Structural drift that still parses (missing fields,
+    extra fields) stays on the good side with NULLs, which is
+    dq_constraint_checks territory."""
     from pyspark.sql import types as T
 
     with_corrupt = T.StructType(

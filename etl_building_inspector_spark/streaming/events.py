@@ -305,11 +305,16 @@ def stream_stream_click_purchase_join(
     )
 
 
-def run_to_memory(df: DataFrame, name: str) -> DataFrame:
+def run_to_memory(df: DataFrame, name: str, mode: str = "complete") -> DataFrame:
     """Drive a bounded stream to completion synchronously; returns the
-    materialized result table (complete output mode)."""
+    materialized result table. mode='complete' for aggregations;
+    'append' for plans that FORBID complete (stream-stream joins,
+    append-only stateful ops) -- inner-join matches emit as soon as
+    both sides arrive, so a bounded replay materializes every match;
+    only watermark-gated emissions (outer-join nulls, closed windows)
+    would additionally need an end-of-stream flush at the source."""
     q = (
-        df.writeStream.outputMode("complete")
+        df.writeStream.outputMode(mode)
         .format("memory")
         .queryName(name)
         .start()
@@ -322,23 +327,8 @@ def run_to_memory(df: DataFrame, name: str) -> DataFrame:
 
 
 def run_to_memory_append(df: DataFrame, name: str) -> DataFrame:
-    """Append-mode twin of run_to_memory, for plans that FORBID
-    complete mode (stream-stream joins, append-only stateful ops).
-    Inner-join matches emit as soon as both sides arrive, so a bounded
-    replay materializes every match; only watermark-gated emissions
-    (outer-join nulls, closed windows) would additionally need an
-    end-of-stream flush at the source."""
-    q = (
-        df.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-    return df.sparkSession.sql(f"SELECT * FROM {name}")
+    """run_to_memory with append mode (kept as a named entry point)."""
+    return run_to_memory(df, name, mode="append")
 
 
 def stream_stream_left_outer_join(

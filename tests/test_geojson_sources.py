@@ -154,6 +154,8 @@ def test_jsonl_quarantine_splits_corrupt_lines(spark, tmp_path_factory):
         '{"id": 2, "name": "also ok"}',
         '{"id": 3, "name": "trunca',          # truncated JSON
         'not json at all',                     # garbage
+        '{"id": "abc", "name": "typedrift"}',  # type mismatch -> quarantine
+        '{"name": "no id field"}',             # missing field -> good, NULL id
         '{"id": 4, "name": "fine"}',
     ]
     p.write_text("\n".join(lines) + "\n")
@@ -163,11 +165,13 @@ def test_jsonl_quarantine_splits_corrupt_lines(spark, tmp_path_factory):
     good, quarantined = read_jsonl_with_quarantine(spark, str(p), schema)
     g = good.collect()
     q = quarantined.collect()
-    assert {r["id"] for r in g} == {1, 2, 4}
+    assert {r["id"] for r in g} == {1, 2, 4, None}  # missing field -> good
+    assert "no id field" in {r["name"] for r in g}
     assert "_corrupt" not in good.columns
-    assert len(q) == 2
+    assert len(q) == 3  # two malformed + one type-drifted
     raws = {r["raw_line"] for r in q}
     assert 'not json at all' in raws
     assert any("trunca" in r for r in raws)
+    assert any("typedrift" in r for r in raws)  # type mismatch quarantines
     assert all(r["src_file"].endswith("data.jsonl") for r in q)
     assert len(g) + len(q) == len(lines)

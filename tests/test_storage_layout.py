@@ -195,12 +195,13 @@ def test_compact_small_files_roundtrip(spark, sf_dir, tmp_path_factory):
     )
     assert stats["files_after"] < stats["files_before"]
     assert stats["files_after"] <= stats["n_bins"]
-    # The sizing contract must actually hold: output file count close
-    # to the planned bin count. A fully degenerated binning (all rows
-    # hashed on a constant NULL key -> 1-2 files) previously satisfied
-    # the two inequalities above and masked a bin-map key mismatch.
+    # The sizing contract must actually hold: EXACTLY one output file
+    # per planned bin (the hash-preimage remap guarantees a 1:1
+    # bin->partition route; plain repartition(n, bin) collides ~37%
+    # of bins and a degenerate NULL-key binning collapses to 1-2
+    # files -- both previously passed the old inequalities).
     assert stats["n_bins"] >= 5, "fixture should plan several bins"
-    assert stats["files_after"] >= stats["n_bins"] - 1
+    assert stats["files_after"] == stats["n_bins"]
 
     a = spark.read.parquet(littered)
     b = spark.read.parquet(compacted)
@@ -323,8 +324,11 @@ def test_zorder_rewrite_prunes_both_dimensions(spark, sf_dir, tmp_path_factory):
     )
     li.repartition(16).write.parquet(in_dir)  # hash layout: no locality
 
+    # l_orderkey's range far exceeds 2^bits: this is exactly the case
+    # the range normalization exists for (a low-bits mask interleaves
+    # noise and clusters nothing -- found by plan review, round 4)
     stats = zorder_rewrite(
-        spark, in_dir, out_dir, "l_partkey", "l_suppkey", n_files=16
+        spark, in_dir, out_dir, "l_orderkey", "l_partkey", n_files=16
     )
     assert stats["files"] >= 8
 
@@ -332,21 +336,25 @@ def test_zorder_rewrite_prunes_both_dimensions(spark, sf_dir, tmp_path_factory):
         hit = sum(1 for s in spans if s[col_min] <= probe <= s[col_max])
         return hit / len(spans)
 
-    # probe a mid-range value on each dimension
+    # probe a mid-range value on each dimension (its own dimension's
+    # span distribution -- probing x values against y spans tests
+    # nothing)
     xs = sorted(s["x_min"] for s in stats["spans"])
+    ys = sorted(s["y_min"] for s in stats["spans"])
     probe_x = xs[len(xs) // 2]
+    probe_y = ys[len(ys) // 2]
     fx = overlap_fraction(stats["spans"], "x_min", "x_max", probe_x)
-    fy = overlap_fraction(stats["spans"], "y_min", "y_max", probe_x)
+    fy = overlap_fraction(stats["spans"], "y_min", "y_max", probe_y)
 
     # unclustered baseline: per-file spans of the hash layout
     base_spans = (
         spark.read.parquet(in_dir)
         .groupBy(F.input_file_name())
         .agg(
-            F.min("l_partkey").alias("x_min"),
-            F.max("l_partkey").alias("x_max"),
-            F.min("l_suppkey").alias("y_min"),
-            F.max("l_suppkey").alias("y_max"),
+            F.min("l_orderkey").alias("x_min"),
+            F.max("l_orderkey").alias("x_max"),
+            F.min("l_partkey").alias("y_min"),
+            F.max("l_partkey").alias("y_max"),
         )
         .collect()
     )
@@ -358,3 +366,59 @@ def test_zorder_rewrite_prunes_both_dimensions(spark, sf_dir, tmp_path_factory):
     a = spark.read.parquet(in_dir)
     b = spark.read.parquet(out_dir)
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_merge_on_files_cow_semantics_edges(spark, sf_dir, tmp_path_factory):
+    """MERGE contract edges: duplicate changeset keys raise (a real
+    MERGE's multiple-source-rows error); a NARROW changeset (key +
+    set_cols only) still appends its inserts, schema-aligned with
+    typed NULLs; a set-to-NULL update actually nulls the field."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from etl_building_inspector_spark.operators.maintenance import (
+        merge_on_files,
+    )
+
+    base = str(tmp_path_factory.mktemp("cow2"))
+    base_dir = base + "/base"
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    orders.repartitionByRange(8, "o_orderkey").write.parquet(base_dir)
+    first_keys = [
+        r["o_orderkey"]
+        for r in spark.read.parquet(base_dir).orderBy("o_orderkey").limit(3).collect()
+    ]
+
+    # duplicate key in changeset -> loud failure
+    dup = spark.createDataFrame(
+        [(first_keys[0], "U"), (first_keys[0], "V")],
+        "o_orderkey long, o_orderstatus string",
+    )
+    with pytest.raises(Exception, match="multiple changeset rows"):
+        merge_on_files(
+            spark, base_dir, base + "/d1", dup, "o_orderkey", ["o_orderstatus"]
+        )
+
+    # narrow changeset: 2 updates (one sets NULL) + 1 insert
+    narrow = spark.createDataFrame(
+        [(first_keys[1], "U"), (first_keys[2], None), (999999999, "I")],
+        "o_orderkey long, o_orderstatus string",
+    )
+    stats = merge_on_files(
+        spark, base_dir, base + "/d2", narrow, "o_orderkey", ["o_orderstatus"]
+    )
+    assert stats["rows_inserted"] == 1  # narrow schema must NOT drop inserts
+    appended = spark.read.parquet(stats["appended_dir"])
+    ins = appended.collect()[0]
+    assert ins["o_orderkey"] == 999999999 and ins["o_orderstatus"] == "I"
+    assert ins["o_custkey"] is None  # typed NULL for absent columns
+
+    rewritten = spark.read.parquet(stats["rewritten_dir"])
+    got = {
+        r["o_orderkey"]: r["o_orderstatus"]
+        for r in rewritten.where(
+            F.col("o_orderkey").isin(first_keys[1], first_keys[2])
+        ).collect()
+    }
+    assert got[first_keys[1]] == "U"
+    assert got[first_keys[2]] is None  # set-to-NULL applies, not coalesced away
