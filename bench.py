@@ -115,6 +115,7 @@ HEADLINE = [
     "merge_on_files_cow",
     "dedup_containment",
     "spatial_convex_sat_join",
+    "corpus_epoch_shuffle",
 ]
 
 # The N slowest warm queries get best-of-K isolated reruns (fresh GC
