@@ -116,6 +116,8 @@ HEADLINE = [
     "dedup_containment",
     "spatial_convex_sat_join",
     "corpus_epoch_shuffle",
+    "attribution_linear_touch",
+    "graph_neighbor_jaccard_topk",
 ]
 
 # The N slowest warm queries get best-of-K isolated reruns (fresh GC

@@ -827,3 +827,101 @@ def graph_common_neighbors_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rk").cast("long").alias("rk"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Neighbor-Jaccard link prediction: the NORMALIZED companion of
+# graph_common_neighbors_topk -- |N(u) n N(v)| / |N(u) u N(v)| for
+# non-adjacent pairs, so low-degree pairs with high overlap outrank
+# hubs that share a few neighbors incidentally. Same capped-middle
+# wedge join for the intersection; degrees come from the full edge
+# list (one map-combinable count).
+# ---------------------------------------------------------------------------
+
+
+def _neighbor_jaccard_sql(k: int = _CN_TOPK, cap: int = _CN_HUB_CAP) -> str:
+    return f"""
+WITH e0 AS (
+  SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS u,
+                  greatest(a.l_partkey, b.l_partkey) AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+),
+e AS (SELECT u AS s, v AS d FROM e0 UNION ALL SELECT v AS s, u AS d FROM e0),
+deg AS (SELECT s AS node, count(*) AS deg FROM e GROUP BY s),
+mid AS (SELECT s AS m FROM e GROUP BY s HAVING count(*) <= {cap}),
+eca AS (SELECT e.s, e.d FROM e JOIN mid ON e.d = mid.m),
+ecb AS (SELECT e.s, e.d FROM e JOIN mid ON e.s = mid.m),
+wedge AS (
+  SELECT a.s AS u, b.d AS v
+  FROM eca a JOIN ecb b ON a.d = b.s AND a.s < b.d),
+cn AS (SELECT u, v, CAST(count(*) AS BIGINT) AS common FROM wedge GROUP BY u, v),
+cand AS (
+  SELECT cn.* FROM cn
+  LEFT JOIN e0 ON cn.u = e0.u AND cn.v = e0.v
+  WHERE e0.u IS NULL),
+scored AS (
+  SELECT cand.u, cand.v, cand.common,
+         du.deg AS deg_u, dv.deg AS deg_v,
+         CAST(cand.common AS DOUBLE) / (du.deg + dv.deg - cand.common) AS jaccard
+  FROM cand JOIN deg du ON cand.u = du.node JOIN deg dv ON cand.v = dv.node)
+SELECT CAST(u AS BIGINT) AS node, CAST(v AS BIGINT) AS candidate,
+       common, CAST(deg_u AS BIGINT) AS deg_u, CAST(deg_v AS BIGINT) AS deg_v,
+       jaccard,
+       CAST(row_number() OVER (PARTITION BY u ORDER BY jaccard DESC, v) AS BIGINT) AS rk
+FROM scored
+QUALIFY rk <= {k}
+"""
+
+
+@_q("graph_neighbor_jaccard_topk", _neighbor_jaccard_sql())
+def graph_neighbor_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{k} link candidates per node by neighbor JACCARD (not raw
+    common-neighbor count): intersection from the capped-middle wedge
+    join (a hub middle's wedges are dropped -- consistently excluded
+    from the intersection in both engines), union from full degrees
+    (deg_u + deg_v - common). The score is ONE division of
+    bit-identical integers, so it is IEEE-identical across engines
+    and safe to rank and hash on; ties break on candidate id. Same
+    join/agg scale shape as graph_common_neighbors_topk plus two
+    degree joins on the pair table."""
+    e = _copurchase_sym_edges(spark, sf_dir, materialize=True)
+    deg = e.groupBy("s").agg(F.count("*").alias("deg"))
+    mid = deg.where(F.col("deg") <= _CN_HUB_CAP).select(F.col("s").alias("m"))
+    eca = e.join(mid, e.d == F.col("m"), "left_semi")
+    ecb = e.join(mid, e.s == F.col("m"), "left_semi")
+    a = eca.select(F.col("s").alias("u"), F.col("d").alias("mm"))
+    b = ecb.select(F.col("s").alias("mm2"), F.col("d").alias("v"))
+    wedge = a.join(b, (a.mm == b.mm2) & (a.u < b.v))
+    cn = wedge.groupBy("u", "v").agg(F.count("*").alias("common"))
+    e0 = (
+        e.where(F.col("s") < F.col("d"))
+        .select(F.col("s").alias("eu"), F.col("d").alias("ev"))
+        .distinct()
+    )
+    cand = cn.join(e0, (cn.u == e0.eu) & (cn.v == e0.ev), "left_anti")
+    du = deg.select(F.col("s").alias("u"), F.col("deg").alias("deg_u"))
+    dv = deg.select(F.col("s").alias("v"), F.col("deg").alias("deg_v"))
+    scored = (
+        cand.join(du, "u")
+        .join(dv, "v")
+        .withColumn(
+            "jaccard",
+            F.col("common").cast("double")
+            / (F.col("deg_u") + F.col("deg_v") - F.col("common")),
+        )
+    )
+    w = Window.partitionBy("u").orderBy(F.desc("jaccard"), F.asc("v"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= _CN_TOPK)
+        .select(
+            F.col("u").cast("long").alias("node"),
+            F.col("v").cast("long").alias("candidate"),
+            F.col("common").cast("long").alias("common"),
+            F.col("deg_u").cast("long").alias("deg_u"),
+            F.col("deg_v").cast("long").alias("deg_v"),
+            "jaccard",
+            F.col("rk").cast("long").alias("rk"),
+        )
+    )

@@ -1240,3 +1240,99 @@ def merge_on_files_cow(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows_after",
     )
     return plan.unionByName(appended)
+
+
+# ---------------------------------------------------------------------------
+# Linear multi-touch attribution: every click/view in the 3 days
+# before a purchase shares the credit EQUALLY (1/n each) -- the
+# family completion next to last-touch (winner-take-all) and
+# first-touch. Credits stay integer: ppm units with floor division,
+# identical on both engines, so the oracle is a value-hash check
+# (float 1/n shares would drift in summation order).
+# ---------------------------------------------------------------------------
+
+_ATTR_LINEAR_SQL = """
+WITH touches AS (
+  SELECT user_id, event_type AS channel, ts AS t_ts, event_id AS t_eid
+  FROM events WHERE event_type IN ('click', 'view')),
+purchases AS (
+  SELECT user_id, ts AS p_ts, event_id AS p_eid,
+         CAST(round(value * 100, 0) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'),
+j AS (
+  SELECT p.p_eid, p.cents, t.channel
+  FROM purchases p LEFT JOIN touches t
+    ON p.user_id = t.user_id
+   AND epoch_us(CAST(t.t_ts AS TIMESTAMP)) >= epoch_us(CAST(p.p_ts AS TIMESTAMP)) - 259200000000
+   AND (t.t_ts < p.p_ts OR (t.t_ts = p.p_ts AND t.t_eid < p.p_eid))),
+counted AS (
+  SELECT p_eid, cents, channel,
+         count(channel) OVER (PARTITION BY p_eid) AS n
+  FROM j)
+SELECT COALESCE(channel, 'unattributed') AS channel,
+       CAST(count(*) AS BIGINT) AS touches,
+       CAST(sum(CASE WHEN n = 0 THEN 1000000 ELSE 1000000 // n END) AS BIGINT)
+         AS credit_ppm,
+       CAST(sum(CASE WHEN n = 0 THEN cents * 1000000
+                     ELSE (cents * 1000000) // n END) AS BIGINT)
+         AS revenue_micro_cents
+FROM counted
+GROUP BY 1
+"""
+
+
+@_q("attribution_linear_touch", _ATTR_LINEAR_SQL)
+def attribution_linear_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-credit multi-touch attribution over a 3-day lookback.
+    Join shape: purchases LEFT range-join touches on user_id (SMJ on
+    the user key, range + strict-precedence predicates filter in the
+    merge -- same discipline as range_join_events); per-purchase
+    touch count via one window over the purchase id; credits are
+    integer ppm with floor division (floor == truncation for the
+    all-positive operands, so DuckDB // and Spark DIV agree).
+    Unattributed purchases keep their full 1.0 credit under
+    'unattributed'. One shuffle on user_id + one on p_eid."""
+    events = load_table(spark, sf_dir, "events")
+    touches = events.where(F.col("event_type").isin("click", "view")).select(
+        F.col("user_id").alias("t_user"),
+        F.col("event_type").alias("channel"),
+        F.col("ts").alias("t_ts"),
+        F.col("event_id").alias("t_eid"),
+    )
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("p_eid"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    strict_before = (F.col("t_ts") < F.col("p_ts")) | (
+        (F.col("t_ts") == F.col("p_ts")) & (F.col("t_eid") < F.col("p_eid"))
+    )
+    j = purchases.join(
+        touches,
+        (F.col("user_id") == F.col("t_user"))
+        & (
+            epoch_micros("t_ts")
+            >= epoch_micros("p_ts") - F.lit(3 * 86400 * 1_000_000)
+        )
+        & strict_before,
+        "left",
+    ).select("p_eid", "cents", "channel")
+    w = Window.partitionBy("p_eid")
+    counted = j.withColumn("n", F.count("channel").over(w))
+    credit = F.when(F.col("n") == 0, F.lit(1000000)).otherwise(
+        F.expr("1000000 DIV n")
+    )
+    rev = F.when(F.col("n") == 0, F.col("cents") * 1000000).otherwise(
+        F.expr("(cents * 1000000) DIV n")
+    )
+    return (
+        counted.groupBy(
+            F.coalesce(F.col("channel"), F.lit("unattributed")).alias("channel")
+        )
+        .agg(
+            F.count("*").cast("long").alias("touches"),
+            F.sum(credit).cast("long").alias("credit_ppm"),
+            F.sum(rev).cast("long").alias("revenue_micro_cents"),
+        )
+    )

@@ -264,6 +264,8 @@ WINDOW_R5_CANDIDATES: list[str] = [
     "streaming_dedup_exact",
     "spatial_convex_sat_join",
     "corpus_epoch_shuffle",
+    "attribution_linear_touch",
+    "graph_neighbor_jaccard_topk",
     "tpch_q2_best_supplier",
     "tpch_q4_order_priority_exists",
     "tpch_q7_volume_shipping",
