@@ -87,28 +87,6 @@ def compact_parquet_dir(
     base_plan = {os.path.basename(k): v for k, v in plan.items()}
     if len(base_plan) != len(plan):
         raise ValueError("duplicate parquet basenames; cannot key bin map")
-    mapping = F.create_map(
-        *[F.lit(x) for kv in base_plan.items() for x in kv]
-    )
-    df = spark.read.parquet(in_dir)
-    basename = F.element_at(F.split(F.input_file_name(), "/"), -1)
-    # try_element_at: NULL on a missing key even under ANSI mode, so
-    # the raise_error below owns the failure message.
-    bin_col = F.try_element_at(mapping, basename).cast("int")
-    # Fail fast if any row's file missed the plan (null key would
-    # otherwise degrade sizing silently -- the exact bug this guards).
-    binned = df.withColumn(
-        "__bin",
-        F.when(
-            bin_col.isNull(),
-            F.raise_error(
-                F.concat(
-                    F.lit("compact_parquet_dir: no bin for file "),
-                    F.input_file_name(),
-                )
-            ).cast("int"),
-        ).otherwise(bin_col),
-    )
     # repartition(n, col) hash-partitions, and Murmur3 collides bin
     # ids heavily (measured: n distinct ids land in ~0.63n partitions
     # -- merged bins produce ~2x-target files, breaking the sizing
@@ -129,13 +107,38 @@ def compact_parquet_dir(
     missing_bins = [b for b in range(n_bins) if b not in preimage]
     if missing_bins:  # statistically absurd at 16x oversampling
         raise RuntimeError(f"no hash preimage found for bins {missing_bins}")
-    remap = F.create_map(
-        *[F.lit(x) for b in range(n_bins) for x in (b, preimage[b])]
+    # ONE composed map basename -> preimage(bin): both lookups are
+    # known driver-side, so the row-level plan carries a single map
+    # literal and a single try_element_at
+    mapping = F.create_map(
+        *[
+            F.lit(x)
+            for name, b in base_plan.items()
+            for x in (name, preimage[b])
+        ]
+    )
+    df = spark.read.parquet(in_dir)
+    basename = F.element_at(F.split(F.input_file_name(), "/"), -1)
+    # try_element_at: NULL on a missing key even under ANSI mode, so
+    # the raise_error below owns the failure message.
+    pt_col = F.try_element_at(mapping, basename).cast("int")
+    # Fail fast if any row's file missed the plan (null key would
+    # otherwise degrade sizing silently -- the exact bug this guards).
+    binned = df.withColumn(
+        "__pt",
+        F.when(
+            pt_col.isNull(),
+            F.raise_error(
+                F.concat(
+                    F.lit("compact_parquet_dir: no bin for file "),
+                    F.input_file_name(),
+                )
+            ).cast("int"),
+        ).otherwise(pt_col),
     )
     (
-        binned.withColumn("__pt", F.try_element_at(remap, F.col("__bin")))
-        .repartition(n_bins, "__pt")
-        .drop("__bin", "__pt")
+        binned.repartition(n_bins, "__pt")
+        .drop("__pt")
         .write.mode("overwrite")
         .parquet(out_dir)
     )
@@ -185,7 +188,33 @@ def merge_on_files(
     probe itself prunes to candidate files before reading data."""
     from pyspark.sql import functions as _F
 
+    # Validate BEFORE any Spark job: a malformed changeset should fail
+    # with the friendly error, not a raw AnalysisException mid-probe.
+    missing = [c for c in [key, *set_cols] if c not in updates.columns]
+    if missing:
+        raise ValueError(f"changeset lacks required columns {missing}")
+
     base = spark.read.parquet(base_dir)
+    # MERGE cardinality contract: a base row MATCHED by >1 changeset
+    # row would silently duplicate in the rewrite (the left join fans
+    # out) -- real MERGE raises, so do we. The guard applies only to
+    # keys that exist in the base: several NOT-matched rows with the
+    # same new key are plain inserts (legal MERGE input) and all
+    # append. One metadata-sized agg.
+    dup = (
+        updates.groupBy(key)
+        .agg(_F.count("*").alias("n"))
+        .where(_F.col("n") > 1)
+        .join(base.select(key).distinct(), key, "left_semi")
+        .limit(1)
+        .collect()
+    )
+    if dup:
+        raise ValueError(
+            f"multiple changeset rows matched {key}={dup[0][key]}; "
+            "MERGE requires at most one source row per target row"
+        )
+
     upd_keys = updates.select(key).distinct()
     # input_file_name() must bind to a SINGLE file source, so project
     # it directly above the base scan BEFORE the join (evaluating it
@@ -205,25 +234,6 @@ def merge_on_files(
     # same normalization the compaction bin map uses
     touched_base = {os.path.basename(f) for f in touched}
     kept = [f for f in all_files if os.path.basename(f) not in touched_base]
-
-    missing = [c for c in [key, *set_cols] if c not in updates.columns]
-    if missing:
-        raise ValueError(f"changeset lacks required columns {missing}")
-    # MERGE cardinality contract: a base row matched by >1 changeset
-    # row would silently duplicate in the rewrite (the left join fans
-    # out) -- real MERGE raises, so do we. One metadata-sized agg.
-    dup = (
-        updates.groupBy(key)
-        .agg(_F.count("*").alias("n"))
-        .where(_F.col("n") > 1)
-        .limit(1)
-        .collect()
-    )
-    if dup:
-        raise ValueError(
-            f"multiple changeset rows matched {key}={dup[0][key]}; "
-            "MERGE requires at most one source row per target row"
-        )
 
     rows_rewritten = 0
     if touched:
@@ -320,6 +330,10 @@ def zorder_rewrite(
         F.min(F.col(y_col).cast("long")).alias("y0"),
         F.max(F.col(y_col).cast("long")).alias("y1"),
     ).collect()[0]
+    if rng["x0"] is None or rng["y0"] is None:
+        # empty table or all-NULL cluster column: nothing to cluster
+        # on -- degrade to a plain rewrite instead of a TypeError
+        rng = {"x0": 0, "x1": 0, "y0": 0, "y1": 0}
     x_span = max(1, rng["x1"] - rng["x0"])
     y_span = max(1, rng["y1"] - rng["y0"])
     x = ((F.col(x_col).cast("long") - F.lit(rng["x0"])) * mask / x_span).cast(

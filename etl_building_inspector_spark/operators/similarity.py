@@ -462,6 +462,49 @@ def cosine_topk_lsh(
     )
 
 
+def _probe_cells(q: DataFrame, centers: list, n_probe: int) -> DataFrame:
+    """Route each query row (query_id, __qvec) to its n_probe nearest
+    centroids: euclidean distance^2 to every centroid as literal
+    arrays, array_sort on (dist, idx) structs, slice, explode. The
+    SINGLE implementation shared by cosine_topk_ivf (inline fit) and
+    probe_ivf_index (persisted index) -- their exact-reproduction
+    contract (test_ivf_index_persist_probe_matches_inline) depends on
+    this block staying identical for both."""
+    centers_lit = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("idx"),
+                F.array(*[F.lit(v) for v in c]).alias("c"),
+            )
+            for i, c in enumerate(centers)
+        ]
+    )
+    dists = F.transform(
+        centers_lit,
+        lambda e: F.struct(
+            F.aggregate(
+                F.zip_with(
+                    F.col("__qvec"),
+                    e.getField("c"),
+                    lambda x, c: (x.cast("double") - c) * (x.cast("double") - c),
+                ),
+                F.lit(0.0),
+                lambda acc, d: acc + d,
+            ).alias("dist"),
+            e.getField("idx").alias("idx"),
+        ),
+    )
+    return q.withColumn(
+        "cell",
+        F.explode(
+            F.transform(
+                F.slice(F.array_sort(dists), 1, n_probe),
+                lambda e: e.getField("idx"),
+            )
+        ),
+    )
+
+
 def cosine_topk_ivf(
     corpus: DataFrame,
     queries: DataFrame,
@@ -494,43 +537,12 @@ def cosine_topk_ivf(
     )
 
     centers = [list(map(float, c)) for c in model.clusterCenters()]
-    centers_lit = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("idx"),
-                F.array(*[F.lit(v) for v in c]).alias("c"),
-            )
-            for i, c in enumerate(centers)
-        ]
-    )
-    # per query: euclidean distance^2 to every centroid, keep n_probe
-    # nearest cells (array_sort on (dist, idx) structs -> slice)
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
-    )
-    dists = F.transform(
-        centers_lit,
-        lambda e: F.struct(
-            F.aggregate(
-                F.zip_with(
-                    F.col("__qvec"),
-                    e.getField("c"),
-                    lambda x, c: (x.cast("double") - c) * (x.cast("double") - c),
-                ),
-                F.lit(0.0),
-                lambda acc, d: acc + d,
-            ).alias("dist"),
-            e.getField("idx").alias("idx"),
+    q = _probe_cells(
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
         ),
-    )
-    q = q.withColumn(
-        "cell",
-        F.explode(
-            F.transform(
-                F.slice(F.array_sort(dists), 1, n_probe),
-                lambda e: e.getField("idx"),
-            )
-        ),
+        centers,
+        n_probe,
     )
     joined = assigned.join(F.broadcast(q), "cell").filter(
         F.col("query_id") != F.col("neighbor_id")
@@ -1079,12 +1091,16 @@ def build_ivf_index(
         .agg(F.count("*").alias("n"))
         .collect()
     )
-    sizes = sorted(r["n"] for r in occ)
+    # occupancy over ALL centroids: an empty cluster writes no
+    # partition directory, so it never appears in the scan -- but an
+    # empty cell is exactly the imbalance the stats exist to surface
+    by_cell = {r["cell"]: r["n"] for r in occ}
+    sizes = [by_cell.get(c, 0) for c in range(n_centroids)]
     return {
         "n_centroids": n_centroids,
         "n_vectors": sum(sizes),
-        "cell_min": sizes[0],
-        "cell_max": sizes[-1],
+        "cell_min": min(sizes),
+        "cell_max": max(sizes),
     }
 
 
@@ -1103,45 +1119,19 @@ def probe_ivf_index(
     partitioned vectors -- the scan touches ~n_probe/n_centroids of
     the index, and identical (centroids, n_probe, k) reproduce
     cosine_topk_ivf's exact results without refitting anything."""
-    centers = sorted(
-        (r["cell"], r["centroid"])
-        for r in spark.read.parquet(path + "/centroids.parquet").collect()
-    )
-    centers_lit = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("idx"),
-                F.array(*[F.lit(v) for v in c]).alias("c"),
-            )
-            for i, c in centers
-        ]
-    )
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
-    )
-    dists = F.transform(
-        centers_lit,
-        lambda e: F.struct(
-            F.aggregate(
-                F.zip_with(
-                    F.col("__qvec"),
-                    e.getField("c"),
-                    lambda x, c: (x.cast("double") - c) * (x.cast("double") - c),
-                ),
-                F.lit(0.0),
-                lambda acc, d: acc + d,
-            ).alias("dist"),
-            e.getField("idx").alias("idx"),
+    centers = [
+        c
+        for _, c in sorted(
+            (r["cell"], r["centroid"])
+            for r in spark.read.parquet(path + "/centroids.parquet").collect()
+        )
+    ]
+    q = _probe_cells(
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
         ),
-    )
-    q = q.withColumn(
-        "cell",
-        F.explode(
-            F.transform(
-                F.slice(F.array_sort(dists), 1, n_probe),
-                lambda e: e.getField("idx"),
-            )
-        ),
+        centers,
+        n_probe,
     )
     vectors = spark.read.parquet(path + "/vectors.parquet").select(
         F.col("vec_id").alias("neighbor_id"), F.col("vec").alias("__cvec"), "cell"

@@ -208,15 +208,24 @@ class _NdjsonWriter(DataSourceWriter):
                 os.remove(old)
         elif os.path.exists(marker):
             # append mode: the marker is the directory's TOTAL row
-            # count, so carry the prior committed total forward
-            with open(marker) as f:
-                total = int(f.read() or 0)
+            # count, so carry the prior committed total forward. A
+            # foreign or corrupt marker counts as 0 rather than
+            # failing every future append to the directory.
+            try:
+                with open(marker) as f:
+                    total = int(f.read() or 0)
+            except (ValueError, OSError):
+                total = 0
         for m in messages:
             os.replace(m.staged, m.final)
             total += m.rows
         shutil.rmtree(os.path.join(self.path, "_staging"), ignore_errors=True)
-        with open(marker, "w") as f:
+        # write-then-rename: truncate-in-place could leave a torn
+        # marker on a crash, at odds with the two-phase discipline
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as f:
             f.write(str(total))
+        os.replace(tmp, marker)
 
     def abort(self, messages) -> None:
         import shutil

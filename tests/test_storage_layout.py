@@ -422,3 +422,27 @@ def test_merge_on_files_cow_semantics_edges(spark, sf_dir, tmp_path_factory):
     }
     assert got[first_keys[1]] == "U"
     assert got[first_keys[2]] is None  # set-to-NULL applies, not coalesced away
+
+
+def test_merge_on_files_duplicate_insert_keys_are_legal(spark, sf_dir, tmp_path_factory):
+    """Two NOT-matched changeset rows with the same new key are plain
+    inserts (legal MERGE input) -- both append; the cardinality guard
+    fires only for MATCHED duplicates."""
+    from etl_building_inspector_spark.operators.maintenance import (
+        merge_on_files,
+    )
+
+    base = str(tmp_path_factory.mktemp("cow3"))
+    base_dir = base + "/base"
+    spark.read.parquet(f"{sf_dir}/orders.parquet").repartitionByRange(
+        4, "o_orderkey"
+    ).write.parquet(base_dir)
+    ins_only = spark.createDataFrame(
+        [(888888888, "A"), (888888888, "B")],
+        "o_orderkey long, o_orderstatus string",
+    )
+    stats = merge_on_files(
+        spark, base_dir, base + "/d", ins_only, "o_orderkey", ["o_orderstatus"]
+    )
+    assert stats["rows_inserted"] == 2
+    assert stats["files_rewritten"] == 0
