@@ -118,6 +118,7 @@ HEADLINE = [
     "corpus_epoch_shuffle",
     "attribution_linear_touch",
     "graph_neighbor_jaccard_topk",
+    "quality_terciles_by_lang",
 ]
 
 # The N slowest warm queries get best-of-K isolated reruns (fresh GC

@@ -519,3 +519,57 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").cast("long").alias("doc_id"),
         F.col("hops").cast("long").alias("hops"),
     )
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style per-language quality terciles: head / middle / tail
+# buckets per language (CCNet buckets by LM perplexity; with no LM in
+# the container the proxy score is the stopword ratio -- higher =
+# more natural running text -- which is the same single int/int
+# division both engines compute bit-identically). Downstream mixes
+# sample head > middle > tail instead of hard-dropping.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "quality_terciles_by_lang",
+    f"""
+WITH t AS (SELECT doc_id, lang, {_TOKS} AS toks FROM documents),
+s AS (SELECT doc_id, lang,
+  CAST({_stop_hits_sql("toks", LANG_STOPWORDS["en"])} AS DOUBLE)
+    / len(toks) AS score
+FROM t WHERE len(toks) > 0)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, score,
+  CASE ntile(3) OVER (PARTITION BY lang ORDER BY score DESC, doc_id)
+       WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+FROM s
+""",
+)
+def quality_terciles_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language head/middle/tail quality bucketing (the CCNet
+    data layout, arXiv:1911.00359, with a stopword-ratio proxy for
+    the missing LM): ntile(3) over (score DESC, doc_id) within each
+    language. ntile's equal-split rule is standard SQL and the order
+    is TOTAL (doc_id tiebreak), so bucket assignment is deterministic
+    and engine-identical. One shuffle on lang; the score is a narrow
+    row-local expression riding the same scan."""
+    from ..functions.text import quality_features, tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    staged = docs.withColumn("__toks", tokens("text"))
+    feats = quality_features("text", toks=F.col("__toks"))
+    scored = staged.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "lang",
+        feats["stopword_ratio"].alias("score"),
+        feats["n_tokens"].alias("__n"),
+    ).where(F.col("__n") > 0)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang").orderBy(F.desc("score"), F.asc("doc_id"))
+    bucket = (
+        F.when(F.ntile(3).over(w) == 1, "head")
+        .when(F.ntile(3).over(w) == 2, "middle")
+        .otherwise("tail")
+    )
+    return scored.select("doc_id", "lang", "score", bucket.alias("bucket"))

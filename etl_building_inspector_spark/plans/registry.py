@@ -266,6 +266,7 @@ WINDOW_R5_CANDIDATES: list[str] = [
     "corpus_epoch_shuffle",
     "attribution_linear_touch",
     "graph_neighbor_jaccard_topk",
+    "quality_terciles_by_lang",
     "tpch_q2_best_supplier",
     "tpch_q4_order_priority_exists",
     "tpch_q7_volume_shipping",
