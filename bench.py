@@ -117,8 +117,14 @@ HEADLINE = [
     "spatial_convex_sat_join",
     "corpus_epoch_shuffle",
     "attribution_linear_touch",
-    "graph_neighbor_jaccard_topk",
     "quality_terciles_by_lang",
+    # graph_neighbor_jaccard_topk / graph_common_neighbors_topk are
+    # deliberately NOT benched, like the rest of the wedge-join family:
+    # their cost is the capped wedge enumeration itself (bounded at
+    # cap x |edges| -- linear in the graph, ~17 s at sf0.1 on 32
+    # threads), which drowns the per-round signal this headline set
+    # exists to track. Correctness is driver-checked (r5 window) and
+    # the plan shape is guarded in tests/test_tpch.py.
 ]
 
 # The N slowest warm queries get best-of-K isolated reruns (fresh GC

@@ -132,6 +132,7 @@ def test_graph_additions_no_nested_loop(spark, sf_dir):
         "graph_label_propagation",
         "graph_kcore",
         "graph_common_neighbors_topk",
+        "graph_neighbor_jaccard_topk",
     ):
         plan = _executed(spark, name, sf_dir)
         assert "CartesianProduct" not in plan, name
