@@ -1511,3 +1511,106 @@ def revenue_concentration_8020(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("total").alias("total_cents"),
         F.max("n").alias("n_customers"),
     )
+
+
+# ---------------------------------------------------------------------------
+# MAD-rule outliers per group: the ROBUST-statistics companion of
+# outlier_iqr_by_group. median and MAD (median absolute deviation)
+# are both exact kth-order statistics over integer cents -- the
+# value at rank (n+1)//2 is tiebreak-invariant (the kth element of a
+# sorted multiset), so both engines agree bit-for-bit without any
+# quantile interpolation. Outlier iff |x - med| > 3 * MAD.
+# ---------------------------------------------------------------------------
+
+_MAD_SQL = """
+WITH ranked AS (
+  SELECT event_type,
+         CAST(round(value * 100, 0) AS BIGINT) AS cents,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY CAST(round(value * 100, 0) AS BIGINT),
+                                     event_id) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+),
+med AS (
+  SELECT event_type,
+         CAST(sum(CASE WHEN rn = (n + 1) // 2 THEN cents ELSE 0 END)
+              AS BIGINT) AS med
+  FROM ranked GROUP BY event_type
+),
+dev AS (
+  SELECT r.event_type, r.cents, abs(r.cents - m.med) AS d, m.med,
+         row_number() OVER (PARTITION BY r.event_type
+                            ORDER BY abs(r.cents - m.med), r.cents, r.rn) AS drn,
+         count(*) OVER (PARTITION BY r.event_type) AS n
+  FROM ranked r JOIN med m ON r.event_type = m.event_type
+),
+mad AS (
+  SELECT event_type,
+         CAST(sum(CASE WHEN drn = (n + 1) // 2 THEN d ELSE 0 END)
+              AS BIGINT) AS mad
+  FROM dev GROUP BY event_type
+)
+SELECT d.event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(max(d.med) AS BIGINT) AS median_cents,
+       CAST(max(m.mad) AS BIGINT) AS mad_cents,
+       CAST(sum(CASE WHEN d.d > 3 * m.mad THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_outliers
+FROM dev d JOIN mad m ON d.event_type = m.event_type
+GROUP BY d.event_type
+"""
+
+
+@_q("outlier_mad_by_group", _MAD_SQL)
+def outlier_mad_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-MAD outliers per event type. Plan: two window-rank passes
+    over the SAME event_type partitioning (AQE reuses the shuffle) +
+    two 5-row broadcast joins for the medians; everything integer
+    cents -- no quantile interpolation, no floats. MAD tolerates up
+    to 50% contamination where the IQR rule's quartiles move at 25%,
+    which is why dq pipelines run both."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    wp = Window.partitionBy("event_type")
+    ranked = events.select(
+        "event_type",
+        cents.alias("cents"),
+        F.row_number().over(wp.orderBy(cents, "event_id")).alias("rn"),
+        F.count("*").over(wp).alias("n"),
+    )
+    med_rank = ((F.col("n") + 1) / 2).cast("long")
+    med = ranked.groupBy("event_type").agg(
+        F.sum(F.when(F.col("rn") == med_rank, F.col("cents")).otherwise(0))
+        .alias("med")
+    )
+    dev = ranked.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "cents",
+        "med",
+        F.abs(F.col("cents") - F.col("med")).alias("d"),
+        "rn",
+    )
+    wd = Window.partitionBy("event_type")
+    dev = dev.select(
+        "*",
+        F.row_number()
+        .over(wd.orderBy("d", "cents", "rn"))
+        .alias("drn"),
+        F.count("*").over(wd).alias("n"),
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.sum(F.when(F.col("drn") == med_rank, F.col("d")).otherwise(0))
+        .alias("mad")
+    )
+    j = dev.join(F.broadcast(mad), "event_type")
+    return j.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.max("med").alias("median_cents"),
+        F.max("mad").alias("mad_cents"),
+        F.sum(
+            F.when(F.col("d") > 3 * F.col("mad"), 1).otherwise(0)
+        ).alias("n_outliers"),
+    )

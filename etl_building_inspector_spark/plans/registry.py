@@ -267,6 +267,7 @@ WINDOW_R5_CANDIDATES: list[str] = [
     "attribution_linear_touch",
     "graph_neighbor_jaccard_topk",
     "quality_terciles_by_lang",
+    "outlier_mad_by_group",
     "tpch_q2_best_supplier",
     "tpch_q4_order_priority_exists",
     "tpch_q7_volume_shipping",
