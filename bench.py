@@ -119,6 +119,8 @@ HEADLINE = [
     "attribution_linear_touch",
     "quality_terciles_by_lang",
     "outlier_mad_by_group",
+    "eval_langid_confusion",
+    "dedup_minhash_calibration",
     # graph_neighbor_jaccard_topk / graph_common_neighbors_topk are
     # deliberately NOT benched, like the rest of the wedge-join family:
     # their cost is the capped wedge enumeration itself (bounded at

@@ -19,6 +19,7 @@ from ..functions.text import (
     fingerprint,
     lang_id,
     quality_features,
+    shingles,
     tokens,
 )
 from ..operators.dedup import (
@@ -776,4 +777,153 @@ def dedup_embedding_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id_a").cast("long").alias("id_a"),
         F.col("id_b").cast("long").alias("id_b"),
         "cosine",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Lang-ID evaluation: confusion matrix of the heuristic classifier
+# against the fixture's ground-truth lang label -- the EVAL surface a
+# curation pipeline needs around every classifier it deploys (swap in
+# fastText scores at scale; the join/agg shape is identical). Recall
+# in integer ppm so the ratio is engine-exact.
+# ---------------------------------------------------------------------------
+
+
+def _langid_confusion_sql() -> str:
+    inner = _lang_id_sql().strip()
+    return f"""
+WITH pred AS ({inner}),
+truth AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, lang AS lang_true
+          FROM documents),
+j AS (SELECT t.lang_true, p.lang_pred
+      FROM truth t JOIN pred p USING (doc_id)),
+tot AS (SELECT lang_true, count(*) AS n_true FROM j GROUP BY lang_true)
+SELECT j.lang_true, j.lang_pred,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST((count(*) * 1000000) // max(t.n_true) AS BIGINT) AS recall_ppm
+FROM j JOIN tot t ON j.lang_true = t.lang_true
+GROUP BY j.lang_true, j.lang_pred
+"""
+
+
+@_q("eval_langid_confusion", _langid_confusion_sql())
+def eval_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix (lang_true x lang_pred) with per-true-label
+    recall in ppm. One narrow classification pass rides the document
+    scan, one shuffle on the (true, pred) pair key, and the per-label
+    totals join back as a tiny broadcast -- the per-cell ppm is one
+    integer floor division of identical operands on both engines."""
+    from ..functions.text import lang_id, tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    staged = docs.withColumn("__toks", tokens("text"))
+    j = staged.select(
+        F.col("lang").alias("lang_true"),
+        lang_id("text", toks=F.col("__toks")).alias("lang_pred"),
+    )
+    tot = j.groupBy("lang_true").agg(F.count("*").alias("n_true"))
+    cells = j.groupBy("lang_true", "lang_pred").agg(F.count("*").alias("n"))
+    return (
+        cells.join(F.broadcast(tot), "lang_true")
+        .select(
+            "lang_true",
+            "lang_pred",
+            F.col("n").cast("long").alias("n"),
+            F.expr("(n * 1000000) DIV n_true").cast("long").alias("recall_ppm"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash estimator CALIBRATION: for every LSH candidate pair, the
+# signature-based Jaccard estimate (matching components / k) next to
+# the EXACT Jaccard over distinct shingles -- the measurement that
+# justifies trusting the sketch at corpus scale (and the input to
+# choosing k). All integers: est_matches of k, and the exact
+# intersection/sizes; downstream computes error however it likes.
+# ---------------------------------------------------------------------------
+
+
+def _minhash_calibration_sql(k: int = 8, n: int = 3) -> str:
+    pairs_inner = _minhash_lsh_sql(k=k, bands=4, n=n).strip()
+    sig_cols = ",\n  ".join(
+        f"list_min(list_transform(sh, x -> substr(sha256(x), {i * 8 + 1}, 8))) AS minhash_{i}"
+        for i in range(k)
+    )
+    matches = " + ".join(
+        f"CASE WHEN sa.minhash_{i} = sb.minhash_{i} THEN 1 ELSE 0 END"
+        for i in range(k)
+    )
+    return f"""
+WITH pairs AS ({pairs_inner}),
+{_DOCS_WITH_DUPS_SQL.strip()},
+t2 AS (SELECT doc_id, {_TOKS} AS toks FROM docs),
+sh2 AS (SELECT doc_id, list_distinct({_shingles_sql("toks", n)}) AS shd FROM t2),
+sig2 AS (SELECT doc_id, {sig_cols.replace('(sh,', '(shd,')} FROM sh2)
+SELECT p.id_a, p.id_b,
+       CAST({matches} AS BIGINT) AS est_matches,
+       CAST({k} AS BIGINT) AS k,
+       CAST(len(list_intersect(ha.shd, hb.shd)) AS BIGINT) AS n_shared,
+       CAST(len(ha.shd) AS BIGINT) AS n_a,
+       CAST(len(hb.shd) AS BIGINT) AS n_b
+FROM pairs p
+JOIN sig2 sa ON p.id_a = sa.doc_id
+JOIN sig2 sb ON p.id_b = sb.doc_id
+JOIN sh2 ha ON p.id_a = ha.doc_id
+JOIN sh2 hb ON p.id_b = hb.doc_id
+"""
+
+
+@_q("dedup_minhash_calibration", _minhash_calibration_sql())
+def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimate-vs-exact per LSH pair. The Spark plan computes
+    signatures once (narrow fold), derives candidate pairs through
+    the banded join, then joins the pairs back to signatures and
+    DISTINCT shingle arrays -- the expensive exact intersection runs
+    only for the CANDIDATES (LSH's whole point), never all pairs.
+    MinHash over distinct shingles equals MinHash over the raw list
+    (min is idempotent to duplicates), so the estimate matches
+    dedup_minhash_lsh_pairs' machinery exactly."""
+    from ..operators.dedup import minhash_lsh_pairs, minhash_signature
+
+    k, n = 8, 3
+    docs = _docs_with_dups(spark, sf_dir)
+    dshing = docs.withColumn(
+        "shd", F.array_distinct(shingles("text", n))
+    ).select("doc_id", "shd")
+    sigs = minhash_signature(docs, "text", k=k, shingle_n=n).select(
+        "doc_id", *[f"minhash_{i}" for i in range(k)]
+    )
+    pairs = minhash_lsh_pairs(
+        docs, "text", "doc_id", k=k, bands=4, shingle_n=n,
+        max_bucket_width=MINHASH_BUCKET_CAP,
+    )
+    sa = sigs.select(
+        F.col("doc_id").alias("id_a"),
+        *[F.col(f"minhash_{i}").alias(f"a_{i}") for i in range(k)],
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("id_b"),
+        *[F.col(f"minhash_{i}").alias(f"b_{i}") for i in range(k)],
+    )
+    ha = dshing.select(F.col("doc_id").alias("id_a"), F.col("shd").alias("sha"))
+    hb = dshing.select(F.col("doc_id").alias("id_b"), F.col("shd").alias("shb"))
+    est = sum(
+        F.when(F.col(f"a_{i}") == F.col(f"b_{i}"), 1).otherwise(0)
+        for i in range(k)
+    )
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .join(ha, "id_a")
+        .join(hb, "id_b")
+        .select(
+            F.col("id_a").cast("long").alias("id_a"),
+            F.col("id_b").cast("long").alias("id_b"),
+            est.cast("long").alias("est_matches"),
+            F.lit(k).cast("long").alias("k"),
+            F.size(F.array_intersect("sha", "shb")).cast("long").alias("n_shared"),
+            F.size("sha").cast("long").alias("n_a"),
+            F.size("shb").cast("long").alias("n_b"),
+        )
     )

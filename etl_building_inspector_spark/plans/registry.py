@@ -268,6 +268,8 @@ WINDOW_R5_CANDIDATES: list[str] = [
     "graph_neighbor_jaccard_topk",
     "quality_terciles_by_lang",
     "outlier_mad_by_group",
+    "eval_langid_confusion",
+    "dedup_minhash_calibration",
     "tpch_q2_best_supplier",
     "tpch_q4_order_priority_exists",
     "tpch_q7_volume_shipping",
