@@ -121,6 +121,7 @@ HEADLINE = [
     "outlier_mad_by_group",
     "eval_langid_confusion",
     "dedup_minhash_calibration",
+    "spatial_pip_holes_join",
     # graph_neighbor_jaccard_topk / graph_common_neighbors_topk are
     # deliberately NOT benched, like the rest of the wedge-join family:
     # their cost is the capped wedge enumeration itself (bounded at

@@ -692,3 +692,89 @@ def spatial_convex_sat_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return convex_sat_join(
         dia, tri, cell=_BBOX_CELL, a_id="poly_id", b_id="tri_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# PIP with HOLES: full GeoJSON Polygon semantics (outer ring + holes,
+# geo-indices.js consumes exactly this shape). Even-odd parity over
+# ALL rings -- a point inside a hole has even total crossings and is
+# correctly outside. Supplier diamonds get a concentric hole of
+# radius r-2; customers inside the ring-shaped region match, those in
+# the hole do not.
+# ---------------------------------------------------------------------------
+
+
+def _pip_holes_sql() -> str:
+    def crossings(ring: str) -> str:
+        return f"""len(list_filter(
+  list_transform(generate_series(1, len({ring}) - 1),
+    i -> {{'ax': {ring}[i][1], 'ay': {ring}[i][2], 'bx': {ring}[i+1][1], 'by': {ring}[i+1][2]}}),
+  e -> CASE WHEN (e.ay > py) <> (e.by > py)
+       THEN px < e.ax + (py - e.ay) * (e.bx - e.ax) / (e.by - e.ay)
+       ELSE false END))"""
+
+    return f"""
+WITH polys AS (
+  SELECT CAST(s_suppkey AS BIGINT) AS poly_id,
+         CAST(s_nationkey % 5 AS BIGINT) AS layer_id,
+         [[cx + r, cy], [cx, cy + r], [cx - r, cy], [cx, cy - r], [cx + r, cy]] AS outer_ring,
+         [[cx + h, cy], [cx, cy + h], [cx - h, cy], [cx, cy - h], [cx + h, cy]] AS hole_ring
+  FROM (
+    SELECT s_suppkey, s_nationkey,
+           CAST(s_suppkey % 40 AS DOUBLE) * 10 AS cx,
+           CAST(s_suppkey // 40 AS DOUBLE) * 10 AS cy,
+           CAST(3 + s_suppkey % 4 AS DOUBLE) AS r,
+           CAST(1 + s_suppkey % 4 AS DOUBLE) AS h
+    FROM supplier)
+),
+{_POINTS_SQL.strip().lstrip("points AS (").rstrip(")").join(["points AS (", ")"])}
+SELECT p.point_id, g.poly_id
+FROM points p JOIN polys g ON p.layer_id = g.layer_id
+WHERE (({crossings("g.outer_ring")}) + ({crossings("g.hole_ring")})) % 2 = 1
+"""
+
+
+@_q("spatial_pip_holes_join", _pip_holes_sql())
+def spatial_pip_holes_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-polygon with HOLES (full GeoJSON Polygon semantics,
+    the shape geo-indices.js actually indexes): even-odd crossings
+    summed over the outer ring AND the hole ring, so hole-interior
+    points correctly fail. Broadcast strategy (polygons are the tiny
+    side); the multi-ring test is the same closed-form column math as
+    the single-ring J3 -- pure codegen, no UDF -- applied through
+    operators/spatial.py::point_in_polygon_with_holes."""
+    from ..operators.spatial import point_in_polygon_with_holes
+
+    sup = load_table(spark, sf_dir, "supplier")
+    cx = (F.col("s_suppkey") % 40).cast("double") * 10
+    cy = F.expr("s_suppkey DIV 40").cast("double") * 10
+    r = (F.lit(3) + F.col("s_suppkey") % 4).cast("double")
+    h = (F.lit(1) + F.col("s_suppkey") % 4).cast("double")
+
+    def diamond(ccx, ccy, rad):
+        return F.array(
+            F.array(ccx + rad, ccy),
+            F.array(ccx, ccy + rad),
+            F.array(ccx - rad, ccy),
+            F.array(ccx, ccy - rad),
+            F.array(ccx + rad, ccy),
+        )
+
+    polys = sup.select(
+        F.col("s_suppkey").cast("long").alias("poly_id"),
+        (F.col("s_nationkey") % 5).cast("long").alias("layer_id"),
+        F.array(diamond(cx, cy, r), diamond(cx, cy, h)).alias("polygon"),
+    )
+    pts = _synth_points(spark, sf_dir).select(
+        "point_id",
+        "layer_id",
+        F.col("point").getItem(0).alias("px"),
+        F.col("point").getItem(1).alias("py"),
+    )
+    joined = pts.join(F.broadcast(polys), "layer_id")
+    hit = joined.where(
+        point_in_polygon_with_holes(
+            F.col("px"), F.col("py"), F.col("polygon")
+        )
+    )
+    return hit.select("point_id", "poly_id")

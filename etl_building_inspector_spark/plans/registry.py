@@ -270,6 +270,7 @@ WINDOW_R5_CANDIDATES: list[str] = [
     "outlier_mad_by_group",
     "eval_langid_confusion",
     "dedup_minhash_calibration",
+    "spatial_pip_holes_join",
     "tpch_q2_best_supplier",
     "tpch_q4_order_priority_exists",
     "tpch_q7_volume_shipping",
