@@ -588,3 +588,59 @@ def corpus_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         shard.alias("shard"),
         F.row_number().over(w).cast("long").alias("position"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Packing efficiency report: per-group bin utilization of the greedy
+# packer -- the metric that tells you whether PACK_BUDGET and the
+# packing policy are wasting context-window tokens (the whole point
+# of packing). Pure aggregation over the same walk the oracle
+# replays; fill ratios in integer ppm.
+# ---------------------------------------------------------------------------
+
+
+def _pack_efficiency_sql() -> str:
+    b = PACK_BUDGET
+    inner = _greedy_sql().strip()
+    return f"""
+WITH packed AS ({inner}),
+bins AS (
+  SELECT grp, bin, max(bin_fill) AS fill, count(*) AS n_docs
+  FROM packed GROUP BY grp, bin)
+SELECT grp,
+       CAST(count(*) AS BIGINT) AS n_bins,
+       CAST(sum(n_docs) AS BIGINT) AS n_docs,
+       CAST(sum(fill) AS BIGINT) AS tokens_packed,
+       CAST(count(*) * {b} AS BIGINT) AS tokens_capacity,
+       CAST((sum(fill) * 1000000) // (count(*) * {b}) AS BIGINT) AS fill_ppm,
+       CAST(max(fill) AS BIGINT) AS max_fill,
+       CAST(min(fill) AS BIGINT) AS min_fill
+FROM bins GROUP BY grp
+"""
+
+
+@_q("pack_efficiency_stats", _pack_efficiency_sql())
+def pack_efficiency_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Utilization of pack_greedy_bins per source group: bins used,
+    packed vs capacity tokens, fill ratio in integer ppm, and the
+    min/max bin fill (a low min flags the trailing under-full bin;
+    a low ppm flags a budget mismatched to the document length
+    distribution). The bin walk happens once inside the packer; this
+    is two metadata-grain aggregations on top -- at 100 TB the report
+    is per (group, bin), millions of rows at most."""
+    docs = load_table(spark, sf_dir, "documents")
+    packed = pack_greedy(docs, "text", "doc_id", "source", budget=PACK_BUDGET)
+    bins = packed.groupBy("grp", "bin").agg(
+        F.max("bin_fill").alias("fill"), F.count("*").alias("n_docs")
+    )
+    return bins.groupBy("grp").agg(
+        F.count("*").cast("long").alias("n_bins"),
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        F.sum("fill").cast("long").alias("tokens_packed"),
+        (F.count("*") * PACK_BUDGET).cast("long").alias("tokens_capacity"),
+        F.expr(f"(sum(fill) * 1000000) DIV (count(*) * {PACK_BUDGET})")
+        .cast("long")
+        .alias("fill_ppm"),
+        F.max("fill").cast("long").alias("max_fill"),
+        F.min("fill").cast("long").alias("min_fill"),
+    )

@@ -1614,3 +1614,62 @@ def outlier_mad_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("d") > 3 * F.col("mad"), 1).otherwise(0)
         ).alias("n_outliers"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Open-order aging report: the operational backlog view every
+# warehouse runs daily. "Now" is the dataset's max order date,
+# arriving as an in-plan one-row broadcast (the gapfill/q15
+# discipline -- never a driver-side literal), so the whole report is
+# one scan + one agg after a trivial join.
+# ---------------------------------------------------------------------------
+
+_AGING_SQL = """
+WITH now_d AS (SELECT max(o_orderdate) AS d FROM orders),
+aged AS (
+  SELECT o.o_orderpriority AS priority,
+         CAST(round(o.o_totalprice * 100, 0) AS BIGINT) AS cents,
+         date_diff('day', o.o_orderdate, n.d) AS age_days
+  FROM orders o, now_d n
+  WHERE o.o_orderstatus = 'O')
+SELECT priority,
+       CASE WHEN age_days <= 30 THEN '0-30'
+            WHEN age_days <= 90 THEN '31-90'
+            WHEN age_days <= 365 THEN '91-365'
+            ELSE '365+' END AS age_bucket,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(cents) AS BIGINT) AS backlog_cents,
+       CAST(max(age_days) AS BIGINT) AS oldest_days
+FROM aged GROUP BY 1, 2
+"""
+
+
+@_q("orders_backlog_aging", _AGING_SQL)
+def orders_backlog_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open ('O') orders bucketed by age at the dataset's horizon.
+    The horizon max(o_orderdate) joins in as a broadcast one-row
+    frame (never .collect() into a literal -- the plan stays one job
+    and recomputes correctly when the input changes); integer
+    day-diffs and cents throughout."""
+    orders = load_table(spark, sf_dir, "orders")
+    now_d = orders.agg(F.max("o_orderdate").alias("d"))
+    aged = (
+        orders.where(F.col("o_orderstatus") == "O")
+        .crossJoin(F.broadcast(now_d))
+        .select(
+            F.col("o_orderpriority").alias("priority"),
+            F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+            F.datediff(F.col("d"), F.col("o_orderdate")).alias("age_days"),
+        )
+    )
+    bucket = (
+        F.when(F.col("age_days") <= 30, "0-30")
+        .when(F.col("age_days") <= 90, "31-90")
+        .when(F.col("age_days") <= 365, "91-365")
+        .otherwise("365+")
+    )
+    return aged.groupBy("priority", bucket.alias("age_bucket")).agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.sum("cents").cast("long").alias("backlog_cents"),
+        F.max("age_days").cast("long").alias("oldest_days"),
+    )

@@ -271,6 +271,8 @@ WINDOW_R5_CANDIDATES: list[str] = [
     "eval_langid_confusion",
     "dedup_minhash_calibration",
     "spatial_pip_holes_join",
+    "pack_efficiency_stats",
+    "orders_backlog_aging",
     "tpch_q2_best_supplier",
     "tpch_q4_order_priority_exists",
     "tpch_q7_volume_shipping",
