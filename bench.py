@@ -124,6 +124,7 @@ HEADLINE = [
     "spatial_pip_holes_join",
     "pack_efficiency_stats",
     "orders_backlog_aging",
+    "dq_freshness_by_type",
     # graph_neighbor_jaccard_topk / graph_common_neighbors_topk are
     # deliberately NOT benched, like the rest of the wedge-join family:
     # their cost is the capped wedge enumeration itself (bounded at

@@ -1673,3 +1673,50 @@ def orders_backlog_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cents").cast("long").alias("backlog_cents"),
         F.max("age_days").cast("long").alias("oldest_days"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-stream freshness: how far each event type lags the dataset
+# horizon -- the first DQ alarm any streaming ingest wires up (a
+# source silently stalled for a day shows up here before anything
+# else drifts). Horizon joins in as the usual one-row broadcast.
+# ---------------------------------------------------------------------------
+
+_FRESHNESS_SQL = """
+WITH horizon AS (SELECT max(ts) AS h FROM events)
+SELECT e.event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       max(e.ts) AS latest_ts,
+       CAST((epoch_us(CAST(x.h AS TIMESTAMP))
+             - epoch_us(CAST(max(e.ts) AS TIMESTAMP))) // 60000000 AS BIGINT)
+         AS lag_minutes,
+       (epoch_us(CAST(x.h AS TIMESTAMP))
+        - epoch_us(CAST(max(e.ts) AS TIMESTAMP))) > 86400000000 AS stale
+FROM events e, horizon x
+GROUP BY e.event_type, x.h
+"""
+
+
+@_q("dq_freshness_by_type", _FRESHNESS_SQL)
+def dq_freshness_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag of each event type's latest event behind the dataset
+    horizon, in whole minutes (integer microsecond arithmetic -- the
+    sub-second-safe comparison discipline of sessionize), with a
+    24-hour staleness flag. One agg + a one-row broadcast horizon."""
+    from ..functions.timeutil import epoch_micros
+
+    events = load_table(spark, sf_dir, "events")
+    horizon = events.agg(F.max("ts").alias("h"))
+    agg = (
+        events.crossJoin(F.broadcast(horizon))
+        .groupBy("event_type", "h")
+        .agg(F.count("*").cast("long").alias("n_events"), F.max("ts").alias("latest_ts"))
+    )
+    lag_us = epoch_micros("h") - epoch_micros("latest_ts")
+    return agg.select(
+        "event_type",
+        "n_events",
+        "latest_ts",
+        (lag_us / 60000000).cast("long").alias("lag_minutes"),
+        (lag_us > 86400000000).alias("stale"),
+    )

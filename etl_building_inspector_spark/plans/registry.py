@@ -273,6 +273,7 @@ WINDOW_R5_CANDIDATES: list[str] = [
     "spatial_pip_holes_join",
     "pack_efficiency_stats",
     "orders_backlog_aging",
+    "dq_freshness_by_type",
     "tpch_q2_best_supplier",
     "tpch_q4_order_priority_exists",
     "tpch_q7_volume_shipping",
