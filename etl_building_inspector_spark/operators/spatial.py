@@ -108,6 +108,7 @@ def spatial_join_broadcast(
     ring_col: str = "ring",
     layer_col: str = "layer_id",
     how: str = "inner",
+    polygon_col: str | None = None,
 ) -> DataFrame:
     """Equi-join on layer + ray-cast predicate, polygon side broadcast.
 
@@ -119,10 +120,28 @@ def spatial_join_broadcast(
     compares that eliminate ~99% of in-layer pairs before the ray-cast
     runs -- the columnar analog of indexed-geo's R-tree-then-exact-test
     (geo-indices.js:34,:48; measured 5x on the bench).
+
+    `polygon_col` (full GeoJSON Polygon, array<array<array<double>>>)
+    switches the exact test to holes-aware even-odd parity over ALL
+    rings (geo-indices.js:38-50 honors holes: a point in a courtyard
+    hole is OUTSIDE). The bbox still comes from the OUTER ring alone
+    -- holes only subtract area, so the outer bbox stays a sound
+    prefilter. Mutually exclusive with `ring_col` semantics: when set,
+    `ring_col` is ignored.
     """
     px = F.col(f"{point_col}")[0]
     py = F.col(f"{point_col}")[1]
-    xmin, xmax, ymin, ymax = _bbox(polygons[ring_col])
+    if polygon_col is not None:
+        bbox_ring = F.try_element_at(polygons[polygon_col], F.lit(1))
+        exact = lambda staged: point_in_polygon_with_holes(  # noqa: E731
+            px, py, staged[polygon_col]
+        )
+    else:
+        bbox_ring = polygons[ring_col]
+        exact = lambda staged: point_in_polygon(  # noqa: E731
+            px, py, staged[ring_col]
+        )
+    xmin, xmax, ymin, ymax = _bbox(bbox_ring)
     polys_staged = (
         polygons.withColumn("__xmin", xmin)
         .withColumn("__xmax", xmax)
@@ -135,7 +154,7 @@ def spatial_join_broadcast(
         & (px <= polys_staged["__xmax"])
         & (py >= polys_staged["__ymin"])
         & (py <= polys_staged["__ymax"])
-        & point_in_polygon(px, py, polys_staged[ring_col])
+        & exact(polys_staged)
     )
     return points.join(F.broadcast(polys_staged), cond, how).drop(
         "__xmin", "__xmax", "__ymin", "__ymax"
@@ -169,6 +188,7 @@ def spatial_join_grid(
     point_col: str = "point",
     ring_col: str = "ring",
     layer_col: str = "layer_id",
+    polygon_col: str | None = None,
 ) -> DataFrame:
     """Shuffle-based spatial join keyed by (layer, grid cell).
 
@@ -181,10 +201,23 @@ def spatial_join_grid(
 
     `cell_size=None` (default) auto-adapts from build-side bbox stats
     (adaptive_cell_size); pass a float to override.
+
+    `polygon_col` (full multi-ring GeoJSON Polygon) switches the
+    refine step to holes-aware parity (point_in_polygon_with_holes);
+    cells and bbox derive from the OUTER ring (holes only subtract
+    area, so outer-bbox cell coverage stays sound). This keeps hole
+    parity on the 100 TB no-broadcast path (VERDICT r4 #7).
     """
+    if polygon_col is not None:
+        polygons = polygons.withColumn(
+            "__outer_ring", F.try_element_at(F.col(polygon_col), F.lit(1))
+        )
+        bbox_source_col = "__outer_ring"
+    else:
+        bbox_source_col = ring_col
     if cell_size is None:
-        cell_size = adaptive_cell_size(polygons, ring_col)
-    xmin, xmax, ymin, ymax = _bbox(polygons[ring_col])
+        cell_size = adaptive_cell_size(polygons, bbox_source_col)
+    xmin, xmax, ymin, ymax = _bbox(polygons[bbox_source_col])
     cs = F.lit(float(cell_size))
     cells = F.flatten(
         F.transform(
@@ -220,6 +253,13 @@ def spatial_join_grid(
         & (pts_staged["__pcell"] == polys_staged["__cell"]),
         "inner",
     )
+    if polygon_col is not None:
+        refine = point_in_polygon_with_holes(
+            pts_staged[point_col].getItem(0),
+            pts_staged[point_col].getItem(1),
+            polys_staged[polygon_col],
+        )
+        return joined.filter(refine).drop("__pcell", "__cell", "__outer_ring")
     return joined.filter(
         point_in_polygon(
             pts_staged[point_col].getItem(0),

@@ -312,7 +312,10 @@ def spatial_sameas(
     ).select(
         F.col("id").alias("building_id"),
         F.col("_layer_id").alias("layer_id"),
-        F.try_element_at(F.col("_polygon"), F.lit(1)).alias("ring"),
+        # FULL polygon (all rings): geo-indices.js:38-50 honors holes
+        # -- a toponym inside a courtyard hole must NOT match. The
+        # r1-r4 wiring probed only the outer ring (VERDICT r4 #3).
+        F.col("_polygon").alias("polygon"),
     )
     toponyms = toponym_records.filter(
         (F.col("record_type") == "object")
@@ -325,7 +328,13 @@ def spatial_sameas(
     )
 
     matched = spatial_join_broadcast(
-        toponyms, buildings, "point", "ring", "layer_id", how="left"
+        toponyms,
+        buildings,
+        "point",
+        "ring",
+        "layer_id",
+        how="left",
+        polygon_col="polygon",
     )
     relations = matched.filter(F.col("building_id").isNotNull()).select(
         F.lit("relation").alias("record_type"),

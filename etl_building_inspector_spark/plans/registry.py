@@ -4,7 +4,7 @@ agg/window) and LLM-pipeline query sets for the driver contract
 
 Every registered callable is wrapped to release operator-internal
 persisted blocks (operators/_cache.py) BEFORE building its plan: the
-driver runs all ~70 queries in one long-lived session and never calls
+driver runs many queries (200+ registered) in one long-lived session and never calls
 release_persisted() itself, so without this hook the self-join caches
 (LSH buckets, jaccard shingles, CC edge lists) accumulate until a
 default-sized heap OOMs. Releasing at next-query entry is safe because
@@ -229,14 +229,15 @@ for mod in (
     QUERIES.update({k: _released(v) for k, v in mod.QUERIES.items()})
     ORACLES.update(mod.ORACLES)
 
-# Round-5 window, pre-staged (NOT yet the head -- flip WINDOW = this
-# list at the START of round 5, keeping the smoke anchor). Covers
-# EVERY remaining never-driver-checked query: the TPC-H battery tail,
-# the graph family completion, timeseries/intervals/spatial round-3
-# additions, the SemDeDup/PQ trio, the e2e curation pipeline, the two
-# batteries displaced from r4, and this round's new queries. After r5,
-# driver-row union = 190/190 registered.
-WINDOW_R5_CANDIDATES: list[str] = [
+# Round-5 window (the head this round, flipped per VERDICT r4 #1).
+# Covers EVERY query that had never had a driver row at the end of
+# round 4: the TPC-H battery tail, the graph family completion,
+# timeseries/intervals/spatial round-3 additions, the SemDeDup/PQ
+# trio, the e2e curation pipeline, the two batteries displaced from
+# r4, and the round-4 additions. After r5, driver-row union =
+# 208/208 of the r4-registered set; queries ADDED in round 5 are
+# staged in WINDOW_R6_CANDIDATES below (this window is full).
+WINDOW_R5: list[str] = [
     "flagship_enrich",
     "dedup_semantic_clusters",
     "emb_pq_encode",
@@ -291,13 +292,26 @@ WINDOW_R5_CANDIDATES: list[str] = [
 
 # Reorder so the curated window is the dict head (insertion order is
 # the driver's iteration order); everything else keeps module order.
-_missing = [n for n in WINDOW_R4 if n not in QUERIES]
-assert not _missing, f"WINDOW_R4 names not registered: {_missing}"
-assert len(WINDOW_R4) == len(set(WINDOW_R4)) == 50, "window must be exactly 50 unique slots"
-_missing_r5 = [n for n in WINDOW_R5_CANDIDATES if n not in QUERIES]
-assert not _missing_r5, f"WINDOW_R5 names not registered: {_missing_r5}"
-assert len(WINDOW_R5_CANDIDATES) == len(set(WINDOW_R5_CANDIDATES)) <= 50
+_missing = [n for n in WINDOW_R5 if n not in QUERIES]
+assert not _missing, f"WINDOW_R5 names not registered: {_missing}"
+assert len(WINDOW_R5) == len(set(WINDOW_R5)) == 50, "window must be exactly 50 unique slots"
+_missing_r4 = [n for n in WINDOW_R4 if n not in QUERIES]
+assert not _missing_r4, f"WINDOW_R4 names not registered: {_missing_r4}"
+assert len(WINDOW_R4) == len(set(WINDOW_R4)) == 50
 QUERIES = {
-    **{n: QUERIES[n] for n in WINDOW_R4},
-    **{n: q for n, q in QUERIES.items() if n not in set(WINDOW_R4)},
+    **{n: QUERIES[n] for n in WINDOW_R5},
+    **{n: q for n, q in QUERIES.items() if n not in set(WINDOW_R5)},
 }
+
+# Round-6 window, pre-staged (NOT yet the head -- flip at the start of
+# round 6). The r5 window is full, so every query ADDED in round 5
+# goes here; it grows as the round adds queries and is padded with
+# re-pins at flip time if short of 50. COVERAGE.md's rotation ledger
+# tracks the never-checked set.
+WINDOW_R6_CANDIDATES: list[str] = [
+    "flagship_enrich",
+    "spatial_pip_holes_join_grid",
+]
+_missing_r6 = [n for n in WINDOW_R6_CANDIDATES if n not in QUERIES]
+assert not _missing_r6, f"WINDOW_R6 names not registered: {_missing_r6}"
+assert len(WINDOW_R6_CANDIDATES) == len(set(WINDOW_R6_CANDIDATES)) <= 50

@@ -34,6 +34,13 @@ INNER_SQ = [[[1.0, 1.0], [3.0, 1.0], [3.0, 3.0], [1.0, 3.0], [1.0, 1.0]]]
 FAR_SQ = [[[100.0, 100.0], [104.0, 100.0], [104.0, 104.0], [100.0, 104.0], [100.0, 100.0]]]
 DEGENERATE = [[[0.0, 0.0], [1.0, 1.0], [0.0, 0.0]]]  # 3 coords < 4
 L101_SQ = [[[50.0, 50.0], [54.0, 50.0], [54.0, 54.0], [50.0, 54.0], [50.0, 50.0]]]
+# courtyard: outer 20..28 square with a 23..25 hole -- full GeoJSON
+# Polygon semantics (geo-indices.js:38-50): a toponym inside the hole
+# is OUTSIDE the building; one in the ring body is inside.
+COURTYARD = [
+    [[20.0, 20.0], [28.0, 20.0], [28.0, 28.0], [20.0, 28.0], [20.0, 20.0]],
+    [[23.0, 23.0], [25.0, 23.0], [25.0, 25.0], [23.0, 25.0], [23.0, 23.0]],
+]
 
 CONSOLIDATED = [
     # b1: 2 addresses, colors, inside-tests target (layer 100)
@@ -68,6 +75,12 @@ CONSOLIDATED = [
      "properties": {"id": 1, "map_id": "999", "sheet_id": 10,
                     "consensus_address": "NONE"},
      "geometry": _gc(FAR_SQ, [])},
+    # b6: courtyard building WITH A HOLE (layer 100) -- the full-
+    # polygon J3 semantics golden (VERDICT r4 #3)
+    {"type": "Feature",
+     "properties": {"id": 6, "map_id": "500", "sheet_id": 10,
+                    "consensus_address": "NONE"},
+     "geometry": _gc(COURTYARD, [])},
 ]
 
 TOPONYMS = [
@@ -89,6 +102,15 @@ TOPONYMS = [
     # t_no_borough: layer 101 -> borough log too; inside b4
     {"type": "Feature", "properties": {"sheet_id": 11, "consensus": "Uncharted"},
      "geometry": {"type": "Point", "coordinates": [52.0, 52.0]}},
+    # t_in_hole: inside b6's COURTYARD HOLE -> must NOT match b6
+    # (even-odd parity over all rings; outer-ring-only would wrongly
+    # match) -> no-match log
+    {"type": "Feature", "properties": {"sheet_id": 10, "consensus": "Hidden Court"},
+     "geometry": {"type": "Point", "coordinates": [24.0, 24.0]}},
+    # t_in_donut: in b6's ring body (between outer ring and hole) ->
+    # matches b6
+    {"type": "Feature", "properties": {"sheet_id": 10, "consensus": "Court Gate"},
+     "geometry": {"type": "Point", "coordinates": [21.0, 21.0]}},
 ]
 
 

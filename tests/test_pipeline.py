@@ -56,6 +56,8 @@ T_IN_ONE = _toponym_id(10, [0.5, 0.5])
 T_NOMATCH = _toponym_id(10, [-10.0, -10.0])
 T_NO_INDEX = _toponym_id(12, [1.0, 1.0])
 T_NO_BOROUGH = _toponym_id(11, [52.0, 52.0])
+T_IN_HOLE = _toponym_id(10, [24.0, 24.0])
+T_IN_DONUT = _toponym_id(10, [21.0, 21.0])
 
 
 def test_js_num_rendering(spark):
@@ -97,7 +99,7 @@ def test_building_objects(records):
     }
     # id 3 suppressed entirely (degenerate first copy marks the cache,
     # valid later copy never re-admitted), id 1 kept-first, so: 1, 2, 4
-    assert set(buildings) == {"1", "2", "4"}
+    assert set(buildings) == {"1", "2", "4", "6"}
     b1 = buildings["1"]
     assert b1.valid_since == 1857 and b1.valid_until == 1857
     assert b1.data.colors == ["pink", "yellow"]
@@ -143,7 +145,10 @@ def test_toponym_objects_and_dedup(records):
         if r.type == "st:Building" and r.geom_type == "Point"
     }
     # t_dup (same coords+sheet as t_in_two) deduped: 5 toponyms -> 4
-    assert set(tops) == {T_IN_TWO, T_IN_ONE, T_NOMATCH, T_NO_INDEX, T_NO_BOROUGH}
+    assert set(tops) == {
+        T_IN_TWO, T_IN_ONE, T_NOMATCH, T_NO_INDEX, T_NO_BOROUGH,
+        T_IN_HOLE, T_IN_DONUT,
+    }
     # keep-FIRST: name is from the first occurrence
     assert tops[T_IN_TWO].name == "Tontine Coffee House"
     assert tops[T_IN_TWO].valid_since == 1857
@@ -159,18 +164,24 @@ def test_spatial_sameas_one_to_many(records):
     assert (T_IN_ONE, "1") in sameas
     assert (T_IN_ONE, "2") not in sameas
     assert (T_NO_BOROUGH, "4") in sameas
-    assert len(sameas) == 4
+    # full-polygon semantics (geo-indices.js:38-50): the courtyard-
+    # hole toponym must NOT match b6; the ring-body one must
+    assert (T_IN_DONUT, "6") in sameas
+    assert (T_IN_HOLE, "6") not in sameas
+    assert len(sameas) == 5
 
 
 def test_logs(records):
     errors = sorted(r.error for r in records["logs"])
     assert f"Can't find building for toponym {T_NOMATCH}" in errors
+    # hole-interior toponym is OUTSIDE its layer's buildings -> no-match
+    assert f"Can't find building for toponym {T_IN_HOLE}" in errors
     assert f"Error computing intersection for toponym {T_NO_INDEX}" in errors
     # borough logs: building 4 (layer 101) + toponym on layer 101
     assert errors.count("Can't find borough for layer 101") == 2
     # degenerate feature's would-be borough log never emitted; layer
     # 100/102 boroughs exist
-    assert len(errors) == 4
+    assert len(errors) == 5
 
 
 def test_ndjson_shape(records, spark):
