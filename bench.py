@@ -199,6 +199,7 @@ def main() -> None:
     for name in top:
         best = warm[name]
         for _ in range(WARM_BEST_RUNS):
+            gc.collect()  # python side too, not just the JVM (ADVICE r4)
             spark.sparkContext._jvm.System.gc()
             best = min(best, run_once(name))
         warm_best[name] = round(best, 3)

@@ -236,6 +236,7 @@ def merge_on_files(
     kept = [f for f in all_files if os.path.basename(f) not in touched_base]
 
     rows_rewritten = 0
+    base_types = {f.name: f.dataType for f in base.schema.fields}
     if touched:
         tbase = spark.read.parquet(*touched).alias("b")
         # __matched marker instead of coalesce: coalesce(u.c, b.c)
@@ -247,9 +248,14 @@ def merge_on_files(
         out_cols = []
         for c in base.columns:
             if c in set_cols:
+                # cast the update value to the BASE column type
+                # (mirrors the insert alignment below): a changeset
+                # with a narrower/wider type must not make rewritten
+                # files' schema drift from the kept files (ADVICE r4)
                 out_cols.append(
                     _F.when(
-                        _F.col("u.__matched").isNotNull(), _F.col("u." + c)
+                        _F.col("u.__matched").isNotNull(),
+                        _F.col("u." + c).cast(base_types[c]),
                     )
                     .otherwise(_F.col("b." + c))
                     .alias(c)
@@ -267,7 +273,6 @@ def merge_on_files(
     # the previous behavior skipped the append entirely for narrow
     # changesets, losing the insert rows from the merge result).
     inserts = updates.join(base.select(key), key, "left_anti")
-    base_types = {f.name: f.dataType for f in base.schema.fields}
     aligned = inserts.select(
         *[
             (

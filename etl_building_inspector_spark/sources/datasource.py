@@ -165,9 +165,15 @@ class _NdjsonWriter(DataSourceWriter):
     driver's commit() renames every staged file into place and stamps
     _SUCCESS, abort() deletes the staging leftovers. A task that fails
     (or a speculative duplicate attempt) therefore never publishes
-    partial output -- readers only ever see files the commit renamed,
-    which is exactly the contract FileOutputCommitter/Delta commits
-    give JVM sinks.
+    partial output -- readers only ever see files the commit renamed.
+
+    DEPLOYMENT SCOPE: staging uses executor-local os.makedirs/open and
+    the driver renames with os.replace, which requires driver and
+    executors to SHARE a filesystem (local mode / NFS -- this repo's
+    target). On a real cluster the staged paths would have to travel
+    inside the commit messages (or the sink write to an object store);
+    the two-phase protocol itself is deployment-agnostic, only the
+    staging transport here is shared-FS.
 
     Rows serialize as JSON objects of the input schema (default=str
     covers date/timestamp), so any DataFrame can use

@@ -446,3 +446,35 @@ def test_merge_on_files_duplicate_insert_keys_are_legal(spark, sf_dir, tmp_path_
     )
     assert stats["rows_inserted"] == 2
     assert stats["files_rewritten"] == 0
+
+
+def test_merge_on_files_update_type_aligned_to_base(spark, sf_dir, tmp_path_factory):
+    """ADVICE r4: a changeset whose set_col arrives NARROWER than the
+    base column (int vs long) must not make the rewritten files'
+    schema drift from the kept files -- the matched branch casts to
+    the base type exactly like the insert alignment does."""
+    from pyspark.sql import functions as F
+
+    from etl_building_inspector_spark.operators.maintenance import (
+        merge_on_files,
+    )
+
+    base = str(tmp_path_factory.mktemp("cowtype"))
+    base_dir, out_dir = base + "/base", base + "/delta"
+    spark.range(0, 100).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")  # v: LONG
+    ).repartitionByRange(4, "k").write.parquet(base_dir)
+
+    updates = spark.createDataFrame(
+        [(3, 7), (42, 9)], "k long, v int"  # v arrives as INT
+    )
+    stats = merge_on_files(spark, base_dir, out_dir, updates, "k", ["v"])
+    assert stats["files_rewritten"] >= 1
+
+    rewritten = spark.read.parquet(stats["rewritten_dir"])
+    kept = spark.read.parquet(*stats["kept"])
+    assert dict(rewritten.dtypes)["v"] == dict(kept.dtypes)["v"] == "bigint"
+    # kept + rewritten read TOGETHER without schema conflict, values right
+    together = spark.read.parquet(*(list(stats["kept"]) + [stats["rewritten_dir"]]))
+    got = {r.k: r.v for r in together.where(F.col("k").isin(3, 42, 5)).collect()}
+    assert got == {3: 7, 42: 9, 5: 50}
