@@ -122,6 +122,18 @@ HEADLINE = [
     "eval_langid_confusion",
     "dedup_minhash_calibration",
     "spatial_pip_holes_join",
+    # round-5 additions, one per new plan family: the no-broadcast
+    # holes path, DQ audit unions, bounded-EWMA range self-join,
+    # count-min sketch build+readout, TF-IDF topk window, URL-canon
+    # groupBy, per-dim embedding agg, ER pairs->CC iteration
+    "spatial_pip_holes_join_grid",
+    "dq_referential_integrity",
+    "timeseries_ewma_bounded",
+    "sketch_countmin_heavy_hitters",
+    "text_tfidf_topk",
+    "dedup_url_canonicalize",
+    "emb_dimension_stats",
+    "er_resolution_clusters",
     "pack_efficiency_stats",
     "orders_backlog_aging",
     "dq_freshness_by_type",

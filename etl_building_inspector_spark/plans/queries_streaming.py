@@ -311,3 +311,52 @@ def streaming_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "ts",
     )
+
+
+@_q(
+    "streaming_hopping_window_agg",
+    """
+WITH starts AS (
+  SELECT time_bucket(INTERVAL '30 minutes', ts) AS ws, value FROM events
+  UNION ALL
+  SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes', value
+  FROM events)
+SELECT ws AS window_start,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(round(value * 10000, 0) AS BIGINT)) AS BIGINT) AS value_e4
+FROM starts GROUP BY ws
+""",
+)
+def streaming_hopping_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HOPPING (sliding) window aggregation executed incrementally:
+    1-hour windows every 30 minutes, so each event lands in exactly 2
+    overlapping windows -- the window type the tumbling query cannot
+    express. F.window(ts, '1 hour', '30 minutes') materializes the
+    2x replication inside the stateful aggregate; the watermark
+    bounds live windows to the 2-hour horizon. Money stays integer e4
+    before the sum so micro-batch merge order cannot perturb the
+    total (same discipline as streaming_dim_join_agg). The DuckDB
+    twin derives both epoch-aligned window starts per event with
+    time_bucket and aggregates identically."""
+    from ..streaming.events import read_event_stream, run_to_memory
+
+    events_dir = _stream_events_dir(spark, sf_dir)
+    stream = read_event_stream(spark, events_dir)
+    agg = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum(F.round(F.col("value") * 10000, 0).cast("long"))
+            .cast("long")
+            .alias("value_e4"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_events", "value_e4")
+    )
+    _MEMORY_SINK_SEQ[0] += 1
+    result = run_to_memory(agg, f"streaming_hopping_{_MEMORY_SINK_SEQ[0]}")
+    return result.select(
+        "window_start",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("value_e4").cast("long").alias("value_e4"),
+    )

@@ -1,0 +1,535 @@
+"""Seventh surface batch: data-quality audits (referential integrity,
+key uniqueness), exact time-series analytics (bounded EWMA, OHLC
+resample, seasonal-naive backtest), deterministic systematic sampling,
+PIVOT surface, and an exact interpolated-percentile battery.
+
+Scale themes:
+  * the DQ audits are anti-joins / self-aggregates on key columns --
+    each is one shuffle (or broadcast for dims) over only the key,
+    with column pruning doing the heavy lifting at 100 TB;
+  * bounded EWMA is a fixed-width self-join on row-number distance
+    (replication factor = the window length, a constant), never an
+    unbounded running recurrence -- the exact-arithmetic cousin of a
+    watermark-bounded stream agg. Weights are powers of two so the
+    weighted numerator stays in the EXACT integer domain (cents *
+    2^k), and the single final division is the only float op;
+  * OHLC picks rows (first/last by a deterministic order) and
+    min/max -- no float accumulation anywhere, so the oracle is
+    bit-exact without any money-domain trick;
+  * systematic sampling orders by md5(key) -- a deterministic,
+    engine-portable proxy for random order -- and keeps every k-th
+    row; at scale the same plan is a per-partition modulo over a
+    hash-ordered window (one total-order sort, same as ntile).
+
+Oracle discipline per queries_core.py: money in BIGINT cents before
+any aggregation; divisions only as the LAST projection step; every
+top-k / pick has a full deterministic tiebreak.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+
+QUERIES: dict = {}
+ORACLES: dict[str, str] = {}
+
+
+def _q(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLES[name] = sql
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# DQ: referential integrity audit. One row per FK relation with the
+# orphan count (child keys with no parent). Anti-join per relation;
+# parent sides are dimension-sized for customer/nation and key-only
+# projections for orders -- at 100 TB each audit is a key-column
+# shuffle at worst, and the dims broadcast.
+# ---------------------------------------------------------------------------
+
+_REF_INTEGRITY_SQL = """
+SELECT relation, CAST(orphans AS BIGINT) AS orphans FROM (
+  SELECT 'lineitem->orders' AS relation, count(*) AS orphans
+  FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_orderkey IS NULL
+  UNION ALL
+  SELECT 'lineitem->part', count(*)
+  FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE p.p_partkey IS NULL
+  UNION ALL
+  SELECT 'orders->customer', count(*)
+  FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+  WHERE c.c_custkey IS NULL
+  UNION ALL
+  SELECT 'customer->nation', count(*)
+  FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+  WHERE n.n_nationkey IS NULL
+)
+ORDER BY relation
+"""
+
+
+@_q("dq_referential_integrity", _REF_INTEGRITY_SQL)
+def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FK orphan audit across the star schema: each relation is a
+    LEFT ANTI join counting child rows whose parent key is missing.
+    Key-only column pruning + broadcast parents make this a cheap
+    full-fleet health check at any scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    part = load_table(spark, sf_dir, "part")
+
+    def orphans(child, ckey, parent, pkey, label, bcast=False):
+        par = parent.select(F.col(pkey).alias("__pk"))
+        if bcast:
+            par = F.broadcast(par)
+        n = (
+            child.select(F.col(ckey).alias("__ck"))
+            .join(par, F.col("__ck") == F.col("__pk"), "left_anti")
+            .agg(F.count("*").cast("long").alias("orphans"))
+        )
+        return n.select(F.lit(label).alias("relation"), "orphans")
+
+    out = (
+        orphans(li, "l_orderkey", orders, "o_orderkey", "lineitem->orders")
+        .unionByName(orphans(li, "l_partkey", part, "p_partkey", "lineitem->part"))
+        .unionByName(
+            orphans(orders, "o_custkey", cust, "c_custkey", "orders->customer", bcast=True)
+        )
+        .unionByName(
+            orphans(cust, "c_nationkey", nation, "n_nationkey", "customer->nation", bcast=True)
+        )
+    )
+    return out.orderBy("relation")
+
+
+# ---------------------------------------------------------------------------
+# DQ: key-uniqueness audit. One row per declared key with the number
+# of violating key VALUES (groups with count > 1). Self-aggregate on
+# the key only.
+# ---------------------------------------------------------------------------
+
+_UNIQUENESS_SQL = """
+SELECT constraint_name, CAST(violating_keys AS BIGINT) AS violating_keys FROM (
+  SELECT 'lineitem_pk' AS constraint_name, count(*) AS violating_keys FROM (
+    SELECT l_orderkey, l_linenumber FROM lineitem
+    GROUP BY l_orderkey, l_linenumber HAVING count(*) > 1)
+  UNION ALL
+  SELECT 'orders_pk', count(*) FROM (
+    SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING count(*) > 1)
+  UNION ALL
+  SELECT 'events_pk', count(*) FROM (
+    SELECT event_id FROM events GROUP BY event_id HAVING count(*) > 1)
+  UNION ALL
+  SELECT 'documents_pk', count(*) FROM (
+    SELECT doc_id FROM documents GROUP BY doc_id HAVING count(*) > 1)
+)
+ORDER BY constraint_name
+"""
+
+
+@_q("dq_uniqueness_violations", _UNIQUENESS_SQL)
+def dq_uniqueness_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Primary-key uniqueness audit: per declared key, how many key
+    VALUES occur more than once. Each check is a single map-side-
+    partial groupBy over the pruned key columns."""
+    def viol(df, keys, label):
+        n = (
+            df.groupBy(*keys)
+            .agg(F.count("*").alias("n"))
+            .where(F.col("n") > 1)
+            .agg(F.count("*").cast("long").alias("violating_keys"))
+        )
+        return n.select(F.lit(label).alias("constraint_name"), "violating_keys")
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    events = load_table(spark, sf_dir, "events")
+    docs = load_table(spark, sf_dir, "documents")
+    out = (
+        viol(li, ["l_orderkey", "l_linenumber"], "lineitem_pk")
+        .unionByName(viol(orders, ["o_orderkey"], "orders_pk"))
+        .unionByName(viol(events, ["event_id"], "events_pk"))
+        .unionByName(viol(docs, ["doc_id"], "documents_pk"))
+    )
+    return out.orderBy("constraint_name")
+
+
+# ---------------------------------------------------------------------------
+# Bounded EWMA over daily revenue, halflife = 1 day, window = last 8
+# days of OBSERVED data (8 rows, not calendar days). Weight for the
+# j-th most recent row is 2^(7-j) -- integer weights, so the weighted
+# numerator is an exact BIGINT (cents * 2^k <= 2^40 * 2^7, far below
+# the 63-bit limit) and the ONLY float op is the final division.
+# The fixed-width self-join on row-number distance replicates each row
+# at most 8x -- bounded, unlike a running recurrence.
+# ---------------------------------------------------------------------------
+
+_EWMA_WIN = 8
+
+_EWMA_SQL = f"""
+WITH daily AS (
+  SELECT o_orderdate AS day,
+         CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY o_orderdate),
+rn AS (
+  SELECT day, cents, row_number() OVER (ORDER BY day) AS rn FROM daily),
+w AS (
+  SELECT a.day, a.cents,
+         sum(b.cents * (1::BIGINT << ({_EWMA_WIN} - 1 - (a.rn - b.rn)))) AS num,
+         sum(1::BIGINT << ({_EWMA_WIN} - 1 - (a.rn - b.rn))) AS den
+  FROM rn a JOIN rn b
+    ON b.rn BETWEEN a.rn - {_EWMA_WIN - 1} AND a.rn
+  GROUP BY a.day, a.cents)
+SELECT day, CAST(cents AS BIGINT) AS cents,
+       CAST(num AS BIGINT) AS ewma_num, CAST(den AS BIGINT) AS ewma_den,
+       CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS ewma_cents
+FROM w ORDER BY day
+"""
+
+
+@_q("timeseries_ewma_bounded", _EWMA_SQL)
+def timeseries_ewma_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of daily revenue with
+    power-of-two weights over a bounded 8-row window: numerator and
+    denominator stay in the exact integer domain (shiftleft), the
+    final division is the only float op -- hash-exact across engines.
+    At scale: the range self-join replicates each daily row <= 8x
+    (fixed), vs. an unbounded recurrence that cannot parallelize."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    rn = daily.withColumn(
+        "rn", F.row_number().over(Window.orderBy("day"))
+    )
+    # banded range join: band = rn DIV W, so every b-row within the
+    # lookback window lives in band(a) or band(a)-1 -- the a side
+    # probes both bands through an explode and the join is a plain
+    # EQUI-join on the band key (hash join, no BroadcastNestedLoop),
+    # refined by the exact rn range. Replication stays <= 2x + W.
+    band = F.expr(f"rn DIV {_EWMA_WIN}")
+    a = rn.select(
+        F.col("day"),
+        F.col("cents"),
+        F.col("rn").alias("rn_a"),
+        F.explode(F.array(band, band - 1)).alias("__band"),
+    )
+    b = rn.select(
+        F.col("cents").alias("cents_b"),
+        F.col("rn").alias("rn_b"),
+        band.alias("__band"),
+    )
+    j = a.join(b, "__band").where(
+        (F.col("rn_b") >= F.col("rn_a") - (_EWMA_WIN - 1))
+        & (F.col("rn_b") <= F.col("rn_a"))
+    )
+    # 2^k for k in 0..7 via double pow -> exact small integers; cast
+    # back to long keeps the weighted sum in the exact BIGINT domain
+    # (F.shiftleft only accepts a python-int bit count, not a Column)
+    wexp = F.lit(_EWMA_WIN - 1) - (F.col("rn_a") - F.col("rn_b"))
+    weight = F.pow(F.lit(2.0), wexp).cast("long")
+    weighted = j.groupBy("day", "cents").agg(
+        F.sum(F.col("cents_b") * weight).cast("long").alias("ewma_num"),
+        F.sum(weight).cast("long").alias("ewma_den"),
+    )
+    return weighted.select(
+        "day",
+        "cents",
+        "ewma_num",
+        "ewma_den",
+        (F.col("ewma_num").cast("double") / F.col("ewma_den").cast("double")).alias(
+            "ewma_cents"
+        ),
+    ).orderBy("day")
+
+
+# ---------------------------------------------------------------------------
+# OHLC resample of the events stream to daily bars: open/close are
+# row PICKS under a fully deterministic order (ts, event_id), high/
+# low are min/max -- no float accumulation, bit-exact by construction.
+# ---------------------------------------------------------------------------
+
+_OHLC_SQL = """
+WITH e AS (
+  SELECT CAST(ts AS DATE) AS day, ts, event_id, value FROM events),
+o AS (
+  SELECT day, ts, event_id, value,
+         row_number() OVER (PARTITION BY day ORDER BY ts, event_id) AS rf,
+         row_number() OVER (PARTITION BY day ORDER BY ts DESC, event_id DESC) AS rl
+  FROM e)
+SELECT day,
+       min(CASE WHEN rf = 1 THEN value END) AS open,
+       max(value) AS high,
+       min(value) AS low,
+       min(CASE WHEN rl = 1 THEN value END) AS close,
+       CAST(count(*) AS BIGINT) AS volume
+FROM o GROUP BY day ORDER BY day
+"""
+
+
+@_q("timeseries_ohlc_daily", _OHLC_SQL)
+def timeseries_ohlc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily OHLC bars over the event stream: open/close picked by
+    row_number under (ts, event_id) -- deterministic even with tied
+    timestamps -- high/low/volume as plain min/max/count. One window
+    + one groupBy, both partitioned by day: at 100 TB the day key
+    gives natural partition pruning and no global sort."""
+    events = load_table(spark, sf_dir, "events")
+    e = events.select(
+        F.col("ts").cast("date").alias("day"), "ts", "event_id", "value"
+    )
+    wf = Window.partitionBy("day").orderBy("ts", "event_id")
+    wl = Window.partitionBy("day").orderBy(F.desc("ts"), F.desc("event_id"))
+    o = e.withColumn("rf", F.row_number().over(wf)).withColumn(
+        "rl", F.row_number().over(wl)
+    )
+    return (
+        o.groupBy("day")
+        .agg(
+            F.min(F.when(F.col("rf") == 1, F.col("value"))).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.min(F.when(F.col("rl") == 1, F.col("value"))).alias("close"),
+            F.count("*").cast("long").alias("volume"),
+        )
+        .orderBy("day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Seasonal-naive backtest: forecast(day) = actual(day - 7 rows of the
+# same weekday ordering is overkill here -- the classic seasonal
+# naive is lag(7) over the daily series); report per-day absolute
+# error in exact cents.
+# ---------------------------------------------------------------------------
+
+_SEASONAL_SQL = """
+WITH daily AS (
+  SELECT o_orderdate AS day,
+         CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY o_orderdate),
+l AS (
+  SELECT day, cents,
+         lag(cents, 7) OVER (ORDER BY day) AS forecast_cents
+  FROM daily)
+SELECT day, cents, CAST(forecast_cents AS BIGINT) AS forecast_cents,
+       CAST(abs(cents - forecast_cents) AS BIGINT) AS abs_err_cents
+FROM l WHERE forecast_cents IS NOT NULL ORDER BY day
+"""
+
+
+@_q("timeseries_seasonal_naive_error", _SEASONAL_SQL)
+def timeseries_seasonal_naive_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive (lag-7) forecast backtest over daily revenue:
+    per-day absolute error in exact integer cents. The pattern under
+    every 'is this pipeline's data drifting week-over-week' check."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    l = daily.withColumn(
+        "forecast_cents", F.lag("cents", 7).over(Window.orderBy("day"))
+    )
+    return (
+        l.where(F.col("forecast_cents").isNotNull())
+        .select(
+            "day",
+            "cents",
+            F.col("forecast_cents").cast("long").alias("forecast_cents"),
+            F.abs(F.col("cents") - F.col("forecast_cents"))
+            .cast("long")
+            .alias("abs_err_cents"),
+        )
+        .orderBy("day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Systematic sampling: order by md5(key) (deterministic, engine-
+# portable stand-in for random order), keep every k-th row. Unlike
+# bernoulli sampling the output size is exactly n/k; unlike top-n it
+# is unbiased w.r.t. any natural ordering of the data.
+# ---------------------------------------------------------------------------
+
+_SYSTEMATIC_K = 20
+
+_SYSTEMATIC_SQL = f"""
+WITH h AS (
+  SELECT o_orderkey, md5(CAST(o_orderkey AS VARCHAR)) AS hk FROM orders),
+r AS (
+  SELECT o_orderkey, hk, row_number() OVER (ORDER BY hk, o_orderkey) AS rn FROM h)
+SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey
+FROM r WHERE (rn - 1) % {_SYSTEMATIC_K} = 0
+ORDER BY o_orderkey
+"""
+
+
+@_q("sample_systematic", _SYSTEMATIC_SQL)
+def sample_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every k-th row in md5-hash order: exact 1/k sample, fully
+    deterministic, engine-portable. The global row_number is the one
+    total-order op; at 100 TB the same semantics come from a range-
+    partitioned sort on the hash (ntile machinery), still one
+    shuffle."""
+    orders = load_table(spark, sf_dir, "orders")
+    h = orders.select(
+        "o_orderkey", F.md5(F.col("o_orderkey").cast("string")).alias("hk")
+    )
+    r = h.withColumn(
+        "rn", F.row_number().over(Window.orderBy("hk", "o_orderkey"))
+    )
+    return (
+        r.where((F.col("rn") - 1) % _SYSTEMATIC_K == 0)
+        .select(F.col("o_orderkey").cast("long").alias("o_orderkey"))
+        .orderBy("o_orderkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# PIVOT surface: event_type counts per day as columns. The pivot
+# column list is DECLARED (not discovered) -- at scale an undeclared
+# pivot needs an extra distinct-scan job before planning.
+# ---------------------------------------------------------------------------
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+_PIVOT_SQL = """
+SELECT CAST(ts AS DATE) AS day,
+       CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS "click",
+       CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS "error",
+       CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS "purchase",
+       CAST(count(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS "signup",
+       CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS "view"
+FROM events GROUP BY 1 ORDER BY day
+"""
+
+
+@_q("pivot_event_counts", _PIVOT_SQL)
+def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """df.groupBy(day).pivot(type, DECLARED_VALUES).count(): with the
+    value list declared, Spark skips the extra distinct-collection
+    job and plans a single pivot aggregate -- the scale-correct way
+    to use the pivot API. Missing cells coalesce to 0."""
+    events = load_table(spark, sf_dir, "events")
+    p = (
+        events.select(F.col("ts").cast("date").alias("day"), "event_type")
+        .groupBy("day")
+        .pivot("event_type", _EVENT_TYPES)
+        .count()
+    )
+    return p.select(
+        "day",
+        *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(t) for t in _EVENT_TYPES],
+    ).orderBy("day")
+
+
+# ---------------------------------------------------------------------------
+# Exact interpolated percentiles (the percentile_cont FORMULA spelled
+# out with window functions in BOTH engines, so no dependence on
+# either engine's internal implementation): per nation over customer
+# account balances in cents. idx = (n-1)*p; result = v[floor(idx)] +
+# frac * (v[floor(idx)+1] - v[floor(idx)]). All picks integer-exact;
+# the interpolation is the single final float expression.
+# ---------------------------------------------------------------------------
+
+
+def _pct_sql() -> str:
+    def one(p: str, alias: str) -> str:
+        return f"""
+  SELECT nation, CAST({p} AS DOUBLE) AS p,
+         CAST(lo_v + (({p} * (n - 1)) - lo) * (hi_v - lo_v) AS DOUBLE) AS val
+  FROM (
+    SELECT nation, n,
+           CAST(floor({p} * (n - 1)) AS BIGINT) AS lo,
+           min(CASE WHEN rn - 1 = CAST(floor({p} * (n - 1)) AS BIGINT) THEN cents END) AS lo_v,
+           min(CASE WHEN rn - 1 = least(CAST(floor({p} * (n - 1)) AS BIGINT) + 1, n - 1) THEN cents END) AS hi_v
+    FROM ranked GROUP BY nation, n)"""
+
+    return f"""
+WITH b AS (
+  SELECT c_nationkey AS nation,
+         CAST(round(c_acctbal * 100, 0) AS BIGINT) AS cents
+  FROM customer),
+ranked AS (
+  SELECT nation, cents,
+         row_number() OVER (PARTITION BY nation ORDER BY cents) AS rn,
+         count(*) OVER (PARTITION BY nation) AS n
+  FROM b)
+SELECT CAST(nation AS BIGINT) AS nation, p, val FROM (
+{one("0.25", "p25")}
+  UNION ALL
+{one("0.5", "p50")}
+  UNION ALL
+{one("0.75", "p75")}
+)
+ORDER BY nation, p
+"""
+
+
+@_q("percentiles_exact_battery", _pct_sql())
+def percentiles_exact_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p25/p50/p75 of customer balance per nation via the explicit
+    linear-interpolation formula (both engines evaluate the SAME
+    formula over integer cents -- no reliance on percentile_cont
+    internals). One window per group + one pick-aggregate."""
+    cust = load_table(spark, sf_dir, "customer")
+    b = cust.select(
+        F.col("c_nationkey").alias("nation"),
+        F.round(F.col("c_acctbal") * 100, 0).cast("long").alias("cents"),
+    )
+    w = Window.partitionBy("nation").orderBy("cents")
+    ranked = b.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count("*").over(Window.partitionBy("nation"))
+    )
+
+    def one(p: float) -> DataFrame:
+        lo = F.floor(F.lit(p) * (F.col("n") - 1)).cast("long")
+        hi = F.least(lo + 1, F.col("n") - 1)
+        g = ranked.groupBy("nation", "n").agg(
+            F.min(
+                F.when(F.col("rn") - 1 == F.floor(F.lit(p) * (F.col("n") - 1)).cast("long"), F.col("cents"))
+            ).alias("lo_v"),
+            F.min(
+                F.when(
+                    F.col("rn") - 1
+                    == F.least(
+                        F.floor(F.lit(p) * (F.col("n") - 1)).cast("long") + 1,
+                        F.col("n") - 1,
+                    ),
+                    F.col("cents"),
+                )
+            ).alias("hi_v"),
+        )
+        return g.select(
+            F.col("nation").cast("long").alias("nation"),
+            F.lit(p).alias("p"),
+            (
+                F.col("lo_v")
+                + (
+                    (F.lit(p) * (F.col("n") - 1))
+                    - F.floor(F.lit(p) * (F.col("n") - 1)).cast("long")
+                )
+                * (F.col("hi_v") - F.col("lo_v"))
+            )
+            .cast("double")
+            .alias("val"),
+        )
+
+    return one(0.25).unionByName(one(0.5)).unionByName(one(0.75)).orderBy(
+        "nation", "p"
+    )

@@ -25,6 +25,7 @@ from . import (
     queries_llm4,
     queries_llm5,
     queries_llm6,
+    queries_llm7,
     queries_spatial,
     queries_streaming,
     queries_surface,
@@ -33,6 +34,7 @@ from . import (
     queries_surface4,
     queries_surface5,
     queries_surface6,
+    queries_surface7,
     queries_tpch,
 )
 
@@ -216,6 +218,7 @@ for mod in (
     queries_llm4,
     queries_llm5,
     queries_llm6,
+    queries_llm7,
     queries_spatial,
     queries_streaming,
     queries_surface,
@@ -224,6 +227,7 @@ for mod in (
     queries_surface4,
     queries_surface5,
     queries_surface6,
+    queries_surface7,
     queries_tpch,
 ):
     QUERIES.update({k: _released(v) for k, v in mod.QUERIES.items()})
@@ -311,6 +315,26 @@ QUERIES = {
 WINDOW_R6_CANDIDATES: list[str] = [
     "flagship_enrich",
     "spatial_pip_holes_join_grid",
+    # surface7: DQ audits, exact timeseries, sampling, pivot, percentiles
+    "dq_referential_integrity",
+    "dq_uniqueness_violations",
+    "timeseries_ewma_bounded",
+    "timeseries_ohlc_daily",
+    "timeseries_seasonal_naive_error",
+    "sample_systematic",
+    "pivot_event_counts",
+    "percentiles_exact_battery",
+    # llm7: URL/prefix dedup, TF-IDF, Count-Min, embedding stats,
+    # ER resolution, mixture audit
+    "dedup_url_canonicalize",
+    "dedup_truncation_prefix",
+    "text_tfidf_topk",
+    "sketch_countmin_heavy_hitters",
+    "emb_dimension_stats",
+    "er_resolution_clusters",
+    "corpus_mixture_deficit",
+    # streaming: hopping windows
+    "streaming_hopping_window_agg",
 ]
 _missing_r6 = [n for n in WINDOW_R6_CANDIDATES if n not in QUERIES]
 assert not _missing_r6, f"WINDOW_R6 names not registered: {_missing_r6}"

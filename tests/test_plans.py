@@ -305,3 +305,32 @@ def test_gapfill_bounds_broadcast_not_collected(spark, sf_dir):
     driver-side collect."""
     plan = _executed(spark, "timeseries_gapfill_locf", sf_dir)
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_ewma_banded_join_is_equi(spark, sf_dir):
+    """The bounded-EWMA lookback self-join must be the banded EQUI
+    join (explode 2 probe bands + hash join), never a nested-loop
+    range join -- the replication is <= 2x + window, data-size
+    independent."""
+    plan = _executed(spark, "timeseries_ewma_bounded", sf_dir)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_countmin_readout_no_all_pairs(spark, sf_dir):
+    """Count-Min readout joins candidates to the 4096-cell sketch on
+    (d, bucket) -- an equi-join against a broadcast-sized build side,
+    never a nested loop over candidates x cells."""
+    plan = _executed(spark, "sketch_countmin_heavy_hitters", sf_dir)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_tfidf_df_join_broadcast(spark, sf_dir):
+    """TF-IDF joins the vocab-sized df table back to per-doc tf rows:
+    must be broadcast (vocab << corpus), and the one-row N is a
+    broadcast cross join, not a shuffle."""
+    plan = _executed(spark, "text_tfidf_topk", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
