@@ -237,6 +237,25 @@ def merge_on_files(
 
     rows_rewritten = 0
     base_types = {f.name: f.dataType for f in base.schema.fields}
+    # MERGE type contract: an update value that cannot cast to the
+    # base column type must FAIL the merge (real MERGE raises), not
+    # silently become NULL (this session runs ANSI off, where cast()
+    # yields NULL on overflow/parse failure). One changeset-sized
+    # probe per set column, same class of guard as the dup-key check.
+    for c in set_cols:
+        bad = (
+            updates.where(
+                _F.col(c).isNotNull() & _F.col(c).cast(base_types[c]).isNull()
+            )
+            .limit(1)
+            .collect()
+        )
+        if bad:
+            raise ValueError(
+                f"changeset column {c!r} value {bad[0][c]!r} does not cast "
+                f"to base type {base_types[c].simpleString()}; MERGE refuses "
+                "to silently null it"
+            )
     if touched:
         tbase = spark.read.parquet(*touched).alias("b")
         # __matched marker instead of coalesce: coalesce(u.c, b.c)

@@ -143,10 +143,10 @@ def dedup_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Truncated-duplicate dedup: a shorter document that is a PREFIX of a
 # longer one (feed truncation, pagination cutoffs) evades exact-hash
 # dedup. Key on the hash of the first _PREFIX_CHARS normalized chars;
-# within a group keep the LONGEST (n_chars desc, doc_id asc). The
+# within a group keep the LONGEST (ties prefer the original id). The
 # fixture has no natural truncations, so each doc unions a synthetic
-# truncated twin (doc_id + 10^6) -- the operator then provably
-# collapses every pair.
+# truncated twin (id = -doc_id - 1, collision-free at any scale) --
+# the operator then provably collapses every pair.
 # ---------------------------------------------------------------------------
 
 _PREFIX_CHARS = 64
@@ -155,13 +155,14 @@ _PREFIX_DEDUP_SQL = f"""
 WITH corpus AS (
   SELECT doc_id, {_NORM} AS t FROM documents
   UNION ALL
-  SELECT doc_id + 1000000, substr({_NORM}, 1, 100) FROM documents),
+  SELECT -doc_id - 1, substr({_NORM}, 1, 100) FROM documents),
 keyed AS (
   SELECT doc_id, length(t) AS n, md5(substr(t, 1, {_PREFIX_CHARS})) AS pk
   FROM corpus),
 ranked AS (
   SELECT doc_id, n, pk,
-         row_number() OVER (PARTITION BY pk ORDER BY n DESC, doc_id) AS rn,
+         row_number() OVER (PARTITION BY pk
+           ORDER BY n DESC, CASE WHEN doc_id < 0 THEN 1 ELSE 0 END, doc_id) AS rn,
          count(*) OVER (PARTITION BY pk) AS grp
   FROM keyed)
 SELECT pk AS prefix_key,
@@ -182,7 +183,7 @@ def dedup_truncation_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     norm = F.trim(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " "))
     corpus = docs.select(F.col("doc_id"), norm.alias("t")).unionByName(
         docs.select(
-            (F.col("doc_id") + 1000000).alias("doc_id"),
+            (-F.col("doc_id") - 1).alias("doc_id"),
             F.substring(norm, 1, 100).alias("t"),
         )
     )
@@ -193,7 +194,14 @@ def dedup_truncation_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("pk")
     ranked = keyed.withColumn(
-        "rn", F.row_number().over(w.orderBy(F.desc("n"), F.asc("doc_id")))
+        "rn",
+        F.row_number().over(
+            w.orderBy(
+                F.desc("n"),
+                F.when(F.col("doc_id") < 0, 1).otherwise(0),
+                F.asc("doc_id"),
+            )
+        ),
     ).withColumn("grp", F.count("*").over(w))
     return (
         ranked.groupBy(F.col("pk").alias("prefix_key"))
@@ -247,11 +255,17 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast back); the per-doc window is partitioned by doc."""
     docs = load_table(spark, sf_dir, "documents")
     norm = F.trim(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " "))
+    from ..operators._cache import track_persist
+
     toks = docs.select(
         "doc_id", F.explode(F.split(norm, " ")).alias("tok")
     )
-    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
-    df = toks.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    # tf is persisted because BOTH df and the scored join consume it;
+    # df derives from tf (tf has exactly one row per (doc, tok), so
+    # count of tf rows per tok == count(DISTINCT doc)) -- the corpus
+    # tokenizes ONCE instead of once per aggregate.
+    tf = track_persist(toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf")))
+    df = tf.groupBy("tok").agg(F.count("*").alias("df"))
     n = docs.agg(F.countDistinct("doc_id").alias("n"))
     scored = (
         tf.join(F.broadcast(df), "tok")
@@ -356,35 +370,40 @@ def sketch_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame
             )
         ).alias("bg")
     )
-    keyed = bigrams.select(
-        "bg", F.conv(F.substring(F.md5("bg"), 1, 8), 16, 10).cast("long").alias("k")
-    )
-    from functools import reduce
+    from ..operators._cache import track_persist
 
-    hashed = reduce(
-        DataFrame.unionByName,
-        [
-            keyed.select(
-                "bg",
-                F.lit(d).alias("d"),
-                ((F.lit(a) * F.col("k") + F.lit(b)) % _CM_P % _CM_W).alias("bucket"),
-            )
-            for d, (a, b) in enumerate(_CM_ROWS)
-        ],
+    # persist: the tokenize/md5 lineage feeds both the sketch build
+    # and the candidate readout -- without it the corpus tokenizes
+    # twice (self-join-input discipline, see operators/_cache.py)
+    keyed = track_persist(
+        bigrams.select(
+            "bg",
+            F.conv(F.substring(F.md5("bg"), 1, 8), 16, 10).cast("long").alias("k"),
+        )
     )
-    sketch = hashed.groupBy("d", "bucket").agg(F.count("*").alias("c"))
-    cand = keyed.distinct()
-    cand_h = reduce(
-        DataFrame.unionByName,
-        [
-            cand.select(
-                "bg",
-                F.lit(d).alias("d"),
-                ((F.lit(a) * F.col("k") + F.lit(b)) % _CM_P % _CM_W).alias("bucket"),
-            )
-            for d, (a, b) in enumerate(_CM_ROWS)
-        ],
-    )
+
+    def hash_rows(df: DataFrame) -> DataFrame:
+        # all d hash rows in ONE pass (explode of a 4-element array),
+        # not a 4-branch union that re-runs the input lineage per row
+        return df.select(
+            "bg",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(d).alias("d"),
+                            ((F.lit(a) * F.col("k") + F.lit(b)) % _CM_P % _CM_W).alias(
+                                "bucket"
+                            ),
+                        )
+                        for d, (a, b) in enumerate(_CM_ROWS)
+                    ]
+                )
+            ).alias("h"),
+        ).select("bg", F.col("h.d").alias("d"), F.col("h.bucket").alias("bucket"))
+
+    sketch = hash_rows(keyed).groupBy("d", "bucket").agg(F.count("*").alias("c"))
+    cand_h = hash_rows(keyed.distinct())
     est = (
         cand_h.join(F.broadcast(sketch), ["d", "bucket"])
         .groupBy("bg")

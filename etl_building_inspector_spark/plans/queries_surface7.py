@@ -449,7 +449,7 @@ def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _pct_sql() -> str:
-    def one(p: str, alias: str) -> str:
+    def one(p: str) -> str:
         return f"""
   SELECT nation, CAST({p} AS DOUBLE) AS p,
          CAST(lo_v + (({p} * (n - 1)) - lo) * (hi_v - lo_v) AS DOUBLE) AS val
@@ -471,11 +471,11 @@ ranked AS (
          count(*) OVER (PARTITION BY nation) AS n
   FROM b)
 SELECT CAST(nation AS BIGINT) AS nation, p, val FROM (
-{one("0.25", "p25")}
+{one("0.25")}
   UNION ALL
-{one("0.5", "p50")}
+{one("0.5")}
   UNION ALL
-{one("0.75", "p75")}
+{one("0.75")}
 )
 ORDER BY nation, p
 """

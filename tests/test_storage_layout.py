@@ -478,3 +478,26 @@ def test_merge_on_files_update_type_aligned_to_base(spark, sf_dir, tmp_path_fact
     together = spark.read.parquet(*(list(stats["kept"]) + [stats["rewritten_dir"]]))
     got = {r.k: r.v for r in together.where(F.col("k").isin(3, 42, 5)).collect()}
     assert got == {3: 7, 42: 9, 5: 50}
+
+
+def test_merge_on_files_uncastable_update_raises(spark, sf_dir, tmp_path_factory):
+    """An update value that cannot cast to the base column type must
+    fail the MERGE (real MERGE raises a type error), never silently
+    null the matched rows (ANSI is off in this session, so a bare
+    cast would)."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from etl_building_inspector_spark.operators.maintenance import (
+        merge_on_files,
+    )
+
+    base = str(tmp_path_factory.mktemp("cowbad"))
+    base_dir, out_dir = base + "/base", base + "/delta"
+    spark.range(0, 50).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    ).write.parquet(base_dir)
+
+    updates = spark.createDataFrame([(3, "7x")], "k long, v string")
+    with _pytest.raises(ValueError, match="does not cast"):
+        merge_on_files(spark, base_dir, out_dir, updates, "k", ["v"])
