@@ -394,3 +394,59 @@ def zorder_rewrite(
         "files": len(stats),
         "spans": [r.asDict() for r in stats],
     }
+
+
+def vacuum_plan(
+    spark: SparkSession,
+    base_dir: str,
+    live_files: list[str],
+) -> dict:
+    """VACUUM planning: files physically present under `base_dir` but
+    absent from the manifest of LIVE files (by basename -- the same
+    normalization every executor here uses, because input_file_name
+    and the Hadoop listing render the local scheme differently) are
+    orphans left behind by failed writes, aborted compactions, or
+    superseded COW rewrites.
+
+    Returns {"live": [...], "orphans": [...], "missing": [...]}:
+    orphans are safe to delete, missing are manifest entries with no
+    backing file (a corruption signal that must BLOCK deletion --
+    matching Delta's VACUUM refusing to run when the log references
+    absent files). Pure metadata: one listing, set arithmetic --
+    nothing is read or deleted here; the caller deletes orphans after
+    whatever retention window its sessions need (concurrent readers
+    of a superseded snapshot may still hold the files open).
+    """
+    present = {
+        os.path.basename(f): f for f, _ in list_parquet_files(spark, base_dir)
+    }
+    live = {os.path.basename(f) for f in live_files}
+    orphans = sorted(p for b, p in present.items() if b not in live)
+    missing = sorted(b for b in live if b not in present)
+    return {
+        "live": sorted(present[b] for b in present if b in live),
+        "orphans": orphans,
+        "missing": missing,
+    }
+
+
+def vacuum_execute(spark: SparkSession, plan: dict) -> int:
+    """Delete the planned orphans; refuses when the plan shows missing
+    live files (the table metadata cannot be trusted at that point).
+    Returns the number of files removed. Driver-side file ops sized by
+    the orphan COUNT -- the same metadata class as the listing."""
+    if plan["missing"]:
+        raise ValueError(
+            f"manifest references {len(plan['missing'])} absent file(s) "
+            f"(e.g. {plan['missing'][0]!r}); refusing to vacuum a table "
+            "whose metadata is inconsistent"
+        )
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    n = 0
+    for f in plan["orphans"]:
+        p = jvm.org.apache.hadoop.fs.Path(f)
+        fs = p.getFileSystem(conf)
+        if fs.delete(p, False):
+            n += 1
+    return n

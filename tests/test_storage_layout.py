@@ -501,3 +501,47 @@ def test_merge_on_files_uncastable_update_raises(spark, sf_dir, tmp_path_factory
     updates = spark.createDataFrame([(3, "7x")], "k long, v string")
     with _pytest.raises(ValueError, match="does not cast"):
         merge_on_files(spark, base_dir, out_dir, updates, "k", ["v"])
+
+
+def test_vacuum_plan_and_execute(spark, sf_dir, tmp_path_factory):
+    """VACUUM lifecycle: orphan part files (failed writes / superseded
+    COW rewrites) are planned by manifest diff and deleted; a manifest
+    referencing an absent file blocks execution."""
+    import os
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from etl_building_inspector_spark.operators.maintenance import (
+        list_parquet_files,
+        vacuum_execute,
+        vacuum_plan,
+    )
+
+    d = str(tmp_path_factory.mktemp("vac")) + "/t"
+    spark.range(0, 100).select(F.col("id").alias("k")).repartition(4).write.parquet(d)
+    files = sorted(f for f, _ in list_parquet_files(spark, d))
+    assert len(files) == 4
+    live, orphaned = files[:3], files[3:]
+
+    plan = vacuum_plan(spark, d, live)
+    assert [os.path.basename(f) for f in plan["orphans"]] == [
+        os.path.basename(f) for f in orphaned
+    ]
+    assert plan["missing"] == []
+    assert len(plan["live"]) == 3
+
+    n = vacuum_execute(spark, plan)
+    assert n == 1
+    left = sorted(f for f, _ in list_parquet_files(spark, d))
+    assert left == live
+    # live rows all survive
+    assert spark.read.parquet(*live).count() == sum(
+        spark.read.parquet(f).count() for f in live
+    )
+
+    # manifest pointing at a deleted file -> plan flags missing, execute refuses
+    plan2 = vacuum_plan(spark, d, orphaned)
+    assert plan2["missing"] and plan2["orphans"]
+    with _pytest.raises(ValueError, match="refusing to vacuum"):
+        vacuum_execute(spark, plan2)
