@@ -134,6 +134,8 @@ HEADLINE = [
     "dedup_url_canonicalize",
     "emb_dimension_stats",
     "er_resolution_clusters",
+    "graph_degree_assortativity",
+    "mv_join_delta_maintenance",
     "pack_efficiency_stats",
     "orders_backlog_aging",
     "dq_freshness_by_type",

@@ -925,3 +925,69 @@ def graph_neighbor_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rk").cast("long").alias("rk"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Degree assortativity of the co-purchase graph: Pearson correlation
+# of endpoint degrees over directed (symmetrized) edges. All five
+# sums are exact BIGINTs (degrees are bounded by co-order fanout, so
+# n*sxx stays far under 2^63); the final expression (two sqrt, one
+# division) is IEEE-identical across engines given identical integer
+# inputs -- sqrt is correctly rounded per IEEE-754.
+# ---------------------------------------------------------------------------
+
+_ASSORT_SQL = """
+WITH e0 AS (
+  SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS u,
+                  greatest(a.l_partkey, b.l_partkey) AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+),
+e AS (SELECT u AS s, v AS d FROM e0 UNION ALL SELECT v AS s, u AS d FROM e0),
+deg AS (SELECT s AS node, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY s),
+j AS (
+  SELECT ds.deg AS x, dd.deg AS y
+  FROM e JOIN deg ds ON e.s = ds.node JOIN deg dd ON e.d = dd.node),
+sums AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(y * y) AS BIGINT) AS syy
+  FROM j)
+SELECT n, sx, sxy, sxx,
+       CAST(n * sxy - sx * sy AS DOUBLE)
+         / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+            * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS assortativity
+FROM sums
+"""
+
+
+@_q("graph_degree_assortativity", _ASSORT_SQL)
+def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-assortativity coefficient (do hubs link to hubs?) over
+    the co-purchase graph: two broadcast-degree joins onto the edge
+    list, five exact BIGINT sums, one final float expression. The
+    degree table is node-sized (broadcastable); the edge scan is one
+    pass -- nothing quadratic anywhere."""
+    e = _copurchase_sym_edges(spark, sf_dir, materialize=True)
+    deg = e.groupBy(F.col("s").alias("node")).agg(
+        F.count("*").cast("long").alias("deg")
+    )
+    ds = deg.select(F.col("node").alias("s"), F.col("deg").alias("x"))
+    dd = deg.select(F.col("node").alias("d"), F.col("deg").alias("y"))
+    j = e.join(F.broadcast(ds), "s").join(F.broadcast(dd), "d")
+    sums = j.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    denx = F.sqrt((F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double"))
+    deny = F.sqrt((F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double"))
+    return sums.select(
+        "n", "sx", "sxy", "sxx", (num / (denx * deny)).alias("assortativity")
+    )

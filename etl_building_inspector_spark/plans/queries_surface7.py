@@ -533,3 +533,68 @@ def percentiles_exact_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     return one(0.25).unionByName(one(0.5)).unionByName(one(0.75)).orderBy(
         "nation", "p"
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental view maintenance for a JOIN view: with deltas on BOTH
+# inputs, V(A u dA, B u dB) = agg-merge of A|>B, dA|>B, A|>dB, dA|>dB
+# -- the classic IVM delta identity. Each delta join touches only
+# delta x (indexed base) work, so refreshing the view costs O(delta),
+# not O(base): THE pattern under warehouse materialized-view refresh.
+# The oracle is the monolithic recompute -- proving the four-way
+# merge is exactly equal, not approximately.
+# ---------------------------------------------------------------------------
+
+_IVM_SQL = """
+SELECT o_orderpriority AS priority,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderpriority
+ORDER BY priority
+"""
+
+
+@_q("mv_join_delta_maintenance", _IVM_SQL)
+def mv_join_delta_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maintain an aggregated join view under two-sided deltas via the
+    IVM identity: split orders (key % 7 == 0 -> delta) and lineitem
+    (suppkey % 5 == 0 -> delta) deterministically, compute the four
+    partial join-aggregates, and merge by summing per group. Money in
+    exact cents so the four-way merge is bit-equal to the monolithic
+    recompute the oracle runs. At scale: three of the four joins have
+    a delta side (small -> broadcastable), so a view refresh costs
+    O(|delta|) instead of a full A-join-B."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    a_base = orders.where(F.col("o_orderkey") % 7 != 0)
+    a_delta = orders.where(F.col("o_orderkey") % 7 == 0)
+    b_base = li.where(F.col("l_suppkey") % 5 != 0)
+    b_delta = li.where(F.col("l_suppkey") % 5 == 0)
+
+    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+
+    def partial(a: DataFrame, b: DataFrame) -> DataFrame:
+        return (
+            a.select("o_orderkey", "o_orderpriority")
+            .join(b.select("l_orderkey", "l_extendedprice"),
+                  F.col("o_orderkey") == F.col("l_orderkey"))
+            .groupBy(F.col("o_orderpriority").alias("priority"))
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.sum(cents).alias("revenue_cents"),
+            )
+        )
+
+    merged = (
+        partial(a_base, b_base)
+        .unionByName(partial(a_delta, b_base))
+        .unionByName(partial(a_base, b_delta))
+        .unionByName(partial(a_delta, b_delta))
+        .groupBy("priority")
+        .agg(
+            F.sum("n_rows").cast("long").alias("n_rows"),
+            F.sum("revenue_cents").cast("long").alias("revenue_cents"),
+        )
+    )
+    return merged.orderBy("priority")

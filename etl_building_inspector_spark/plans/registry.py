@@ -335,6 +335,9 @@ WINDOW_R6_CANDIDATES: list[str] = [
     "corpus_mixture_deficit",
     # streaming: hopping windows
     "streaming_hopping_window_agg",
+    # graph + warehouse additions
+    "graph_degree_assortativity",
+    "mv_join_delta_maintenance",
 ]
 _missing_r6 = [n for n in WINDOW_R6_CANDIDATES if n not in QUERIES]
 assert not _missing_r6, f"WINDOW_R6 names not registered: {_missing_r6}"
