@@ -136,6 +136,7 @@ HEADLINE = [
     "er_resolution_clusters",
     "graph_degree_assortativity",
     "mv_join_delta_maintenance",
+    "window_range_frames",
     "pack_efficiency_stats",
     "orders_backlog_aging",
     "dq_freshness_by_type",

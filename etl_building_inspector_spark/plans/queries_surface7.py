@@ -598,3 +598,105 @@ def mv_join_delta_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return merged.orderBy("priority")
+
+
+# ---------------------------------------------------------------------------
+# RANGE-frame windows (event-time sliding aggregates): unlike the ROWS
+# frames in window_frames_battery, the frame is defined by a VALUE
+# range over the ordering key -- trailing 1 hour of events per user,
+# however many rows that is, with all peers of a tied key included
+# (deterministic by definition, no tiebreak needed). The range key is
+# integer epoch seconds on BOTH engines.
+# ---------------------------------------------------------------------------
+
+_RANGE_FRAMES_SQL = """
+WITH e AS (
+  SELECT user_id, event_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+         CAST(round(value * 10000, 0) AS BIGINT) AS v4
+  FROM events)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(event_id AS BIGINT) AS event_id,
+       sec,
+       CAST(sum(v4) OVER (PARTITION BY user_id ORDER BY sec
+         RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW) AS BIGINT) AS v4_1h,
+       CAST(count(*) OVER (PARTITION BY user_id ORDER BY sec
+         RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_1h
+FROM e
+"""
+
+
+@_q("window_range_frames", _RANGE_FRAMES_SQL)
+def window_range_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-1-hour per-user sliding sum/count via RANGE frames
+    over integer epoch seconds -- the event-time window shape ROWS
+    frames cannot express (frame width varies with event density;
+    tied timestamps are peers, included together). Partitioned by
+    user: no global sort; money integer e4 so the frame sum is
+    order-free exact."""
+    events = load_table(spark, sf_dir, "events")
+    e = events.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("event_id").cast("long").alias("event_id"),
+        F.unix_timestamp("ts").alias("sec"),
+        F.round(F.col("value") * 10000, 0).cast("long").alias("v4"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("sec")
+        .rangeBetween(-3599, Window.currentRow)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        "sec",
+        F.sum("v4").over(w).cast("long").alias("v4_1h"),
+        F.count("*").over(w).cast("long").alias("n_1h"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact MODE per group with full determinism: the most frequent
+# l_returnflag+l_linestatus combo's priority ordering -- count desc,
+# value asc tiebreak. (Spark's F.mode and DuckDB's mode() leave ties
+# implementation-defined; the explicit window formulation is the
+# engine-portable exact version.)
+# ---------------------------------------------------------------------------
+
+_MODE_SQL = """
+WITH c AS (
+  SELECT o_orderpriority AS grp, o_orderstatus AS val, count(*) AS n
+  FROM orders GROUP BY 1, 2),
+r AS (
+  SELECT grp, val, n,
+         row_number() OVER (PARTITION BY grp ORDER BY n DESC, val) AS rn
+  FROM c)
+SELECT grp AS priority, val AS mode_status, CAST(n AS BIGINT) AS n
+FROM r WHERE rn = 1
+ORDER BY priority
+"""
+
+
+@_q("agg_mode_exact", _MODE_SQL)
+def agg_mode_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group mode (count desc, value asc): the
+    window formulation both engines evaluate identically, vs the
+    built-in mode() whose tie choice is implementation-defined. Two
+    map-side-combinable aggregates + a group-partitioned window over
+    the (tiny) distinct-combo table."""
+    orders = load_table(spark, sf_dir, "orders")
+    c = orders.groupBy(
+        F.col("o_orderpriority").alias("grp"),
+        F.col("o_orderstatus").alias("val"),
+    ).agg(F.count("*").alias("n"))
+    w = Window.partitionBy("grp").orderBy(F.desc("n"), F.asc("val"))
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            F.col("grp").alias("priority"),
+            F.col("val").alias("mode_status"),
+            F.col("n").cast("long").alias("n"),
+        )
+        .orderBy("priority")
+    )

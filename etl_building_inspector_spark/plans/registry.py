@@ -338,6 +338,8 @@ WINDOW_R6_CANDIDATES: list[str] = [
     # graph + warehouse additions
     "graph_degree_assortativity",
     "mv_join_delta_maintenance",
+    "window_range_frames",
+    "agg_mode_exact",
 ]
 _missing_r6 = [n for n in WINDOW_R6_CANDIDATES if n not in QUERIES]
 assert not _missing_r6, f"WINDOW_R6 names not registered: {_missing_r6}"
