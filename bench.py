@@ -137,6 +137,10 @@ HEADLINE = [
     "graph_degree_assortativity",
     "mv_join_delta_maintenance",
     "window_range_frames",
+    "quality_ngram_lm_score",
+    "emb_whitening_apply",
+    "events_sequence_pattern",
+    "intervals_intersection_total",
     "pack_efficiency_stats",
     "orders_backlog_aging",
     "dq_freshness_by_type",

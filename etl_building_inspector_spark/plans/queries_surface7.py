@@ -700,3 +700,159 @@ def agg_mode_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority")
     )
+
+
+# ---------------------------------------------------------------------------
+# Sequence pattern matching (MATCH_RECOGNIZE-shaped): each user's
+# event history becomes an ordered initial-letter string (v/c/p/s/e),
+# and conversions = non-overlapping matches of view -> (clicks|
+# signups)* -> purchase. The per-user string build is the collect
+# step every sequence-mining op needs; the pattern count is a scalar
+# regexp (same leftmost non-overlapping semantics in RE2 and Java
+# regex for this alternation-free pattern class).
+# ---------------------------------------------------------------------------
+
+_SEQ_SQL = """
+WITH s AS (
+  SELECT user_id,
+         string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS path
+  FROM events GROUP BY user_id)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(length(path) AS BIGINT) AS path_len,
+       CAST(len(regexp_extract_all(path, 'v[cs]*p')) AS BIGINT) AS n_conversions
+FROM s ORDER BY user_id
+"""
+
+
+@_q("events_sequence_pattern", _SEQ_SQL)
+def events_sequence_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user behavioral-pattern count: order events (ts, event_id),
+    reduce each to its initial letter, count non-overlapping
+    'v[cs]*p' matches (view, then clicks/signups, then purchase).
+    collect_list + array_sort gives a deterministic in-group order
+    without a global sort; the regexp runs once per user string."""
+    events = load_table(spark, sf_dir, "events")
+    path = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct("ts", "event_id", F.substring("event_type", 1, 1).alias("c"))
+                )
+            ),
+            lambda x: x.getField("c"),
+        ),
+        "",
+    )
+    s = events.groupBy("user_id").agg(path.alias("path"))
+    return s.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.length("path").cast("long").alias("path_len"),
+        F.size(F.expr("regexp_extract_all(path, 'v[cs]*p', 0)"))
+        .cast("long")
+        .alias("n_conversions"),
+    ).orderBy("user_id")
+
+
+# ---------------------------------------------------------------------------
+# Interval-set INTERSECTION: per user, merged view-activity windows
+# [ts, ts+30min) against merged purchase-influence windows
+# [ts, ts+1h); result = total overlapping seconds. Each set is merged
+# with the cumulative-max island technique (no self-join); the
+# intersection is a per-user equi-join whose fan-out is bounded by
+# merged-intervals-per-user (small by construction after merging).
+# All arithmetic in integer epoch seconds.
+# ---------------------------------------------------------------------------
+
+
+def _islands_sql(evt: str, dur: int, name: str) -> str:
+    return f"""
+{name}_raw AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS s,
+         CAST(floor(epoch(ts)) AS BIGINT) + {dur} AS e
+  FROM events WHERE event_type = '{evt}'),
+{name}_m AS (
+  SELECT user_id, s, e,
+         max(e) OVER (PARTITION BY user_id ORDER BY s, e
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+  FROM {name}_raw),
+{name}_f AS (
+  SELECT user_id, s, e,
+         sum(CASE WHEN prev_max IS NULL OR s > prev_max THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY s, e) AS island
+  FROM {name}_m),
+{name} AS (
+  SELECT user_id, min(s) AS s, max(e) AS e
+  FROM {name}_f GROUP BY user_id, island)"""
+
+
+_INTERSECT_SQL = f"""
+WITH {_islands_sql("view", 1800, "a")},
+{_islands_sql("purchase", 3600, "b")}
+SELECT CAST(a.user_id AS BIGINT) AS user_id,
+       CAST(sum(greatest(0, least(a.e, b.e) - greatest(a.s, b.s))) AS BIGINT)
+         AS overlap_seconds
+FROM a JOIN b ON a.user_id = b.user_id
+WHERE least(a.e, b.e) > greatest(a.s, b.s)
+GROUP BY a.user_id
+ORDER BY user_id
+"""
+
+
+@_q("intervals_intersection_total", _INTERSECT_SQL)
+def intervals_intersection_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-algebra intersection: merge each event-derived
+    interval set per user (cumulative-max islands, window-only -- no
+    self-join), then join the two MERGED sets per user and sum exact
+    overlap seconds. Merging first is the scale move: the join
+    fan-out is merged-intervals^2 per user, not raw-events^2."""
+    events = load_table(spark, sf_dir, "events")
+
+    def islands(evt: str, dur: int) -> DataFrame:
+        raw = events.where(F.col("event_type") == evt).select(
+            "user_id",
+            F.unix_timestamp("ts").alias("s"),
+            (F.unix_timestamp("ts") + dur).alias("e"),
+        )
+        w = Window.partitionBy("user_id").orderBy("s", "e")
+        m = raw.withColumn(
+            "prev_max",
+            F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        )
+        f = m.withColumn(
+            "island",
+            F.sum(
+                F.when(
+                    F.col("prev_max").isNull() | (F.col("s") > F.col("prev_max")),
+                    1,
+                ).otherwise(0)
+            ).over(w),
+        )
+        return f.groupBy("user_id", "island").agg(
+            F.min("s").alias("s"), F.max("e").alias("e")
+        )
+
+    a = islands("view", 1800).select(
+        F.col("user_id"), F.col("s").alias("as_"), F.col("e").alias("ae")
+    )
+    b = islands("purchase", 3600).select(
+        F.col("user_id").alias("user_b"),
+        F.col("s").alias("bs"),
+        F.col("e").alias("be"),
+    )
+    j = a.join(b, F.col("user_id") == F.col("user_b")).where(
+        F.least("ae", "be") > F.greatest("as_", "bs")
+    )
+    return (
+        j.groupBy("user_id")
+        .agg(
+            F.sum(
+                F.greatest(
+                    F.lit(0), F.least("ae", "be") - F.greatest("as_", "bs")
+                )
+            )
+            .cast("long")
+            .alias("overlap_seconds")
+        )
+        .select(F.col("user_id").cast("long").alias("user_id"), "overlap_seconds")
+        .orderBy("user_id")
+    )

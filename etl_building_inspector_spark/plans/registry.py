@@ -26,6 +26,7 @@ from . import (
     queries_llm5,
     queries_llm6,
     queries_llm7,
+    queries_llm8,
     queries_spatial,
     queries_streaming,
     queries_surface,
@@ -219,6 +220,7 @@ for mod in (
     queries_llm5,
     queries_llm6,
     queries_llm7,
+    queries_llm8,
     queries_spatial,
     queries_streaming,
     queries_surface,
@@ -340,6 +342,12 @@ WINDOW_R6_CANDIDATES: list[str] = [
     "mv_join_delta_maintenance",
     "window_range_frames",
     "agg_mode_exact",
+    # llm8 + sequence/interval analytics
+    "quality_ngram_lm_score",
+    "emb_whitening_apply",
+    "text_pii_scrub",
+    "events_sequence_pattern",
+    "intervals_intersection_total",
 ]
 _missing_r6 = [n for n in WINDOW_R6_CANDIDATES if n not in QUERIES]
 assert not _missing_r6, f"WINDOW_R6 names not registered: {_missing_r6}"
