@@ -141,6 +141,8 @@ HEADLINE = [
     "emb_whitening_apply",
     "events_sequence_pattern",
     "intervals_intersection_total",
+    "multimodal_frame_sample_fanout",
+    "audience_overlap_daily",
     "pack_efficiency_stats",
     "orders_backlog_aging",
     "dq_freshness_by_type",

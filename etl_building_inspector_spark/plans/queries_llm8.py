@@ -287,3 +287,67 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("clean_md5"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Multimodal frame sampling with an EXACT oracle: synthetic "video"
+# blobs (bytes = repeat(md5(key), 4), duration from the key) run
+# through the REAL mapInPandas fan-out kernel
+# (operators/multimodal.sample_frames); each emitted frame is a
+# content-addressed stub md5(bytes + '@ts'), so DuckDB recomputes the
+# identical frame hashes from the same string algebra. This gives the
+# video-shaped 1->N kernel a full value-check, like
+# multimodal_byte_histogram does for the image-shaped 1->1 kernel.
+# ---------------------------------------------------------------------------
+
+_FRAME_EVERY_MS = 1000
+
+_FRAME_SQL = f"""
+WITH vids AS (
+  SELECT CAST(s_suppkey AS BIGINT) AS key,
+         repeat(md5(CAST(s_suppkey AS VARCHAR)), 4) AS payload,
+         CAST((s_suppkey % 5 + 1) * 3000 AS INTEGER) AS duration_ms
+  FROM supplier),
+frames AS (
+  SELECT key,
+         unnest(generate_series(0, duration_ms // {_FRAME_EVERY_MS} - 1)) AS frame_idx,
+         payload
+  FROM vids)
+SELECT key,
+       CAST(frame_idx AS INTEGER) AS frame_idx,
+       CAST(frame_idx * {_FRAME_EVERY_MS} AS INTEGER) AS ts_ms,
+       upper(md5(payload || '@' || CAST(frame_idx * {_FRAME_EVERY_MS} AS VARCHAR))) AS frame_hex
+FROM frames ORDER BY key, frame_idx
+"""
+
+
+@_q("multimodal_frame_sample_fanout", _FRAME_SQL)
+def multimodal_frame_sample_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling through the real Arrow mapInPandas kernel:
+    1 -> duration/every_ms rows per blob, frames as content-addressed
+    stubs (no codecs in container; the fan-out arithmetic, schema and
+    batch behavior are the production shape). F.hex(frame) exposes
+    the stub digest for the exact oracle."""
+    from ..operators.multimodal import sample_frames
+
+    sup = load_table(spark, sf_dir, "supplier")
+    payload = F.repeat(F.md5(F.col("s_suppkey").cast("string")), 4)
+    vids = sup.select(
+        F.col("s_suppkey").cast("long").alias("key"),
+        F.struct(
+            F.encode(payload, "utf-8").alias("bytes"),
+            F.lit("video/mp4").alias("mime"),
+            F.struct(
+                F.lit(None).cast("int").alias("width"),
+                F.lit(None).cast("int").alias("height"),
+                ((F.col("s_suppkey") % 5 + 1) * 3000).cast("int").alias("duration_ms"),
+            ).alias("meta"),
+        ).alias("media"),
+    )
+    frames = sample_frames(vids, every_ms=_FRAME_EVERY_MS, key_col="key")
+    return frames.select(
+        "key",
+        "frame_idx",
+        "ts_ms",
+        F.hex(F.col("frame")).alias("frame_hex"),
+    ).orderBy("key", "frame_idx")

@@ -856,3 +856,156 @@ def intervals_intersection_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("user_id").cast("long").alias("user_id"), "overlap_seconds")
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Audience overlap day-over-day: retained / new / churned users per
+# consecutive day pair, from the distinct (day, user) activity table.
+# The canonical growth-accounting report; exact by construction.
+# ---------------------------------------------------------------------------
+
+_AUDIENCE_SQL = """
+WITH du AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+days AS (SELECT DISTINCT day FROM du),
+pairs AS (
+  SELECT d.day AS day, d.day - INTERVAL 1 DAY AS prev_day FROM days d
+  WHERE EXISTS (SELECT 1 FROM days p WHERE p.day = d.day - INTERVAL 1 DAY))
+SELECT CAST(p.day AS DATE) AS day,
+       CAST(count(DISTINCT t.user_id) AS BIGINT) AS n_active,
+       CAST(count(DISTINCT CASE WHEN y.user_id IS NOT NULL THEN t.user_id END) AS BIGINT) AS n_retained,
+       CAST(count(DISTINCT CASE WHEN y.user_id IS NULL THEN t.user_id END) AS BIGINT) AS n_new
+FROM pairs p
+JOIN du t ON t.day = p.day
+LEFT JOIN du y ON y.day = p.prev_day AND y.user_id = t.user_id
+GROUP BY p.day
+ORDER BY day
+"""
+
+
+@_q("audience_overlap_daily", _AUDIENCE_SQL)
+def audience_overlap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day audience accounting (active / retained / new) via
+    a self-join of the DISTINCT (day, user) activity table against
+    its previous day -- never raw events against raw events, so the
+    join input is bounded by active-users-per-day. At 100 TB the same
+    plan runs over the deduplicated activity table; the bitmap/HLL
+    variants trade exactness for state when even that is too wide."""
+    events = load_table(spark, sf_dir, "events")
+    du = events.select(
+        F.col("ts").cast("date").alias("day"), "user_id"
+    ).distinct()
+    days = du.select("day").distinct()
+    pairs = (
+        days.alias("d")
+        .join(
+            days.select(F.col("day").alias("prev_day")).alias("p"),
+            F.expr("p.prev_day = d.day - INTERVAL 1 DAY"),
+            "left_semi",
+        )
+        .select(F.col("day"), F.expr("day - INTERVAL 1 DAY").alias("prev_day"))
+    )
+    t = du.alias("t")
+    y = du.select(
+        F.col("day").alias("y_day"), F.col("user_id").alias("y_user")
+    )
+    j = (
+        pairs.join(t, F.col("t.day") == pairs["day"])
+        .join(
+            y,
+            (F.col("y_day") == pairs["prev_day"])
+            & (F.col("y_user") == F.col("t.user_id")),
+            "left",
+        )
+    )
+    return (
+        j.groupBy(pairs["day"])
+        .agg(
+            F.countDistinct("t.user_id").cast("long").alias("n_active"),
+            F.countDistinct(
+                F.when(F.col("y_user").isNotNull(), F.col("t.user_id"))
+            )
+            .cast("long")
+            .alias("n_retained"),
+            F.countDistinct(
+                F.when(F.col("y_user").isNull(), F.col("t.user_id"))
+            )
+            .cast("long")
+            .alias("n_new"),
+        )
+        .orderBy("day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# DQ: out-of-order arrival audit. event_id is the ingestion order
+# proxy; positions where the event TIME runs backwards vs the
+# previous ingested event for the same user are inversions -- the
+# late-data signal that sizes streaming watermarks.
+# ---------------------------------------------------------------------------
+
+_INVERSIONS_SQL = """
+WITH feed AS (
+  SELECT user_id, event_id, ts FROM events
+  UNION ALL
+  -- deterministic LATE arrivals: every 50th event re-ingested 2h
+  -- stale with a later ingestion id (negative-free, collision-free)
+  SELECT user_id, event_id + 10000000, ts - INTERVAL 2 HOUR
+  FROM events WHERE event_id % 50 = 0),
+o AS (
+  SELECT user_id, event_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_ts
+  FROM feed)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN ts < prev_ts THEN 1 ELSE 0 END) AS BIGINT) AS n_inversions,
+       CAST(max(CASE WHEN ts < prev_ts
+                 THEN CAST(floor(epoch(prev_ts)) AS BIGINT) - CAST(floor(epoch(ts)) AS BIGINT)
+                 ELSE 0 END) AS BIGINT) AS max_backstep_seconds
+FROM o GROUP BY user_id
+HAVING sum(CASE WHEN ts < prev_ts THEN 1 ELSE 0 END) > 0
+ORDER BY user_id
+"""
+
+
+@_q("dq_event_order_inversions", _INVERSIONS_SQL)
+def dq_event_order_inversions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late/out-of-order arrival audit per user: ingestion order
+    (event_id) vs event time, counting backward steps and the worst
+    backstep in seconds -- the empirical basis for choosing a
+    streaming watermark horizon. The fixture stream is perfectly
+    ordered, so a deterministic late-arrival feed (every 50th event
+    re-ingested 2h stale) is unioned in -- the audit then provably
+    finds exactly those rows. One user-partitioned window + one
+    aggregate."""
+    events = load_table(spark, sf_dir, "events")
+    feed = events.select("user_id", "event_id", "ts").unionByName(
+        events.where(F.col("event_id") % 50 == 0).select(
+            "user_id",
+            (F.col("event_id") + 10000000).alias("event_id"),
+            F.expr("ts - INTERVAL 2 HOUR").alias("ts"),
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    o = feed.withColumn("prev_ts", F.lag("ts").over(w))
+    inv = F.when(F.col("ts") < F.col("prev_ts"), 1).otherwise(0)
+    backstep = F.when(
+        F.col("ts") < F.col("prev_ts"),
+        F.unix_timestamp("prev_ts") - F.unix_timestamp("ts"),
+    ).otherwise(0)
+    return (
+        o.groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum(inv).cast("long").alias("n_inversions"),
+            F.max(backstep).cast("long").alias("max_backstep_seconds"),
+        )
+        .where(F.col("n_inversions") > 0)
+        .select(
+            F.col("user_id").cast("long").alias("user_id"),
+            "n_events",
+            "n_inversions",
+            "max_backstep_seconds",
+        )
+        .orderBy("user_id")
+    )

@@ -348,6 +348,9 @@ WINDOW_R6_CANDIDATES: list[str] = [
     "text_pii_scrub",
     "events_sequence_pattern",
     "intervals_intersection_total",
+    "multimodal_frame_sample_fanout",
+    "audience_overlap_daily",
+    "dq_event_order_inversions",
 ]
 _missing_r6 = [n for n in WINDOW_R6_CANDIDATES if n not in QUERIES]
 assert not _missing_r6, f"WINDOW_R6 names not registered: {_missing_r6}"
