@@ -143,6 +143,7 @@ HEADLINE = [
     "intervals_intersection_total",
     "multimodal_frame_sample_fanout",
     "audience_overlap_daily",
+    "timeseries_decompose_weekly",
     "pack_efficiency_stats",
     "orders_backlog_aging",
     "dq_freshness_by_type",

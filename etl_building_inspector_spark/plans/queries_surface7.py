@@ -1009,3 +1009,172 @@ def dq_event_order_inversions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Naive seasonal decomposition of daily revenue: trend = centered
+# 7-row moving average, seasonal = per-ISO-weekday mean of the
+# detrended series. Exactness: the detrended value is kept as
+# cents*7 - trend_sum (a pure BIGINT -- multiplying through by the
+# window width avoids a float trend in the middle of the pipeline);
+# the only floats are the final trend/7 and seasonal-mean divisions.
+# Edge days without a full 7-row window are excluded (no partial-
+# window bias, and the integer domain stays uniform).
+# ---------------------------------------------------------------------------
+
+_DECOMP_SQL = """
+WITH daily AS (
+  SELECT o_orderdate AS day,
+         CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY o_orderdate),
+w AS (
+  SELECT day, cents,
+         CAST(sum(cents) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS BIGINT) AS tsum,
+         count(*) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS wn
+  FROM daily),
+full_w AS (
+  SELECT day, cents, tsum,
+         CAST(cents * 7 - tsum AS BIGINT) AS detr7,
+         CAST(isodow(day) - 1 AS BIGINT) AS wd
+  FROM w WHERE wn = 7),
+seasonal AS (
+  SELECT wd, CAST(sum(detr7) AS BIGINT) AS ssum, CAST(count(*) AS BIGINT) AS sn
+  FROM full_w GROUP BY wd)
+SELECT f.day, f.cents,
+       CAST(f.tsum AS DOUBLE) / 7 AS trend_cents,
+       f.wd,
+       CAST(s.ssum AS DOUBLE) / s.sn / 7 AS seasonal_cents
+FROM full_w f JOIN seasonal s USING (wd)
+ORDER BY f.day
+"""
+
+
+@_q("timeseries_decompose_weekly", _DECOMP_SQL)
+def timeseries_decompose_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trend + weekly-seasonal decomposition in the exact integer
+    domain until the final divisions: centered 7-row trend sum,
+    detrended kept as cents*7 - trend_sum (BIGINT), per-weekday
+    seasonal means from integer sums. The windows run over the daily
+    series (date-dimension-sized, independent of fact scale); the
+    seasonal table is 7 rows, broadcast back."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    w7 = Window.orderBy("day").rowsBetween(-3, 3)
+    w = daily.withColumn("tsum", F.sum("cents").over(w7).cast("long")).withColumn(
+        "wn", F.count("*").over(w7)
+    )
+    full_w = w.where(F.col("wn") == 7).select(
+        "day",
+        "cents",
+        "tsum",
+        (F.col("cents") * 7 - F.col("tsum")).cast("long").alias("detr7"),
+        (F.expr("weekday(day)")).cast("long").alias("wd"),
+    )
+    seasonal = full_w.groupBy("wd").agg(
+        F.sum("detr7").cast("long").alias("ssum"),
+        F.count("*").cast("long").alias("sn"),
+    )
+    return (
+        full_w.join(F.broadcast(seasonal), "wd")
+        .select(
+            "day",
+            "cents",
+            (F.col("tsum").cast("double") / 7).alias("trend_cents"),
+            "wd",
+            (F.col("ssum").cast("double") / F.col("sn") / 7).alias(
+                "seasonal_cents"
+            ),
+        )
+        .orderBy("day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SCD2 AS-OF read: reconstruct the dimension exactly as it stood at a
+# pivot instant from the versioned history -- the consumer half of
+# scd2_dimension's build. Validity predicate only; at scale this is a
+# partition-prunable filter over the history table.
+# ---------------------------------------------------------------------------
+
+_SCD2_ASOF_SQL = """
+WITH current AS (
+  SELECT c_custkey, c_acctbal, c_mktsegment,
+         TIMESTAMP '2020-01-01' AS valid_from,
+         CAST(NULL AS TIMESTAMP) AS valid_to,
+         true AS is_current
+  FROM customer
+),
+updates AS (
+  SELECT c_custkey, c_acctbal * 2 AS c_acctbal, 'UPDATED' AS c_mktsegment
+  FROM customer WHERE c_custkey % 7 = 0
+),
+hist AS (
+  SELECT t.c_custkey, t.c_acctbal, t.c_mktsegment, t.valid_from,
+         TIMESTAMP '2024-01-01' AS valid_to, false AS is_current
+  FROM current t
+  WHERE EXISTS (SELECT 1 FROM updates u WHERE u.c_custkey = t.c_custkey)
+  UNION ALL
+  SELECT t.* FROM current t
+  WHERE NOT EXISTS (SELECT 1 FROM updates u WHERE u.c_custkey = t.c_custkey)
+  UNION ALL
+  SELECT u.c_custkey, u.c_acctbal, u.c_mktsegment,
+         TIMESTAMP '2024-01-01' AS valid_from,
+         CAST(NULL AS TIMESTAMP) AS valid_to, true AS is_current
+  FROM updates u
+)
+SELECT CAST(c_custkey AS BIGINT) AS cust_key, c_acctbal AS acctbal,
+       c_mktsegment AS segment, valid_from
+FROM hist
+WHERE valid_from <= TIMESTAMP '2022-06-01'
+  AND (valid_to IS NULL OR valid_to > TIMESTAMP '2022-06-01')
+ORDER BY cust_key
+"""
+
+
+@_q("scd2_as_of_read", _SCD2_ASOF_SQL)
+def scd2_as_of_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time dimension reconstruction from SCD2 history
+    (valid_from <= T < valid_to): every key appears exactly once with
+    its 2022 state -- pre-update values for the %7 keys whose 2024
+    version postdates the pivot. Completes the SCD2 lifecycle
+    (build: scd2_dimension; read: this)."""
+    from ..operators.scd import scd2_apply
+
+    current = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_acctbal",
+        "c_mktsegment",
+        F.lit("2020-01-01").cast("timestamp").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    updates = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 7 == 0)
+        .select(
+            "c_custkey",
+            (F.col("c_acctbal") * 2).alias("c_acctbal"),
+            F.lit("UPDATED").alias("c_mktsegment"),
+        )
+    )
+    hist = scd2_apply(
+        current, updates, "c_custkey", F.lit("2024-01-01").cast("timestamp")
+    )
+    pivot = F.lit("2022-06-01").cast("timestamp")
+    return (
+        hist.where(
+            (F.col("valid_from") <= pivot)
+            & (F.col("valid_to").isNull() | (F.col("valid_to") > pivot))
+        )
+        .select(
+            F.col("c_custkey").cast("long").alias("cust_key"),
+            F.col("c_acctbal").alias("acctbal"),
+            F.col("c_mktsegment").alias("segment"),
+            "valid_from",
+        )
+        .orderBy("cust_key")
+    )

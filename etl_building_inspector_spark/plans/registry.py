@@ -351,6 +351,8 @@ WINDOW_R6_CANDIDATES: list[str] = [
     "multimodal_frame_sample_fanout",
     "audience_overlap_daily",
     "dq_event_order_inversions",
+    "timeseries_decompose_weekly",
+    "scd2_as_of_read",
 ]
 _missing_r6 = [n for n in WINDOW_R6_CANDIDATES if n not in QUERIES]
 assert not _missing_r6, f"WINDOW_R6 names not registered: {_missing_r6}"
