@@ -144,6 +144,7 @@ HEADLINE = [
     "multimodal_frame_sample_fanout",
     "audience_overlap_daily",
     "timeseries_decompose_weekly",
+    "ann_recall_eval",
     "pack_efficiency_stats",
     "orders_backlog_aging",
     "dq_freshness_by_type",

@@ -351,3 +351,74 @@ def multimodal_frame_sample_fanout(spark: SparkSession, sf_dir: str) -> DataFram
         "ts_ms",
         F.hex(F.col("frame")).alias("frame_hex"),
     ).orderBy("key", "frame_idx")
+
+
+# ---------------------------------------------------------------------------
+# ANN recall EVAL as a query: brute-force top-k is ground truth, the
+# deterministic IVF variant is the candidate; per-query recall =
+# |intersection| / k. Both sides already have exact oracles, so the
+# eval composes them (the DuckDB twin wraps both statements as CTE
+# subqueries) -- recall itself becomes an oracle-checked number, the
+# eval-as-data discipline an ANN rollout needs before flipping
+# traffic. k and IVF geometry match the registered queries.
+# ---------------------------------------------------------------------------
+
+
+def _ann_recall_sql() -> str:
+    from . import queries_llm as _llm
+
+    brute = _llm.ORACLES["ann_cosine_topk"].strip()
+    ivf = _llm.ORACLES["ann_cosine_ivf_sampled"].strip()
+    return f"""
+WITH brute AS (
+{brute}
+),
+ivf AS (
+{ivf}
+)
+SELECT b.query_id,
+       CAST(count(*) AS BIGINT) AS k,
+       CAST(count(i.neighbor_id) AS BIGINT) AS n_matched,
+       CAST(count(i.neighbor_id) AS DOUBLE) / count(*) AS recall
+FROM brute b
+LEFT JOIN ivf i
+  ON i.query_id = b.query_id AND i.neighbor_id = b.neighbor_id
+GROUP BY b.query_id
+ORDER BY b.query_id
+"""
+
+
+@_q("ann_recall_eval", None)
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query recall of the deterministic IVF ANN against the
+    brute-force ground truth -- the acceptance gate of any ANN
+    deployment, expressed as one plan (both sides reuse the
+    registered implementations; the ground-truth join is per-query,
+    k-bounded)."""
+    from . import queries_llm as _llm
+
+    brute = _llm.QUERIES["ann_cosine_topk"](spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    ivf = _llm.QUERIES["ann_cosine_ivf_sampled"](spark, sf_dir).select(
+        F.col("query_id").alias("i_qid"),
+        F.col("neighbor_id").alias("i_nid"),
+    )
+    j = brute.join(
+        ivf,
+        (F.col("query_id") == F.col("i_qid"))
+        & (F.col("neighbor_id") == F.col("i_nid")),
+        "left",
+    )
+    return (
+        j.groupBy("query_id")
+        .agg(
+            F.count("*").cast("long").alias("k"),
+            F.count("i_nid").cast("long").alias("n_matched"),
+            (F.count("i_nid").cast("double") / F.count("*")).alias("recall"),
+        )
+        .orderBy("query_id")
+    )
+
+
+ORACLES["ann_recall_eval"] = _ann_recall_sql()

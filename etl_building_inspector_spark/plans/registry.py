@@ -353,6 +353,7 @@ WINDOW_R6_CANDIDATES: list[str] = [
     "dq_event_order_inversions",
     "timeseries_decompose_weekly",
     "scd2_as_of_read",
+    "ann_recall_eval",
 ]
 _missing_r6 = [n for n in WINDOW_R6_CANDIDATES if n not in QUERIES]
 assert not _missing_r6, f"WINDOW_R6 names not registered: {_missing_r6}"
