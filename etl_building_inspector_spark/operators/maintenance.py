@@ -417,9 +417,19 @@ def vacuum_plan(
     whatever retention window its sessions need (concurrent readers
     of a superseded snapshot may still hold the files open).
     """
-    present = {
-        os.path.basename(f): f for f, _ in list_parquet_files(spark, base_dir)
-    }
+    listed = list_parquet_files(spark, base_dir)
+    present = {os.path.basename(f): f for f, _ in listed}
+    # basename keying is only sound when basenames are unique under
+    # base_dir (parquet part names carry per-task UUIDs, so they are
+    # -- unless someone nested a copy of the table). A collision would
+    # silently classify an orphan as live; refuse instead, the same
+    # guard compact_parquet_dir applies to its bin map.
+    if len(present) != len(listed):
+        raise ValueError(
+            "duplicate parquet basenames under "
+            f"{base_dir}; basename-keyed vacuum planning would "
+            "misclassify orphans -- deduplicate the layout first"
+        )
     live = {os.path.basename(f) for f in live_files}
     orphans = sorted(p for b, p in present.items() if b not in live)
     missing = sorted(b for b in live if b not in present)

@@ -161,13 +161,18 @@ stats AS (
          CAST(sum(s * s) AS BIGINT) AS ssq
   FROM flat GROUP BY dim),
 var AS (
+  -- variance numerator in DOUBLE: n*ssq - ssum^2 overflows BIGINT
+  -- past ~10k vectors; both engines evaluate the identical double
+  -- expression over exactly-derived integer atoms, so cross-engine
+  -- equality is preserved without the overflow
   SELECT dim, n, ssum, ssq,
-         CAST(n * ssq - ssum * ssum AS BIGINT) AS vnum
+         CAST(n AS DOUBLE) * CAST(ssq AS DOUBLE)
+           - CAST(ssum AS DOUBLE) * CAST(ssum AS DOUBLE) AS vnum
   FROM stats)
 SELECT CAST(f.vec_id AS BIGINT) AS vec_id,
        CAST(f.dim AS BIGINT) AS dim,
        (f.v - CAST(ssum AS DOUBLE) / n / {_W_SCALE})
-         / (sqrt(CAST(vnum AS DOUBLE)) / n / {_W_SCALE}) AS w
+         / (sqrt(vnum) / n / {_W_SCALE}) AS w
 FROM flat f JOIN var USING (dim)
 WHERE vnum > 0
 ORDER BY vec_id, dim
@@ -195,16 +200,20 @@ def emb_whitening_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("s").cast("long").alias("ssum"),
         F.sum(F.col("s") * F.col("s")).cast("long").alias("ssq"),
     )
+    # double-domain variance numerator: BIGINT n*ssq - ssum^2 would
+    # overflow past ~10k vectors; identical expression order in both
+    # engines keeps the oracle hash-exact (see the SQL twin comment)
     var = stats.select(
         "dim",
         "n",
         "ssum",
-        (F.col("n") * F.col("ssq") - F.col("ssum") * F.col("ssum"))
-        .cast("long")
-        .alias("vnum"),
+        (
+            F.col("n").cast("double") * F.col("ssq").cast("double")
+            - F.col("ssum").cast("double") * F.col("ssum").cast("double")
+        ).alias("vnum"),
     )
     mean = F.col("ssum").cast("double") / F.col("n") / F.lit(_W_SCALE)
-    std = F.sqrt(F.col("vnum").cast("double")) / F.col("n") / F.lit(_W_SCALE)
+    std = F.sqrt(F.col("vnum")) / F.col("n") / F.lit(_W_SCALE)
     return (
         flat.join(F.broadcast(var), "dim")
         .where(F.col("vnum") > 0)

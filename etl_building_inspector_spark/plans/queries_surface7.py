@@ -891,10 +891,16 @@ def audience_overlap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     join input is bounded by active-users-per-day. At 100 TB the same
     plan runs over the deduplicated activity table; the bitmap/HLL
     variants trade exactness for state when even that is too wide."""
+    from ..operators._cache import track_persist
+
     events = load_table(spark, sf_dir, "events")
-    du = events.select(
-        F.col("ts").cast("date").alias("day"), "user_id"
-    ).distinct()
+    # du feeds days (twice, via the pairs semi-join), t and y -- four
+    # consumers; persist per the repo's reused-intermediate discipline
+    du = track_persist(
+        events.select(
+            F.col("ts").cast("date").alias("day"), "user_id"
+        ).distinct()
+    )
     days = du.select("day").distinct()
     pairs = (
         days.alias("d")
