@@ -1,0 +1,276 @@
+"""Ninth LLM-pipeline batch: token-span substring dedup (the
+Lee-et-al. "Deduplicating Training Data Makes Language Models Better"
+signal), BPE merge-pair statistics (the first iteration of tokenizer
+training), and RAKE keyword extraction (Rose et al. 2010).
+
+Same discipline as the sibling modules: every oracle is generated
+from the exact constants the Spark plan uses, all scores live in an
+exact integer domain (counts, DIV, ppm), and ORDER/tiebreaks are
+fully deterministic in both engines.
+
+Scale themes:
+  * span hashing is ONE linear explode (positions -> codegen
+    substring/slice, the measured-faster pattern from the OOV
+    scorer); the only shuffle keys are fixed-width md5 hashes;
+  * BPE pair counting aggregates per DISTINCT word first (vocab-sized,
+    orders of magnitude smaller than the corpus), then weights by
+    word frequency -- the standard fast-BPE trick;
+  * RAKE is explode + one running-sum window per doc + two bounded
+    aggregations; nothing is quadratic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from .queries_llm import _NORM, _TOKS
+
+QUERIES: dict = {}
+ORACLES: dict[str, str] = {}
+
+
+def _q(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLES[name] = sql
+        return fn
+
+    return deco
+
+
+# shared constants (Spark plan and SQL oracle generated from THESE)
+SPAN_N = 8  # tokens per span (Lee et al. use 50 BPE tokens; same shape)
+BPE_TOPK = 20
+RAKE_STOPWORDS = ("a", "the")
+RAKE_TOPK = 25
+
+
+# ---------------------------------------------------------------------------
+# Substring-span dedup: every SPAN_N-token window (stride 1) is
+# hashed; a span occurring >= 2 times ANYWHERE in the corpus (other
+# docs or the same doc) is "duplicated" -- the per-doc duplicated-span
+# ratio is the cut signal substring dedup acts on (Lee et al. 2022,
+# arXiv:2107.06499: exact substring dedup at 50-token granularity).
+# ---------------------------------------------------------------------------
+
+_SPANS_SQL = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+sp AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(toks) >= {SPAN_N}
+           THEN [md5(array_to_string(toks[i:i+{SPAN_N - 1}], ' '))
+                 for i in generate_series(1, len(toks) - {SPAN_N - 1})]
+           ELSE []::VARCHAR[] END) AS h
+  FROM t),
+c AS (SELECT h, count(*) AS n_total FROM sp GROUP BY h)
+SELECT CAST(sp.doc_id AS BIGINT) AS doc_id,
+       CAST(count(*) AS BIGINT) AS n_spans,
+       CAST(sum(CASE WHEN c.n_total >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
+       CAST((1000000 * sum(CASE WHEN c.n_total >= 2 THEN 1 ELSE 0 END))
+            // count(*) AS BIGINT) AS dup_ratio_ppm
+FROM sp JOIN c USING (h)
+GROUP BY sp.doc_id
+ORDER BY doc_id
+"""
+
+
+@_q("dedup_substring_spans", _SPANS_SQL)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc duplicated token-span coverage: hash every SPAN_N-token
+    window, mark spans occurring >= 2 times corpus-wide, report the
+    per-doc duplicated ratio in exact ppm. 100 TB shape: the explode
+    is linear in corpus tokens, the span count groups on fixed-width
+    md5 keys (map-side combinable), and the count join back is a
+    plain hash join on the same key -- no pairwise anything. The span
+    table is consumed twice (count + join back), so it is persisted."""
+    from ..operators._cache import track_persist
+
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " "))
+    toks = F.split(norm, " ")
+    spans = track_persist(
+        docs.select("doc_id", toks.alias("toks"))
+        .where(F.size("toks") >= SPAN_N)
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(1), F.size("toks") - (SPAN_N - 1))
+            ).alias("i"),
+            F.col("toks"),
+        )
+        .select(
+            "doc_id",
+            F.md5(
+                F.concat_ws(" ", F.slice(F.col("toks"), F.col("i"), SPAN_N))
+            ).alias("h"),
+        )
+    )
+    counts = spans.groupBy("h").agg(F.count("*").alias("n_total"))
+    dup = F.when(F.col("n_total") >= 2, F.lit(1)).otherwise(F.lit(0))
+    return (
+        spans.join(counts, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_spans"),
+            F.sum(dup).cast("long").alias("n_dup_spans"),
+        )
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "n_spans",
+            "n_dup_spans",
+            F.expr("(1000000 * n_dup_spans) DIV n_spans")
+            .cast("long")
+            .alias("dup_ratio_ppm"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge-pair statistics: the first iteration of byte-pair-encoding
+# tokenizer training (Sennrich et al. 2016, arXiv:1508.07909) -- count
+# adjacent symbol pairs (symbols = chars at iteration 0) weighted by
+# word frequency, and rank merge candidates. The fast-BPE trick:
+# aggregate the corpus to a DISTINCT-word frequency table FIRST
+# (vocab-sized), then enumerate pairs only over the vocab.
+# ---------------------------------------------------------------------------
+
+_BPE_SQL = f"""
+WITH words AS (
+  SELECT w, count(*) AS wf FROM (
+    SELECT unnest({_TOKS}) AS w FROM documents) GROUP BY w),
+pairs AS (
+  SELECT unnest([substr(w, i, 2) for i in generate_series(1, length(w) - 1)]) AS pair,
+         w, wf
+  FROM words WHERE length(w) >= 2)
+SELECT pair,
+       CAST(sum(wf) AS BIGINT) AS n_total,
+       CAST(count(DISTINCT w) AS BIGINT) AS n_words
+FROM pairs GROUP BY pair
+ORDER BY n_total DESC, pair ASC
+LIMIT {BPE_TOPK}
+"""
+
+
+@_q("text_bpe_merge_pairs", _BPE_SQL)
+def text_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top merge candidates for BPE iteration 0: adjacent char-pair
+    counts weighted by word frequency, over the distinct-word vocab
+    only. 100 TB shape: the corpus collapses to a vocab-sized word
+    table in one map-side-combined groupBy; pair enumeration explodes
+    the VOCAB (bounded), never the corpus; the final top-k is a
+    TakeOrderedAndProject."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " "))
+    words = (
+        docs.select(F.explode(F.split(norm, " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("wf"))
+    )
+    pairs = (
+        words.where(F.length("w") >= 2)
+        .select(
+            "w",
+            "wf",
+            F.explode(F.sequence(F.lit(1), F.length("w") - 1)).alias("i"),
+        )
+        .select(F.expr("substring(w, i, 2)").alias("pair"), "w", "wf")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(
+            F.sum("wf").cast("long").alias("n_total"),
+            F.countDistinct("w").cast("long").alias("n_words"),
+        )
+        .orderBy(F.col("n_total").desc(), F.col("pair").asc())
+        .limit(BPE_TOPK)
+    )
+
+
+# ---------------------------------------------------------------------------
+# RAKE keyword extraction (Rose et al. 2010): phrases are maximal
+# stopword-free token runs; word score = degree/frequency where
+# degree(w) = sum over w's occurrences of the containing phrase's
+# length (co-occurrence degree including itself). Scores in exact ppm.
+# ---------------------------------------------------------------------------
+
+
+def _rake_sql() -> str:
+    stop_lit = "[" + ", ".join(f"'{w}'" for w in RAKE_STOPWORDS) + "]"
+    return f"""
+WITH pos AS (
+  SELECT doc_id, p.i AS pos, p.w,
+         CASE WHEN list_contains({stop_lit}, p.w) THEN 1 ELSE 0 END AS is_stop
+  FROM (
+    SELECT doc_id,
+           unnest([{{'i': i, 'w': t[i]}} for i in generate_series(1, len(t))]) AS p
+    FROM (SELECT doc_id, {_TOKS} AS t FROM documents))),
+ph AS (
+  SELECT doc_id, pos, w, is_stop,
+         sum(is_stop) OVER (PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS phrase_id
+  FROM pos),
+members AS (
+  SELECT doc_id, phrase_id, w,
+         count(*) OVER (PARTITION BY doc_id, phrase_id) AS plen
+  FROM ph WHERE is_stop = 0),
+scored AS (
+  SELECT w, count(*) AS freq, sum(plen) AS degree
+  FROM members GROUP BY w)
+SELECT w AS word,
+       CAST(freq AS BIGINT) AS freq,
+       CAST(degree AS BIGINT) AS degree,
+       CAST((1000000 * degree) // freq AS BIGINT) AS score_ppm
+FROM scored
+ORDER BY score_ppm DESC, word ASC
+LIMIT {RAKE_TOPK}
+"""
+
+
+@_q("text_rake_keywords", _rake_sql())
+def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keywords: stopword-delimited phrases -> word
+    degree/frequency scores in exact ppm, top-K with deterministic
+    tiebreak. 100 TB shape: posexplode is linear, the phrase-id
+    running sum partitions BY DOC (no global window), and the two
+    aggregations group on bounded keys (doc x phrase, then vocab)."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " "))
+    pos = docs.select(
+        "doc_id", F.posexplode(F.split(norm, " ")).alias("pos0", "w")
+    ).select(
+        "doc_id",
+        (F.col("pos0") + 1).alias("pos"),
+        "w",
+        F.when(F.col("w").isin(*RAKE_STOPWORDS), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("is_stop"),
+    )
+    w_run = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ph = pos.withColumn("phrase_id", F.sum("is_stop").over(w_run))
+    # phrase length via a second window over the same doc partition --
+    # no self-join, the members lineage is scanned once
+    w_ph = Window.partitionBy("doc_id", "phrase_id")
+    members = ph.where(F.col("is_stop") == 0).select(
+        "doc_id", "phrase_id", "w"
+    ).withColumn("plen", F.count("*").over(w_ph))
+    scored = members.groupBy("w").agg(
+        F.count("*").alias("freq"), F.sum("plen").alias("degree")
+    )
+    return (
+        scored.select(
+            F.col("w").alias("word"),
+            F.col("freq").cast("long").alias("freq"),
+            F.col("degree").cast("long").alias("degree"),
+            F.expr("(1000000 * degree) DIV freq").cast("long").alias("score_ppm"),
+        )
+        .orderBy(F.col("score_ppm").desc(), F.col("word").asc())
+        .limit(RAKE_TOPK)
+    )

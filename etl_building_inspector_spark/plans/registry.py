@@ -27,6 +27,7 @@ from . import (
     queries_llm6,
     queries_llm7,
     queries_llm8,
+    queries_llm9,
     queries_spatial,
     queries_streaming,
     queries_surface,
@@ -221,6 +222,7 @@ for mod in (
     queries_llm6,
     queries_llm7,
     queries_llm8,
+    queries_llm9,
     queries_spatial,
     queries_streaming,
     queries_surface,
@@ -354,6 +356,10 @@ WINDOW_R6_CANDIDATES: list[str] = [
     "timeseries_decompose_weekly",
     "scd2_as_of_read",
     "ann_recall_eval",
+    # llm9: substring-span dedup, BPE merge stats, RAKE keywords
+    "dedup_substring_spans",
+    "text_bpe_merge_pairs",
+    "text_rake_keywords",
 ]
 _missing_r6 = [n for n in WINDOW_R6_CANDIDATES if n not in QUERIES]
 assert not _missing_r6, f"WINDOW_R6 names not registered: {_missing_r6}"
