@@ -46,6 +46,9 @@ SPAN_N = 8  # tokens per span (Lee et al. use 50 BPE tokens; same shape)
 BPE_TOPK = 20
 RAKE_STOPWORDS = ("a", "the")
 RAKE_TOPK = 25
+HLL_M = 64  # registers (2^6); reg from the first 2 md5 hex digits
+HLL_VBITS = 48  # rho field: the next 12 hex digits
+BOILER_MIN_ALNUM = 20
 
 
 # ---------------------------------------------------------------------------
@@ -273,4 +276,209 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("score_ppm").desc(), F.col("word").asc())
         .limit(RAKE_TOPK)
+    )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog, hand-rolled and DETERMINISTIC (Flajolet et al. 2007):
+# register = first 2 md5 hex digits mod 64, rho = leading zeros of the
+# next 48 bits + 1. The register table is max-mergeable (the sketch
+# property everything downstream relies on), the harmonic-mean
+# denominator is accumulated as an exact BIGINT (sum of 2^(49-rho)),
+# and the estimate is ONE division of exact integers by a literal --
+# so unlike approx_count_distinct, this sketch's estimate is
+# bit-reproducible in DuckDB and the estimator error itself becomes an
+# oracle-checked number (the eval-as-data discipline, like
+# ann_recall_eval). Raw HLL estimator: no small-range linear-counting
+# correction (documented; the eval shows the raw bias).
+# ---------------------------------------------------------------------------
+
+_HEXD = "0123456789abcdef"
+# alpha_64 * m^2 * 2^49 as one literal double, identical in both engines
+_HLL_ALPHA = 0.7213 / (1 + 1.079 / HLL_M)
+_HLL_NUM = _HLL_ALPHA * HLL_M * HLL_M * float(2**49)
+
+
+def _hll_digit(engine: str, p: int) -> str:
+    # BIGINT from the start: digit * 16^7 already overflows INT32
+    # (ANSI-on errors, ANSI-off silently wraps)
+    fn = "instr" if engine == "spark" else "strpos"
+    return f"CAST({fn}('{_HEXD}', substr(h, {p}, 1)) - 1 AS BIGINT)"
+
+
+def _hll_exprs(engine: str) -> tuple[str, str, str]:
+    """(reg, v, rho) SQL fragments, generated once for both engines."""
+    reg = f"(({_hll_digit(engine, 1)} * 16 + {_hll_digit(engine, 2)}) % {HLL_M})"
+    terms = [
+        f"{_hll_digit(engine, 3 + j)} * {16 ** (11 - j)}" for j in range(12)
+    ]
+    v = "(" + " + ".join(terms) + ")"
+    rho = f"(CASE WHEN v = 0 THEN {HLL_VBITS + 1} ELSE {HLL_VBITS + 1} - length(bin(v)) END)"
+    return reg, v, rho
+
+
+def _hll_sql() -> str:
+    reg, v, rho = _hll_exprs("duck")
+    two49 = 2**49
+    return f"""
+WITH h AS (
+  SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS h FROM events),
+rr AS (SELECT event_type, {reg} AS reg, {v} AS v FROM h),
+regs AS (
+  SELECT event_type, reg, max({rho}) AS m FROM rr GROUP BY event_type, reg),
+z AS (
+  SELECT event_type,
+         CAST(sum(CAST(1 AS BIGINT) << (49 - m)) AS BIGINT)
+           + ({HLL_M} - count(*)) * {two49} AS z_int,
+         count(*) AS n_regs
+  FROM regs GROUP BY event_type),
+ex AS (
+  SELECT event_type, count(DISTINCT user_id) AS n_exact
+  FROM events GROUP BY event_type)
+SELECT ex.event_type,
+       CAST(n_exact AS BIGINT) AS n_exact,
+       CAST(n_regs AS BIGINT) AS n_regs,
+       {_HLL_NUM!r} / CAST(z_int AS DOUBLE) AS hll_est,
+       CAST(floor(abs({_HLL_NUM!r} / CAST(z_int AS DOUBLE) - n_exact)
+                  * 1000000.0 / n_exact) AS BIGINT) AS err_ppm
+FROM ex JOIN z USING (event_type)
+ORDER BY event_type
+"""
+
+
+@_q("sketch_hll_distinct_eval", _hll_sql())
+def sketch_hll_distinct_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-user HLL per event_type, built from scratch on md5
+    bits, evaluated against the exact count -- estimate AND error are
+    oracle-checked numbers. 100 TB shape: one linear scan, one
+    map-side-combined groupBy onto at most |types| x 64 register rows
+    (the register table IS the mergeable sketch state: max() merges
+    shards/days for free), and the exact side is the one true shuffle.
+    The estimator is raw HLL (no linear-counting small-range
+    correction), which the eval makes visible instead of hiding."""
+    reg, v, rho = _hll_exprs("spark")
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.select("event_type", F.md5(F.col("user_id").cast("string")).alias("h"))
+    rr = h.select("event_type", F.expr(reg).alias("reg"), F.expr(v).alias("v"))
+    regs = rr.groupBy("event_type", "reg").agg(F.max(F.expr(rho)).alias("m"))
+    z = regs.groupBy("event_type").agg(
+        (
+            F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), CAST(49 - m AS INT))"))
+            + (F.lit(HLL_M) - F.count("*")) * F.lit(2**49)
+        )
+        .cast("long")
+        .alias("z_int"),
+        F.count("*").cast("long").alias("n_regs"),
+    )
+    ex = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("n_exact")
+    )
+    est = F.lit(_HLL_NUM) / F.col("z_int").cast("double")
+    return (
+        ex.join(F.broadcast(z), "event_type")
+        .select(
+            "event_type",
+            "n_exact",
+            "n_regs",
+            est.alias("hll_est"),
+            F.floor(
+                F.abs(est - F.col("n_exact")) * F.lit(1000000.0) / F.col("n_exact")
+            )
+            .cast("long")
+            .alias("err_ppm"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Boilerplate removal: deterministic HTML chrome (title/nav/ads/footer
+# lines, each link-bearing) wrapped around the document text, then the
+# jusText-style keep rule -- drop any line containing links or with
+# fewer than BOILER_MIN_ALNUM alphanumeric chars after tag-stripping.
+# The cleaned text is md5-verified, so the oracle checks the full
+# transform. Map-only: zero shuffles.
+# ---------------------------------------------------------------------------
+
+# strip(l): tags -> space, collapse spaces, trim (shared semantics;
+# duck needs explicit 'g' flags, Spark is global by default)
+_STRIP_DUCK = (
+    "trim(regexp_replace(regexp_replace(l, '<[^>]*>', ' ', 'g'), ' +', ' ', 'g'))"
+)
+_STRIP_SPARK = "trim(regexp_replace(regexp_replace(l, '<[^>]*>', ' '), ' +', ' '))"
+_ALNUM_DUCK = f"length(regexp_replace({_STRIP_DUCK}, '[^a-z0-9]', '', 'g'))"
+_ALNUM_SPARK = f"length(regexp_replace({_STRIP_SPARK}, '[^a-z0-9]', ''))"
+_NLINKS = "(length(l) - length(replace(l, '<a ', ''))) {div} 3"
+
+_BOILER_HTML_DUCK = """concat(
+  '<html><head><title>Doc ', CAST(doc_id AS VARCHAR), '</title></head><body>', chr(10),
+  '<nav><a href="/home">home</a> | <a href="/about">about</a> | <a href="/login">login</a></nav>', chr(10),
+  '<p>', text, '</p>', chr(10),
+  '<div class="ads"><a href="/buy">click here buy now</a> <a href="/sub">subscribe today</a></div>', chr(10),
+  '<footer><a href="/tos">terms</a> copyright 2024 example corp</footer>')"""
+
+
+def _boiler_sql() -> str:
+    nl = _NLINKS.format(div="//")
+    cond = f"{nl} = 0 AND {_ALNUM_DUCK} >= {BOILER_MIN_ALNUM}"
+    return f"""
+WITH aug AS (
+  SELECT doc_id, str_split({_BOILER_HTML_DUCK}, chr(10)) AS lines
+  FROM documents),
+kept AS (
+  SELECT doc_id,
+         len(lines) AS n_lines,
+         [{_STRIP_DUCK} for l in lines if {cond}] AS clean_lines
+  FROM aug)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(n_lines AS BIGINT) AS n_lines,
+       CAST(len(clean_lines) AS BIGINT) AS n_kept,
+       md5(array_to_string(clean_lines, ' ')) AS clean_md5
+FROM kept ORDER BY doc_id
+"""
+
+
+@_q("text_boilerplate_strip", _boiler_sql())
+def text_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML boilerplate removal: drop link-bearing / low-text lines,
+    keep the dense body text, md5-verify the cleaned output. The keep
+    rule is the jusText/trafilatura signal (link density + text mass)
+    in deterministic integer form. Map-only projection -- at 100 TB
+    this runs at scan speed with zero shuffles; the per-doc line
+    arrays are tiny (5 lines), so the interpreted HOFs never see a
+    hot loop."""
+    docs = load_table(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit("<html><head><title>Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit("</title></head><body>\n"),
+        F.lit(
+            '<nav><a href="/home">home</a> | <a href="/about">about</a>'
+            ' | <a href="/login">login</a></nav>\n<p>'
+        ),
+        F.col("text"),
+        F.lit(
+            '</p>\n<div class="ads"><a href="/buy">click here buy now</a>'
+            ' <a href="/sub">subscribe today</a></div>\n'
+            '<footer><a href="/tos">terms</a> copyright 2024 example corp</footer>'
+        ),
+    )
+    nl = _NLINKS.format(div="DIV")
+    cond = f"{nl} = 0 AND {_ALNUM_SPARK} >= {BOILER_MIN_ALNUM}"
+    return (
+        docs.select("doc_id", F.split(html, "\n").alias("lines"))
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.size("lines").cast("long").alias("n_lines"),
+            F.expr(
+                f"transform(filter(lines, l -> {cond}), l -> {_STRIP_SPARK})"
+            ).alias("clean_lines"),
+        )
+        .select(
+            "doc_id",
+            "n_lines",
+            F.size("clean_lines").cast("long").alias("n_kept"),
+            F.md5(F.array_join("clean_lines", " ")).alias("clean_md5"),
+        )
+        .orderBy("doc_id")
     )

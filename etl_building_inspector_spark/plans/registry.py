@@ -356,10 +356,13 @@ WINDOW_R6_CANDIDATES: list[str] = [
     "timeseries_decompose_weekly",
     "scd2_as_of_read",
     "ann_recall_eval",
-    # llm9: substring-span dedup, BPE merge stats, RAKE keywords
+    # llm9: substring-span dedup, BPE merge stats, RAKE keywords,
+    # deterministic HLL eval, boilerplate strip
     "dedup_substring_spans",
     "text_bpe_merge_pairs",
     "text_rake_keywords",
+    "sketch_hll_distinct_eval",
+    "text_boilerplate_strip",
 ]
 _missing_r6 = [n for n in WINDOW_R6_CANDIDATES if n not in QUERIES]
 assert not _missing_r6, f"WINDOW_R6 names not registered: {_missing_r6}"
