@@ -1155,3 +1155,95 @@ def probe_ivf_index(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def cosine_topk_ivf_pq(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 6,
+    n_sub: int = 8,
+    codes_per_sub: int = 16,
+    dim: int = 64,
+    cent_salt: str = "cent",
+    pq_salt: str = "pq",
+) -> DataFrame:
+    """IVF-PQ ANN: the composition that serves billion-scale indexes
+    (Jegou et al. 2011's IVFADC, minus residual encoding -- codes
+    quantize the raw vectors, the standard simplification when the
+    coarse quantizer is a sample). IVF bounds WHICH vectors get scored
+    (~n_probe/n_centroids of the corpus via the cell equi-join); PQ
+    bounds WHAT is read per scored vector (n_sub code bytes
+    reconstructed, not the full float32 row); ADC ranks
+    cos(full-precision query, reconstruction).
+
+    Both stages reuse the registered deterministic building blocks
+    (md5-sampled centroids, md5-sampled codebooks), so the whole
+    composed pipeline has an exact DuckDB oracle. Plan shape: centroids
+    and codebooks broadcast; one narrow assignment pass each; the only
+    corpus-sized shuffles are the two argmin windows keyed by id.
+    """
+
+    def _cos(a: Column, b: Column) -> Column:
+        return _dot(a, b) / (_norm(a) * _norm(b))
+
+    cent = (
+        corpus.select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("__cv"))
+        .orderBy(
+            F.md5(F.concat(F.lit(cent_salt + ":"), F.col("cent_id").cast("string"))),
+            F.col("cent_id"),
+        )
+        .limit(n_centroids)
+    )
+    w_assign = Window.partitionBy("__id").orderBy(
+        F.col("__cc").desc(), F.col("cent_id").asc()
+    )
+    assign = (
+        corpus.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+        .crossJoin(F.broadcast(cent))
+        .withColumn("__cc", _cos(F.col("__v"), F.col("__cv")))
+        .withColumn("__arnk", F.row_number().over(w_assign))
+        .filter(F.col("__arnk") == 1)
+        .select(F.col("__id").alias("neighbor_id"), "cent_id")
+    )
+    w_probe = Window.partitionBy("query_id").orderBy(
+        F.col("__qc").desc(), F.col("cent_id").asc()
+    )
+    probes = (
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
+        .crossJoin(F.broadcast(cent))
+        .withColumn("__qc", _cos(F.col("__qv"), F.col("__cv")))
+        .withColumn("__prnk", F.row_number().over(w_probe))
+        .filter(F.col("__prnk") <= n_probe)
+        .select("query_id", "cent_id")
+    )
+    cand = (
+        probes.join(assign, "cent_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+    )
+    enc = pq_encode_sampled(
+        corpus, vec_col, id_col,
+        n_sub=n_sub, codes_per_sub=codes_per_sub, dim=dim, salt=pq_salt,
+    ).select(F.col(id_col).alias("neighbor_id"), "recon")
+    qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
+    sims = (
+        cand.join(F.broadcast(qv), "query_id")
+        .join(enc, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            _cos(F.col("__qv"), F.col("recon")).alias("adc_cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adc_cosine", "rank")
+    )

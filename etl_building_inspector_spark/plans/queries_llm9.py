@@ -482,3 +482,160 @@ def text_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ ANN: the composed billion-scale serving shape -- IVF bounds
+# WHICH vectors are scored, PQ bounds WHAT is read per scored vector.
+# Both stages reuse the registered deterministic building blocks, so
+# the composition keeps an exact oracle (unlike FAISS, whose kmeans
+# makes this rows-only).
+# ---------------------------------------------------------------------------
+
+IVFPQ_NC = 16
+IVFPQ_PROBE = 6
+IVFPQ_K = 5
+IVFPQ_NQ = 10
+
+
+def _ivf_pq_sql() -> str:
+    from .queries_llm5 import _cos_sql, _pq_cte
+
+    cos_ec = _cos_sql("e.embedding", "c.cvec")
+    adc = _cos_sql("q.embedding", "e.recon")
+    return f"""
+WITH seed AS (
+  SELECT vec_id, embedding,
+         row_number() OVER (ORDER BY
+           md5(concat('cent:', CAST(vec_id AS VARCHAR))), vec_id) AS rk
+  FROM embeddings),
+cent AS (SELECT vec_id AS cent_id, embedding AS cvec FROM seed WHERE rk <= {IVFPQ_NC}),
+assign AS (
+  SELECT vec_id AS neighbor_id, cent_id FROM (
+    SELECT e.vec_id, c.cent_id,
+      row_number() OVER (PARTITION BY e.vec_id
+        ORDER BY {cos_ec} DESC, c.cent_id) AS arnk
+    FROM embeddings e CROSS JOIN cent c) WHERE arnk = 1),
+qp AS (
+  SELECT query_id, cent_id FROM (
+    SELECT e.vec_id AS query_id, c.cent_id,
+      row_number() OVER (PARTITION BY e.vec_id
+        ORDER BY {cos_ec} DESC, c.cent_id) AS prnk
+    FROM embeddings e CROSS JOIN cent c
+    WHERE e.vec_id < {IVFPQ_NQ}) WHERE prnk <= {IVFPQ_PROBE}),
+cand AS (
+  SELECT qp.query_id, a.neighbor_id
+  FROM qp JOIN assign a USING (cent_id)
+  WHERE qp.query_id <> a.neighbor_id),
+{_pq_cte()},
+sims AS (
+  SELECT cand.query_id, cand.neighbor_id, {adc} AS adc_cosine
+  FROM cand
+  JOIN embeddings q ON q.vec_id = cand.query_id
+  JOIN enc e ON e.vec_id = cand.neighbor_id)
+SELECT CAST(query_id AS BIGINT) AS query_id,
+       CAST(neighbor_id AS BIGINT) AS neighbor_id,
+       adc_cosine,
+       CAST(row_number() OVER (
+         PARTITION BY query_id ORDER BY adc_cosine DESC, neighbor_id
+       ) AS BIGINT) AS rank
+FROM sims
+QUALIFY rank <= {IVFPQ_K}
+"""
+
+
+@_q("ann_cosine_ivf_pq", _ivf_pq_sql())
+def ann_cosine_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ADC top-k (IVFADC minus residuals): probe 6/16 cells,
+    score only cell members, read only their PQ reconstructions. At
+    100 TB this is ~37% of the corpus candidate-listed and ~3% of the
+    bytes touched per candidate -- the two multiplicative savings that
+    make billion-vector serving possible. Same cells as
+    ann_cosine_ivf_sampled, same codebooks as ann_cosine_pq_adc, so
+    recall composes measurably against both registered baselines."""
+    from ..operators.similarity import cosine_topk_ivf_pq
+    from .queries_llm5 import PQ_CODES, PQ_DIM, PQ_NSUB
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < IVFPQ_NQ)
+    out = cosine_topk_ivf_pq(
+        emb, queries, "embedding", "vec_id",
+        k=IVFPQ_K, n_centroids=IVFPQ_NC, n_probe=IVFPQ_PROBE,
+        n_sub=PQ_NSUB, codes_per_sub=PQ_CODES, dim=PQ_DIM,
+    )
+    return out.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("neighbor_id").cast("long").alias("neighbor_id"),
+        "adc_cosine",
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Audio window energy through the REAL mapInPandas kernel: synthetic
+# "audio" blobs (md5-derived bytes, deliberately including a partial
+# trailing window), framed into 16-byte windows, each window's exact
+# integer energy value-checked -- DuckDB recomputes the same sums from
+# ord() over the same string algebra. Completes the modality matrix:
+# image = 1->1, video = 1->N frames, audio = 1->N windows.
+# ---------------------------------------------------------------------------
+
+AUDIO_WIN = 16
+
+
+def _audio_sql() -> str:
+    seg_len = f"least({AUDIO_WIN}, length(payload) - w.wi * {AUDIO_WIN})"
+    byte2 = (
+        f"ord(substr(payload, w.wi * {AUDIO_WIN} + i, 1))"
+        f" * ord(substr(payload, w.wi * {AUDIO_WIN} + i, 1))"
+    )
+    return f"""
+WITH auds AS (
+  SELECT CAST(s_suppkey AS BIGINT) AS key,
+         concat(repeat(md5(CAST(s_suppkey AS VARCHAR)), s_suppkey % 3 + 2),
+                substr(md5(CAST(s_suppkey AS VARCHAR)), 1,
+                       CAST(s_suppkey % 7 AS INTEGER))) AS payload
+  FROM supplier),
+wins AS (
+  SELECT key, payload,
+         unnest(generate_series(0,
+           (length(payload) + {AUDIO_WIN - 1}) // {AUDIO_WIN} - 1)) AS wi
+  FROM auds)
+SELECT key,
+       CAST(w.wi AS INTEGER) AS win_idx,
+       CAST({seg_len} AS INTEGER) AS n_bytes,
+       CAST(list_reduce([{byte2} for i in generate_series(1, {seg_len})],
+                        (x, y) -> x + y) AS BIGINT) AS energy
+FROM wins w ORDER BY key, win_idx
+"""
+
+
+@_q("multimodal_audio_energy_windows", _audio_sql())
+def multimodal_audio_energy_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Framed audio energy via the Arrow mapInPandas kernel
+    (operators/multimodal.audio_energy_windows): 1 blob -> one row per
+    16-byte window, exact BIGINT energies, partial trailing window
+    kept with its true length. The value check covers the full
+    numpy-side arithmetic, not just row counts."""
+    from ..operators.multimodal import audio_energy_windows
+
+    sup = load_table(spark, sf_dir, "supplier")
+    # substring with a COLUMN length argument needs the SQL form
+    payload = F.expr(
+        "concat(repeat(md5(CAST(s_suppkey AS STRING)), CAST(s_suppkey % 3 + 2 AS INT)), "
+        "substring(md5(CAST(s_suppkey AS STRING)), 1, CAST(s_suppkey % 7 AS INT)))"
+    )
+    auds = sup.select(
+        F.col("s_suppkey").cast("long").alias("key"),
+        F.struct(
+            F.encode(payload, "utf-8").alias("bytes"),
+            F.lit("audio/pcm").alias("mime"),
+            F.struct(
+                F.lit(None).cast("int").alias("width"),
+                F.lit(None).cast("int").alias("height"),
+                F.lit(None).cast("int").alias("duration_ms"),
+            ).alias("meta"),
+        ).alias("media"),
+    )
+    out = audio_energy_windows(auds, window_bytes=AUDIO_WIN, key_col="key")
+    return out.orderBy("key", "win_idx")

@@ -363,6 +363,8 @@ WINDOW_R6_CANDIDATES: list[str] = [
     "text_rake_keywords",
     "sketch_hll_distinct_eval",
     "text_boilerplate_strip",
+    "ann_cosine_ivf_pq",
+    "multimodal_audio_energy_windows",
 ]
 _missing_r6 = [n for n in WINDOW_R6_CANDIDATES if n not in QUERIES]
 assert not _missing_r6, f"WINDOW_R6 names not registered: {_missing_r6}"
