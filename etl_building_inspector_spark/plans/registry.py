@@ -37,6 +37,7 @@ from . import (
     queries_surface5,
     queries_surface6,
     queries_surface7,
+    queries_surface8,
     queries_tpch,
 )
 
@@ -232,6 +233,7 @@ for mod in (
     queries_surface5,
     queries_surface6,
     queries_surface7,
+    queries_surface8,
     queries_tpch,
 ):
     QUERIES.update({k: _released(v) for k, v in mod.QUERIES.items()})
@@ -365,6 +367,10 @@ WINDOW_R6_CANDIDATES: list[str] = [
     "text_boilerplate_strip",
     "ann_cosine_ivf_pq",
     "multimodal_audio_energy_windows",
+    # surface8: equi-depth histogram, purchase cadence, integer z-score
+    "histogram_equi_depth",
+    "customer_interpurchase_stats",
+    "timeseries_zscore_anomaly",
 ]
 _missing_r6 = [n for n in WINDOW_R6_CANDIDATES if n not in QUERIES]
 assert not _missing_r6, f"WINDOW_R6 names not registered: {_missing_r6}"
