@@ -796,3 +796,191 @@ def spatial_pip_holes_join_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     points = _synth_points(spark, sf_dir)
     out = spatial_join_grid(points, polys, polygon_col="polygon")
     return out.select("point_id", "poly_id")
+
+
+# ---------------------------------------------------------------------------
+# Geohash-style cell density: quantize the synthesized points to a
+# 16x16-unit grid, interleave the 5-bit cell coordinates into a
+# Z-order cell id (the geohash construction), base32-encode it, and
+# aggregate density + centroid per cell. Everything is integer
+# arithmetic (the synth points are integer-valued), so the oracle is
+# exact including the centroid (one final division of exact sums).
+# ---------------------------------------------------------------------------
+
+_GH_ALPHA = "0123456789bcdefghjkmnpqrstuvwxyz"  # geohash base32
+_GH_CELL = 16
+_GH_BITS = 5
+
+
+def _gh_interleave(div: str) -> str:
+    terms = []
+    for b in range(_GH_BITS):
+        terms.append(f"((ix {div} {2 ** b}) % 2) * {2 ** (2 * b + 1)}")
+        terms.append(f"((iy {div} {2 ** b}) % 2) * {2 ** (2 * b)}")
+    return "(" + " + ".join(terms) + ")"
+
+
+def _gh_sql() -> str:
+    return f"""
+WITH {_POINTS_SQL.strip()},
+q AS (SELECT CAST(px AS BIGINT) AS x, CAST(py AS BIGINT) AS y FROM points),
+g AS (SELECT (x + {_GH_CELL}) // {_GH_CELL} AS ix,
+             (y + {_GH_CELL}) // {_GH_CELL} AS iy, x, y FROM q),
+c AS (SELECT {_gh_interleave('//')} AS cell, x, y FROM g)
+SELECT CAST(cell AS BIGINT) AS cell,
+       substr('{_GH_ALPHA}', CAST(cell // 32 AS INTEGER) + 1, 1)
+         || substr('{_GH_ALPHA}', CAST(cell % 32 AS INTEGER) + 1, 1) AS gh,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(x) AS BIGINT) AS sum_x,
+       CAST(sum(y) AS BIGINT) AS sum_y,
+       CAST(sum(x) AS DOUBLE) / count(*) AS avg_x,
+       CAST(sum(y) AS DOUBLE) / count(*) AS avg_y
+FROM c GROUP BY cell ORDER BY cell
+"""
+
+
+@_q("spatial_geohash_density", _gh_sql())
+def spatial_geohash_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial density heatmap: Z-order bit-interleaved cell ids
+    (the geohash construction) + base32 labels, density and exact
+    centroid per cell. 100 TB shape: pure map-side arithmetic into
+    one map-side-combined groupBy on a bounded key space -- the cell
+    id doubles as a layout/bucketing key (same interleave as the
+    zorder rewrite executor), so the density map co-locates with
+    z-ordered data for free."""
+    pts = _synth_points(spark, sf_dir)
+    x = F.try_element_at("point", F.lit(1)).cast("long")
+    y = F.try_element_at("point", F.lit(2)).cast("long")
+    g = pts.select(
+        x.alias("x"),
+        y.alias("y"),
+    ).select(
+        F.expr(f"(x + {_GH_CELL}) DIV {_GH_CELL}").alias("ix"),
+        F.expr(f"(y + {_GH_CELL}) DIV {_GH_CELL}").alias("iy"),
+        "x",
+        "y",
+    )
+    c = g.select(F.expr(_gh_interleave("DIV")).alias("cell"), "x", "y")
+    return (
+        c.groupBy("cell")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("x").cast("long").alias("sum_x"),
+            F.sum("y").cast("long").alias("sum_y"),
+        )
+        .select(
+            F.col("cell").cast("long").alias("cell"),
+            F.expr(
+                f"concat(substring('{_GH_ALPHA}', CAST(cell DIV 32 AS INT) + 1, 1), "
+                f"substring('{_GH_ALPHA}', CAST(cell % 32 AS INT) + 1, 1))"
+            ).alias("gh"),
+            "n",
+            "sum_x",
+            "sum_y",
+            (F.col("sum_x").cast("double") / F.col("n")).alias("avg_x"),
+            (F.col("sum_y").cast("double") / F.col("n")).alias("avg_y"),
+        )
+        .orderBy("cell")
+    )
+
+
+# ---------------------------------------------------------------------------
+# DBSCAN core-point detection: n_neighbors within eps via the grid
+# equi-join (cell size = eps, 3x3 neighborhood explode on the probe
+# side), exact integer distance refine. The oracle is the O(n^2)
+# definition; the Spark plan is the scalable blocked form -- identical
+# results, which is exactly what the grid join must guarantee.
+# ---------------------------------------------------------------------------
+
+_DBSCAN_EPS = 5
+_DBSCAN_MINPTS = 4
+
+
+def _dbscan_sql() -> str:
+    e2 = _DBSCAN_EPS * _DBSCAN_EPS
+    return f"""
+WITH {_POINTS_SQL.strip()},
+p AS (SELECT point_id, CAST(px AS BIGINT) AS x, CAST(py AS BIGINT) AS y FROM points),
+nb AS (
+  SELECT a.point_id, count(*) AS n_neighbors
+  FROM p a JOIN p b
+    ON a.point_id <> b.point_id
+   AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= {e2}
+  GROUP BY a.point_id)
+SELECT p.point_id,
+       CAST(COALESCE(nb.n_neighbors, 0) AS BIGINT) AS n_neighbors,
+       COALESCE(nb.n_neighbors, 0) >= {_DBSCAN_MINPTS} AS is_core
+FROM p LEFT JOIN nb USING (point_id)
+ORDER BY point_id
+"""
+
+
+@_q("spatial_dbscan_core", _dbscan_sql())
+def spatial_dbscan_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBSCAN's density test (Ester et al. 1996): count eps-neighbors
+    per point, flag cores (>= minPts). Spark plan: points land in
+    eps-sized grid cells; the probe side explodes each point to its
+    3x3 neighbor cells; the join is a plain hash join on the cell key
+    (never a distance cross-join), then the exact integer distance
+    refines. At 100 TB the candidate fan-in is bounded by local
+    density -- the cap-by-construction story shared with the LSH and
+    jaccard self-joins. The +16 shift keeps cell ids positive so
+    Spark's truncating DIV agrees with DuckDB's floor //."""
+    from ..operators._cache import track_persist
+
+    pts = track_persist(
+        _synth_points(spark, sf_dir).select(
+            "point_id",
+            F.try_element_at("point", F.lit(1)).cast("long").alias("x"),
+            F.try_element_at("point", F.lit(2)).cast("long").alias("y"),
+        )
+    )
+    cell = lambda c: F.expr(f"({c} + 16) DIV {_DBSCAN_EPS}")  # noqa: E731
+    build = pts.select(
+        F.col("point_id").alias("b_id"),
+        F.col("x").alias("bx"),
+        F.col("y").alias("by"),
+        cell("x").alias("cx"),
+        cell("y").alias("cy"),
+    )
+    probe = (
+        pts.select(
+            "point_id",
+            "x",
+            "y",
+            cell("x").alias("px_cell"),
+            cell("y").alias("py_cell"),
+        )
+        .withColumn("dx", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
+        .withColumn("dy", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
+        .select(
+            "point_id",
+            "x",
+            "y",
+            (F.col("px_cell") + F.col("dx")).alias("cx"),
+            (F.col("py_cell") + F.col("dy")).alias("cy"),
+        )
+    )
+    e2 = _DBSCAN_EPS * _DBSCAN_EPS
+    d2 = (F.col("x") - F.col("bx")) * (F.col("x") - F.col("bx")) + (
+        F.col("y") - F.col("by")
+    ) * (F.col("y") - F.col("by"))
+    nb = (
+        probe.join(build, ["cx", "cy"])
+        .where((F.col("point_id") != F.col("b_id")) & (d2 <= e2))
+        .groupBy("point_id")
+        .agg(F.count("*").alias("n_neighbors"))
+    )
+    return (
+        pts.join(nb, "point_id", "left")
+        .select(
+            "point_id",
+            F.coalesce(F.col("n_neighbors"), F.lit(0))
+            .cast("long")
+            .alias("n_neighbors"),
+            (F.coalesce(F.col("n_neighbors"), F.lit(0)) >= _DBSCAN_MINPTS).alias(
+                "is_core"
+            ),
+        )
+        .orderBy("point_id")
+    )

@@ -371,6 +371,9 @@ WINDOW_R6_CANDIDATES: list[str] = [
     "histogram_equi_depth",
     "customer_interpurchase_stats",
     "timeseries_zscore_anomaly",
+    # spatial: geohash density map, DBSCAN core points
+    "spatial_geohash_density",
+    "spatial_dbscan_core",
 ]
 _missing_r6 = [n for n in WINDOW_R6_CANDIDATES if n not in QUERIES]
 assert not _missing_r6, f"WINDOW_R6 names not registered: {_missing_r6}"
