@@ -230,3 +230,168 @@ def timeseries_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lit(k2) * var_num).cast("long").alias("rhs"),
         (dev * dev > F.lit(k2) * var_num).alias("is_anomaly"),
     ).orderBy("event_type", "day")
+
+
+# ---------------------------------------------------------------------------
+# Bitemporal as-of reconstruction: versions carry BOTH a valid time
+# (when the fact holds in the world) and a transaction time (when the
+# warehouse learned it). "Value at V as known at T" must rebuild the
+# valid-interval chain over ONLY the txn-visible versions -- filtering
+# by txn time AFTER computing intervals silently resurrects knowledge
+# that did not exist at T (the classic bitemporal bug; this query's
+# lead() runs after the txn filter, which is the point).
+# ---------------------------------------------------------------------------
+
+BT_VALID_AS_OF = "1996-06-01"
+BT_TXN_AS_OF = "1996-07-15"
+BT_TXN_LAG_MOD = 45  # synth knowledge delay: orderkey % 45 days
+
+_BITEMPORAL_SQL = f"""
+WITH v AS (
+  SELECT o_custkey,
+         CAST(o_orderdate AS DATE) AS valid_from,
+         CAST(o_orderdate AS DATE) + CAST(o_orderkey % {BT_TXN_LAG_MOD} AS INTEGER) AS txn_date,
+         o_orderkey,
+         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS price_cents
+  FROM orders),
+known AS (
+  SELECT *,
+         lead(valid_from) OVER (PARTITION BY o_custkey
+           ORDER BY valid_from, o_orderkey) AS valid_to
+  FROM v WHERE txn_date <= DATE '{BT_TXN_AS_OF}')
+SELECT CAST(o_custkey AS BIGINT) AS custkey,
+       valid_from,
+       txn_date,
+       CAST(price_cents AS BIGINT) AS price_cents
+FROM known
+WHERE valid_from <= DATE '{BT_VALID_AS_OF}'
+  AND (valid_to IS NULL OR valid_to > DATE '{BT_VALID_AS_OF}')
+ORDER BY custkey
+"""
+
+
+@_q("bitemporal_as_of_join", _BITEMPORAL_SQL)
+def bitemporal_as_of_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitemporal point-in-time read: the dimension value valid at V
+    as KNOWN at transaction time T. The valid-interval chain (lead
+    over valid_from) is rebuilt AFTER restricting to txn_date <= T --
+    versions the warehouse had not yet received at T cannot shorten
+    older intervals. One window per customer partition; the txn
+    filter prunes before any window state. Extends scd2_as_of_read
+    (single-time) to both time axes."""
+    o = load_table(spark, sf_dir, "orders")
+    v = o.select(
+        "o_custkey",
+        F.col("o_orderdate").cast("date").alias("valid_from"),
+        F.date_add(
+            F.col("o_orderdate").cast("date"),
+            (F.col("o_orderkey") % BT_TXN_LAG_MOD).cast("int"),
+        ).alias("txn_date"),
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("price_cents"),
+    )
+    w = Window.partitionBy("o_custkey").orderBy("valid_from", "o_orderkey")
+    known = v.where(F.col("txn_date") <= F.lit(BT_TXN_AS_OF).cast("date")).withColumn(
+        "valid_to", F.lead("valid_from").over(w)
+    )
+    V = F.lit(BT_VALID_AS_OF).cast("date")
+    return (
+        known.where(
+            (F.col("valid_from") <= V)
+            & (F.col("valid_to").isNull() | (F.col("valid_to") > V))
+        )
+        .select(
+            F.col("o_custkey").cast("long").alias("custkey"),
+            "valid_from",
+            "txn_date",
+            "price_cents",
+        )
+        .orderBy("custkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Distribution drift between two periods as total-variation distance
+# in exact ppm: TVD = sum |p_i - q_i| / 2, cross-multiplied so no
+# per-bucket division ever happens. The drift monitor a feature
+# pipeline runs per column per day (PSI needs ln(); TVD carries the
+# same signal in the exact integer domain).
+# ---------------------------------------------------------------------------
+
+DRIFT_SPLIT_DAY = "2024-01-15"
+DRIFT_BUCKET_CENTS = 2500
+
+_DRIFT_SQL = f"""
+WITH e AS (
+  SELECT event_type,
+         CASE WHEN CAST(ts AS DATE) <= DATE '{DRIFT_SPLIT_DAY}' THEN 0 ELSE 1 END AS half,
+         CAST(round(value * 100, 0) AS BIGINT) // {DRIFT_BUCKET_CENTS} AS bucket
+  FROM events),
+b AS (
+  SELECT event_type, bucket,
+         sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS n1,
+         sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS n2
+  FROM e GROUP BY event_type, bucket),
+w AS (
+  SELECT event_type, bucket, n1, n2,
+         sum(n1) OVER (PARTITION BY event_type) AS tot1,
+         sum(n2) OVER (PARTITION BY event_type) AS tot2
+  FROM b)
+SELECT event_type,
+       CAST(tot1 AS BIGINT) AS n_early,
+       CAST(tot2 AS BIGINT) AS n_late,
+       CAST(count(*) AS BIGINT) AS n_buckets,
+       CAST((1000000 * sum(abs(n1 * tot2 - n2 * tot1)))
+            // (2 * tot1 * tot2) AS BIGINT) AS tvd_ppm
+FROM w GROUP BY event_type, tot1, tot2
+ORDER BY event_type
+"""
+
+
+@_q("dq_distribution_drift", _DRIFT_SQL)
+def dq_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Early-vs-late value-distribution drift per event type, as
+    exact-ppm total-variation distance over fixed-width buckets. One
+    groupBy onto (type, bucket), one window for the per-type totals,
+    one final agg -- all keyed by event_type, so AQE reuses the
+    exchange. The TVD numerator is cross-multiplied (|n1*N2 - n2*N1|):
+    zero divisions until the single final DIV."""
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "event_type",
+        F.when(
+            F.col("ts").cast("date") <= F.lit(DRIFT_SPLIT_DAY).cast("date"),
+            F.lit(0),
+        )
+        .otherwise(F.lit(1))
+        .alias("half"),
+        F.expr(
+            f"CAST(round(value * 100, 0) AS BIGINT) DIV {DRIFT_BUCKET_CENTS}"
+        ).alias("bucket"),
+    )
+    b = e.groupBy("event_type", "bucket").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("n2"),
+    )
+    wt = Window.partitionBy("event_type")
+    w = b.withColumn("tot1", F.sum("n1").over(wt)).withColumn(
+        "tot2", F.sum("n2").over(wt)
+    )
+    num = F.abs(F.col("n1") * F.col("tot2") - F.col("n2") * F.col("tot1"))
+    return (
+        w.groupBy("event_type", "tot1", "tot2")
+        .agg(
+            F.count("*").cast("long").alias("n_buckets"),
+            F.sum(num).alias("num"),
+        )
+        .select(
+            "event_type",
+            F.col("tot1").cast("long").alias("n_early"),
+            F.col("tot2").cast("long").alias("n_late"),
+            "n_buckets",
+            F.expr("(1000000 * num) DIV (2 * tot1 * tot2)")
+            .cast("long")
+            .alias("tvd_ppm"),
+        )
+        .orderBy("event_type")
+    )

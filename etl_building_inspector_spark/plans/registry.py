@@ -374,6 +374,9 @@ WINDOW_R6_CANDIDATES: list[str] = [
     # spatial: geohash density map, DBSCAN core points
     "spatial_geohash_density",
     "spatial_dbscan_core",
+    # surface8 (cont.): bitemporal read, TVD drift monitor
+    "bitemporal_as_of_join",
+    "dq_distribution_drift",
 ]
 _missing_r6 = [n for n in WINDOW_R6_CANDIDATES if n not in QUERIES]
 assert not _missing_r6, f"WINDOW_R6 names not registered: {_missing_r6}"
