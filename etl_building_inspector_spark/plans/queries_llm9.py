@@ -639,3 +639,85 @@ def multimodal_audio_energy_windows(spark: SparkSession, sf_dir: str) -> DataFra
     )
     out = audio_energy_windows(auds, window_bytes=AUDIO_WIN, key_col="key")
     return out.orderBy("key", "win_idx")
+
+
+# ---------------------------------------------------------------------------
+# Temperature-scaled mixture weights: w_i ~ p_i^alpha with alpha = 2
+# (the exponentiated-share reweighting used for corpus/language
+# balancing; alpha > 1 sharpens toward head sources, alpha < 1
+# flattens -- mBERT/XLM-style alpha-sampling with the exponent chosen
+# integer so the whole computation stays exact: n_i^2 cross-ratios,
+# no pow()). Allocations use floor shares + largest-remainder so they
+# sum EXACTLY to the budget.
+# ---------------------------------------------------------------------------
+
+MIX_ALPHA = 2  # integer exponent => exact arithmetic
+MIX_BUDGET = 10_000
+
+
+def _temp_mix_sql() -> str:
+    return f"""
+WITH n AS (
+  SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+s AS (
+  SELECT source, n_docs, n_docs * n_docs AS w,
+         sum(n_docs * n_docs) OVER () AS tot
+  FROM n),
+fl AS (
+  SELECT source, n_docs,
+         CAST((1000000 * w) // tot AS BIGINT) AS weight_ppm,
+         CAST(({MIX_BUDGET} * w) // tot AS BIGINT) AS alloc_floor,
+         ({MIX_BUDGET} * w) % tot AS rem
+  FROM s),
+rk AS (
+  SELECT *, row_number() OVER (ORDER BY rem DESC, source) AS rnk,
+         {MIX_BUDGET} - sum(alloc_floor) OVER () AS short
+  FROM fl)
+SELECT source,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       weight_ppm,
+       CAST(alloc_floor + CASE WHEN rnk <= short THEN 1 ELSE 0 END AS BIGINT) AS alloc
+FROM rk ORDER BY source
+"""
+
+
+@_q("corpus_temperature_mixture", _temp_mix_sql())
+def corpus_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alpha=2 temperature mixture over sources: exact squared-share
+    weights and a largest-remainder allocation that sums exactly to
+    the budget (floor shares alone under-allocate; the remainder rank
+    is fully tiebroken). The share table is |sources|-sized -- every
+    window here runs over a broadcast-scale frame, never the corpus.
+    Note: weights use n^2 cross-ratios; at corpus scale feed counts in
+    thousands to keep n^2 * budget within BIGINT."""
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
+    s = n.select(
+        "source",
+        "n_docs",
+        (F.col("n_docs") * F.col("n_docs")).alias("w"),
+    ).withColumn("tot", F.sum("w").over(Window.partitionBy()))
+    fl = s.select(
+        "source",
+        "n_docs",
+        F.expr("(1000000 * w) DIV tot").cast("long").alias("weight_ppm"),
+        F.expr(f"({MIX_BUDGET} * w) DIV tot").cast("long").alias("alloc_floor"),
+        F.expr(f"({MIX_BUDGET} * w) % tot").alias("rem"),
+    )
+    rk = fl.withColumn(
+        "rnk",
+        F.row_number().over(Window.orderBy(F.col("rem").desc(), F.col("source"))),
+    ).withColumn(
+        "short", F.lit(MIX_BUDGET) - F.sum("alloc_floor").over(Window.partitionBy())
+    )
+    return rk.select(
+        "source",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        "weight_ppm",
+        (
+            F.col("alloc_floor")
+            + F.when(F.col("rnk") <= F.col("short"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("alloc"),
+    ).orderBy("source")

@@ -395,3 +395,142 @@ def dq_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Cohort LTV curve: cumulative revenue per acquisition cohort by age
+# in months -- the curve a growth team actually plots, extending
+# cohort_retention (which counts only). Month indexes are exact ints
+# (year*12 + month-1), so cross-engine date arithmetic never touches
+# intervals.
+# ---------------------------------------------------------------------------
+
+_LTV_SQL = """
+WITH o AS (
+  SELECT o_custkey,
+         CAST(year(CAST(o_orderdate AS DATE)) * 12
+              + month(CAST(o_orderdate AS DATE)) - 1 AS BIGINT) AS midx,
+         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+  FROM orders),
+f AS (SELECT o_custkey, min(midx) AS cohort FROM o GROUP BY o_custkey),
+a AS (
+  SELECT f.cohort, o.midx - f.cohort AS age, o.o_custkey, o.cents
+  FROM o JOIN f USING (o_custkey)),
+m AS (
+  SELECT cohort, age,
+         count(DISTINCT o_custkey) AS n_active,
+         sum(cents) AS cents
+  FROM a GROUP BY cohort, age)
+SELECT CAST((cohort // 12) * 100 + cohort % 12 + 1 AS BIGINT) AS cohort_ym,
+       CAST(age AS BIGINT) AS age_months,
+       CAST(n_active AS BIGINT) AS n_active,
+       CAST(cents AS BIGINT) AS cents,
+       CAST(sum(cents) OVER (PARTITION BY cohort ORDER BY age
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cents
+FROM m ORDER BY cohort_ym, age_months
+"""
+
+
+@_q("cohort_ltv_curve", _LTV_SQL)
+def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative lifetime value by acquisition cohort and age: first
+    purchase month defines the cohort, every later order lands at its
+    month age, then one running sum per cohort. Two shuffles (the
+    cohort min and the cohort x age rollup) plus a cohort-partitioned
+    window -- the month-index key space is bounded, so the curve table
+    stays broadcast-sized no matter the order volume."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        (
+            F.year(F.col("o_orderdate").cast("date")) * 12
+            + F.month(F.col("o_orderdate").cast("date"))
+            - 1
+        )
+        .cast("long")
+        .alias("midx"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    f = o.groupBy("o_custkey").agg(F.min("midx").alias("cohort"))
+    a = o.join(f, "o_custkey").select(
+        "cohort",
+        (F.col("midx") - F.col("cohort")).alias("age"),
+        "o_custkey",
+        "cents",
+    )
+    m = a.groupBy("cohort", "age").agg(
+        F.countDistinct("o_custkey").alias("n_active"),
+        F.sum("cents").alias("cents"),
+    )
+    wc = (
+        Window.partitionBy("cohort")
+        .orderBy("age")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return m.select(
+        F.expr("(cohort DIV 12) * 100 + cohort % 12 + 1")
+        .cast("long")
+        .alias("cohort_ym"),
+        F.col("age").cast("long").alias("age_months"),
+        F.col("n_active").cast("long").alias("n_active"),
+        F.col("cents").cast("long").alias("cents"),
+        F.sum("cents").over(wc).cast("long").alias("cum_cents"),
+    ).orderBy("cohort_ym", "age_months")
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit audit: natural multi-scale amounts follow
+# P(d) = log10(1 + 1/d); fabricated or truncated feeds do not. The
+# expected ppms are Python-precomputed literals (no log() in either
+# engine), observed ppms are exact integer divisions -- a fully
+# oracle-checkable fraud/DQ screen.
+# ---------------------------------------------------------------------------
+
+import math as _math
+
+_BENFORD_PPM = {d: int(_math.floor(1e6 * _math.log10(1 + 1 / d))) for d in range(1, 10)}
+_BENFORD_CASE = (
+    "CASE d "
+    + " ".join(f"WHEN {d} THEN {p}" for d, p in _BENFORD_PPM.items())
+    + " END"
+)
+
+_BENFORD_SQL = f"""
+WITH c AS (
+  SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT) AS VARCHAR), 1, 1)
+              AS BIGINT) AS d
+  FROM orders),
+n AS (SELECT d, count(*) AS n FROM c GROUP BY d),
+t AS (SELECT d, n, sum(n) OVER () AS total FROM n)
+SELECT CAST(d AS BIGINT) AS digit,
+       CAST(n AS BIGINT) AS n,
+       CAST((1000000 * n) // total AS BIGINT) AS observed_ppm,
+       CAST({_BENFORD_CASE} AS BIGINT) AS expected_ppm,
+       CAST(abs((1000000 * n) // total - {_BENFORD_CASE}) AS BIGINT) AS dev_ppm
+FROM t ORDER BY digit
+"""
+
+
+@_q("dq_benford_first_digit", _BENFORD_SQL)
+def dq_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-digit (Benford) audit of order totals: observed vs
+    expected digit frequency in exact ppm, expected values baked in as
+    literals. One linear scan into a 9-row aggregate -- the cheapest
+    DQ screen there is, and a standard fabricated-data detector."""
+    o = load_table(spark, sf_dir, "orders")
+    c = o.select(
+        F.expr(
+            "CAST(substring(CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT)"
+            " AS STRING), 1, 1) AS BIGINT)"
+        ).alias("d")
+    )
+    n = c.groupBy("d").agg(F.count("*").alias("n"))
+    t = n.withColumn("total", F.sum("n").over(Window.partitionBy()))
+    return t.select(
+        F.col("d").cast("long").alias("digit"),
+        F.col("n").cast("long").alias("n"),
+        F.expr("(1000000 * n) DIV total").cast("long").alias("observed_ppm"),
+        F.expr(_BENFORD_CASE).cast("long").alias("expected_ppm"),
+        F.expr(f"abs((1000000 * n) DIV total - {_BENFORD_CASE})")
+        .cast("long")
+        .alias("dev_ppm"),
+    ).orderBy("digit")

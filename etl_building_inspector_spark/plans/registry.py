@@ -374,10 +374,17 @@ WINDOW_R6_CANDIDATES: list[str] = [
     # spatial: geohash density map, DBSCAN core points
     "spatial_geohash_density",
     "spatial_dbscan_core",
-    # surface8 (cont.): bitemporal read, TVD drift monitor
+    # surface8 (cont.): bitemporal read, TVD drift monitor, LTV
+    # curve, Benford audit -- window now exactly 50, all first-time
     "bitemporal_as_of_join",
     "dq_distribution_drift",
+    "cohort_ltv_curve",
+    "dq_benford_first_digit",
+    "corpus_temperature_mixture",
 ]
 _missing_r6 = [n for n in WINDOW_R6_CANDIDATES if n not in QUERIES]
 assert not _missing_r6, f"WINDOW_R6 names not registered: {_missing_r6}"
-assert len(WINDOW_R6_CANDIDATES) == len(set(WINDOW_R6_CANDIDATES)) <= 50
+# complete at exactly 50 unique first-time slots (per the r4 ADVICE on
+# the r5 staging: assert == once the list is final, so an accidental
+# removal cannot ship a short window)
+assert len(WINDOW_R6_CANDIDATES) == len(set(WINDOW_R6_CANDIDATES)) == 50
