@@ -148,6 +148,24 @@ HEADLINE = [
     "pack_efficiency_stats",
     "orders_backlog_aging",
     "dq_freshness_by_type",
+    # round 5 late additions: llm9 + surface8 + spatial batch
+    "dedup_substring_spans",
+    "text_bpe_merge_pairs",
+    "text_rake_keywords",
+    "sketch_hll_distinct_eval",
+    "text_boilerplate_strip",
+    "ann_cosine_ivf_pq",
+    "multimodal_audio_energy_windows",
+    "corpus_temperature_mixture",
+    "histogram_equi_depth",
+    "customer_interpurchase_stats",
+    "timeseries_zscore_anomaly",
+    "spatial_geohash_density",
+    "spatial_dbscan_core",
+    "bitemporal_as_of_join",
+    "dq_distribution_drift",
+    "cohort_ltv_curve",
+    "dq_benford_first_digit",
     # graph_neighbor_jaccard_topk / graph_common_neighbors_topk are
     # deliberately NOT benched, like the rest of the wedge-join family:
     # their cost is the capped wedge enumeration itself (bounded at

@@ -252,3 +252,55 @@ def test_sniff_image_headers_distributed(spark):
         3: ("jpeg", 64, 32),
         4: (None, None, None),
     }
+
+
+def test_audio_energy_windows_kernel(spark):
+    """Exact window energies including the partial trailing window:
+    recompute one blob's energies in plain python against the Arrow
+    kernel's output."""
+    from etl_building_inspector_spark.operators.multimodal import (
+        audio_energy_windows,
+    )
+
+    payload = b"abcdefghijklmnopQRSTUVWXYZ012345xyz"  # 35 bytes: 2 full + 3
+    df = spark.createDataFrame([(7, payload)], "key long, bytes binary").select(
+        "key",
+        F.struct(
+            F.col("bytes"),
+            F.lit("audio/pcm").alias("mime"),
+            F.struct(
+                F.lit(None).cast("int").alias("width"),
+                F.lit(None).cast("int").alias("height"),
+                F.lit(None).cast("int").alias("duration_ms"),
+            ).alias("meta"),
+        ).alias("media"),
+    )
+    rows = {r.win_idx: r for r in audio_energy_windows(df, window_bytes=16).collect()}
+    assert set(rows) == {0, 1, 2}
+    for w in range(3):
+        seg = payload[w * 16 : (w + 1) * 16]
+        assert rows[w].n_bytes == len(seg)
+        assert rows[w].energy == sum(b * b for b in seg)
+
+
+def test_audio_energy_empty_padding_single_window(spark):
+    """A blob shorter than one window still yields exactly one row."""
+    from etl_building_inspector_spark.operators.multimodal import (
+        audio_energy_windows,
+    )
+
+    df = spark.createDataFrame([(1, b"ab")], "key long, bytes binary").select(
+        "key",
+        F.struct(
+            F.col("bytes"),
+            F.lit("audio/pcm").alias("mime"),
+            F.struct(
+                F.lit(None).cast("int").alias("width"),
+                F.lit(None).cast("int").alias("height"),
+                F.lit(None).cast("int").alias("duration_ms"),
+            ).alias("meta"),
+        ).alias("media"),
+    )
+    out = audio_energy_windows(df, window_bytes=16).collect()
+    assert len(out) == 1
+    assert out[0].n_bytes == 2 and out[0].energy == 97 * 97 + 98 * 98

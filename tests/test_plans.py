@@ -334,3 +334,40 @@ def test_tfidf_df_join_broadcast(spark, sf_dir):
     plan = _executed(spark, "text_tfidf_topk", sf_dir)
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_dbscan_grid_join_is_equi(spark, sf_dir):
+    """The DBSCAN neighbor count must join on grid cells (hash join),
+    never a distance cross-join -- the blocked form IS the operator's
+    scale story (the O(n^2) definition lives only in the oracle)."""
+    plan = _executed(spark, "spatial_dbscan_core", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_substring_spans_shuffles_on_hash(spark, sf_dir):
+    """Span dedup must shuffle fixed-width md5 keys, not raw token
+    arrays (the same discipline as line dedup)."""
+    qe = _full(spark, "dedup_substring_spans", sf_dir)
+    optimized = qe.split("== Physical Plan ==")[0]
+    assert "md5" in optimized
+    plan = _executed(spark, "dedup_substring_spans", sf_dir)
+    assert "CartesianProduct" not in plan
+
+
+def test_bpe_pairs_enumerate_vocab_not_corpus(spark, sf_dir):
+    """The pair explode must sit ABOVE the word-frequency aggregate
+    (vocab-sized input), not above the corpus scan -- the fast-BPE
+    property. In the optimized plan the explode's child therefore
+    contains the aggregate."""
+    from etl_building_inspector_spark.plans.registry import QUERIES
+
+    opt = (
+        QUERIES["text_bpe_merge_pairs"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    gen_pos = opt.find("explode(sequence(1,")
+    agg_pos = opt.find("Aggregate", gen_pos)
+    assert gen_pos != -1 and agg_pos != -1, "explode must feed from the vocab aggregate"

@@ -272,3 +272,27 @@ def test_ivf_index_persist_probe_matches_inline(spark, sf_dir, tmp_path_factory)
     plan = from_index._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ivf_pq_consistent_with_pq_adc(spark, sf_dir):
+    """IVF-PQ shares the PQ codebooks with ann_cosine_pq_adc: any
+    (query, neighbor) pair surfaced by BOTH must carry the IDENTICAL
+    adc_cosine (same reconstruction, same fold order), and restricting
+    candidates to 6/16 probed cells should retain a solid share of the
+    full-corpus ADC top-k (floor well under the measured 0.6 on the
+    random fixture -- random uniform vectors are the worst case)."""
+    from etl_building_inspector_spark.plans.registry import QUERIES
+
+    pq = {
+        (r.query_id, r.neighbor_id): r.adc_cosine
+        for r in QUERIES["ann_cosine_pq_adc"](spark, sf_dir).collect()
+    }
+    ivfpq = {
+        (r.query_id, r.neighbor_id): r.adc_cosine
+        for r in QUERIES["ann_cosine_ivf_pq"](spark, sf_dir).collect()
+    }
+    common = set(pq) & set(ivfpq)
+    assert common, "no overlap at all between IVF-PQ and full ADC top-k"
+    for pair in common:
+        assert pq[pair] == ivfpq[pair], f"ADC value drift on {pair}"
+    assert len(common) / len(pq) >= 0.4
