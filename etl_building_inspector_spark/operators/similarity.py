@@ -611,35 +611,28 @@ def quantize_int8_stats(
     )
 
 
-def cosine_topk_ivf_sampled(
+def _ivf_sampled_candidates(
     corpus: DataFrame,
     queries: DataFrame,
-    vec_col: str = "embedding",
-    id_col: str = "vec_id",
-    k: int = 5,
-    n_centroids: int = 16,
-    n_probe: int = 4,
-    salt: str = "cent",
+    vec_col: str,
+    id_col: str,
+    n_centroids: int,
+    n_probe: int,
+    salt: str,
 ) -> DataFrame:
-    """IVF ANN with DETERMINISTIC sampled centroids: the centroid set
-    is the n_centroids corpus vectors ranked first by md5(salt:id) --
-    an unbiased, engine-portable sample, so unlike the KMeans variant
-    (cosine_topk_ivf) the whole pipeline has an exact DuckDB oracle.
-    Sampled centroids are the standard cheap IVF bootstrap (KMeans
-    refines recall for the same probe budget but changes nothing
-    structurally).
+    """Shared IVF candidate stage (md5-sampled centroids -> corpus
+    cell assignment -> query probes -> candidate pairs). Both
+    cosine_topk_ivf_sampled and cosine_topk_ivf_pq rank over THESE
+    candidates -- one implementation, so "same cells" is a structural
+    guarantee rather than two copies staying in sync. Returns
+    (query_id, neighbor_id), self-pairs excluded.
 
-    Shape (identical to the KMeans IVF): centroids broadcast
-    everywhere; corpus assigns to argmax-cosine centroid (16x widen,
-    window reduce); queries probe their n_probe nearest centroids;
-    exact cosine + top-k over candidates only. Probes touch
-    ~n_probe/n_centroids of the corpus.
+    top-n_centroids by md5 rank via sort+limit, NOT a global window:
+    Catalyst compiles orderBy+limit to TakeOrderedAndProject
+    (per-partition heap + n_centroids-row merge), while an
+    unpartitioned row_number() would drag the whole corpus through
+    one task.
     """
-    # top-n_centroids by md5 rank via sort+limit, NOT a global window:
-    # Catalyst compiles orderBy+limit to TakeOrderedAndProject
-    # (per-partition heap + n_centroids-row merge), while an
-    # unpartitioned row_number() would drag the whole corpus through
-    # one task.
     cent = (
         corpus.select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("__cv"))
         .orderBy(
@@ -674,11 +667,44 @@ def cosine_topk_ivf_sampled(
         .filter(F.col("__prnk") <= n_probe)
         .select("query_id", "cent_id")
     )
-    cand = (
+    return (
         probes.join(assign, "cent_id")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id")
     )
+
+
+def cosine_topk_ivf_sampled(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    salt: str = "cent",
+) -> DataFrame:
+    """IVF ANN with DETERMINISTIC sampled centroids: the centroid set
+    is the n_centroids corpus vectors ranked first by md5(salt:id) --
+    an unbiased, engine-portable sample, so unlike the KMeans variant
+    (cosine_topk_ivf) the whole pipeline has an exact DuckDB oracle.
+    Sampled centroids are the standard cheap IVF bootstrap (KMeans
+    refines recall for the same probe budget but changes nothing
+    structurally).
+
+    Shape (identical to the KMeans IVF): centroids broadcast
+    everywhere; corpus assigns to argmax-cosine centroid (16x widen,
+    window reduce); queries probe their n_probe nearest centroids;
+    exact cosine + top-k over candidates only. Probes touch
+    ~n_probe/n_centroids of the corpus.
+    """
+    cand = _ivf_sampled_candidates(
+        corpus, queries, vec_col, id_col, n_centroids, n_probe, salt
+    )
+
+    def _cos(a: Column, b: Column) -> Column:
+        return _dot(a, b) / (_norm(a) * _norm(b))
+
     qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
     nv = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__nv"))
     sims = (
@@ -1190,40 +1216,8 @@ def cosine_topk_ivf_pq(
     def _cos(a: Column, b: Column) -> Column:
         return _dot(a, b) / (_norm(a) * _norm(b))
 
-    cent = (
-        corpus.select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("__cv"))
-        .orderBy(
-            F.md5(F.concat(F.lit(cent_salt + ":"), F.col("cent_id").cast("string"))),
-            F.col("cent_id"),
-        )
-        .limit(n_centroids)
-    )
-    w_assign = Window.partitionBy("__id").orderBy(
-        F.col("__cc").desc(), F.col("cent_id").asc()
-    )
-    assign = (
-        corpus.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
-        .crossJoin(F.broadcast(cent))
-        .withColumn("__cc", _cos(F.col("__v"), F.col("__cv")))
-        .withColumn("__arnk", F.row_number().over(w_assign))
-        .filter(F.col("__arnk") == 1)
-        .select(F.col("__id").alias("neighbor_id"), "cent_id")
-    )
-    w_probe = Window.partitionBy("query_id").orderBy(
-        F.col("__qc").desc(), F.col("cent_id").asc()
-    )
-    probes = (
-        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
-        .crossJoin(F.broadcast(cent))
-        .withColumn("__qc", _cos(F.col("__qv"), F.col("__cv")))
-        .withColumn("__prnk", F.row_number().over(w_probe))
-        .filter(F.col("__prnk") <= n_probe)
-        .select("query_id", "cent_id")
-    )
-    cand = (
-        probes.join(assign, "cent_id")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id")
+    cand = _ivf_sampled_candidates(
+        corpus, queries, vec_col, id_col, n_centroids, n_probe, cent_salt
     )
     enc = pq_encode_sampled(
         corpus, vec_col, id_col,

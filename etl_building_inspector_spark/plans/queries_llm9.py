@@ -24,8 +24,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.text import tokens
 from ..sources.tables import load_table
-from .queries_llm import _NORM, _TOKS
+from .queries_llm import _TOKS
 
 QUERIES: dict = {}
 ORACLES: dict[str, str] = {}
@@ -92,10 +93,8 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators._cache import track_persist
 
     docs = load_table(spark, sf_dir, "documents")
-    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " "))
-    toks = F.split(norm, " ")
     spans = track_persist(
-        docs.select("doc_id", toks.alias("toks"))
+        docs.select("doc_id", tokens("text").alias("toks"))
         .where(F.size("toks") >= SPAN_N)
         .select(
             "doc_id",
@@ -167,9 +166,8 @@ def text_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the VOCAB (bounded), never the corpus; the final top-k is a
     TakeOrderedAndProject."""
     docs = load_table(spark, sf_dir, "documents")
-    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " "))
     words = (
-        docs.select(F.explode(F.split(norm, " ")).alias("w"))
+        docs.select(F.explode(tokens("text")).alias("w"))
         .groupBy("w")
         .agg(F.count("*").alias("wf"))
     )
@@ -241,9 +239,8 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     running sum partitions BY DOC (no global window), and the two
     aggregations group on bounded keys (doc x phrase, then vocab)."""
     docs = load_table(spark, sf_dir, "documents")
-    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " "))
     pos = docs.select(
-        "doc_id", F.posexplode(F.split(norm, " ")).alias("pos0", "w")
+        "doc_id", F.posexplode(tokens("text")).alias("pos0", "w")
     ).select(
         "doc_id",
         (F.col("pos0") + 1).alias("pos"),

@@ -897,28 +897,31 @@ _DBSCAN_MINPTS = 4
 
 
 def _dbscan_sql() -> str:
+    # |N_eps(p)| INCLUDES p itself (dist(p,p)=0), per the Ester et al.
+    # definition -- no self-exclusion in the join, so every point has
+    # n_in_eps >= 1 and `>= minPts` is the paper's core test verbatim.
     e2 = _DBSCAN_EPS * _DBSCAN_EPS
     return f"""
 WITH {_POINTS_SQL.strip()},
 p AS (SELECT point_id, CAST(px AS BIGINT) AS x, CAST(py AS BIGINT) AS y FROM points),
 nb AS (
-  SELECT a.point_id, count(*) AS n_neighbors
+  SELECT a.point_id, count(*) AS n_in_eps
   FROM p a JOIN p b
-    ON a.point_id <> b.point_id
-   AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= {e2}
+    ON (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= {e2}
   GROUP BY a.point_id)
-SELECT p.point_id,
-       CAST(COALESCE(nb.n_neighbors, 0) AS BIGINT) AS n_neighbors,
-       COALESCE(nb.n_neighbors, 0) >= {_DBSCAN_MINPTS} AS is_core
-FROM p LEFT JOIN nb USING (point_id)
+SELECT point_id,
+       CAST(n_in_eps AS BIGINT) AS n_in_eps,
+       n_in_eps >= {_DBSCAN_MINPTS} AS is_core
+FROM nb
 ORDER BY point_id
 """
 
 
 @_q("spatial_dbscan_core", _dbscan_sql())
 def spatial_dbscan_core(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DBSCAN's density test (Ester et al. 1996): count eps-neighbors
-    per point, flag cores (>= minPts). Spark plan: points land in
+    """DBSCAN's density test (Ester et al. 1996): |N_eps(p)| per
+    point -- INCLUDING p itself, exactly as the paper defines the
+    eps-neighborhood -- flag cores (>= minPts). Spark plan: points land in
     eps-sized grid cells; the probe side explodes each point to its
     3x3 neighbor cells; the join is a plain hash join on the cell key
     (never a distance cross-join), then the exact integer distance
@@ -965,22 +968,18 @@ def spatial_dbscan_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     d2 = (F.col("x") - F.col("bx")) * (F.col("x") - F.col("bx")) + (
         F.col("y") - F.col("by")
     ) * (F.col("y") - F.col("by"))
-    nb = (
-        probe.join(build, ["cx", "cy"])
-        .where((F.col("point_id") != F.col("b_id")) & (d2 <= e2))
-        .groupBy("point_id")
-        .agg(F.count("*").alias("n_neighbors"))
-    )
+    # no self-exclusion: p finds itself via its own (dx=0, dy=0) probe
+    # cell at distance 0, so every point appears with n_in_eps >= 1 --
+    # no fill-join needed
     return (
-        pts.join(nb, "point_id", "left")
+        probe.join(build, ["cx", "cy"])
+        .where(d2 <= e2)
+        .groupBy("point_id")
+        .agg(F.count("*").cast("long").alias("n_in_eps"))
         .select(
             "point_id",
-            F.coalesce(F.col("n_neighbors"), F.lit(0))
-            .cast("long")
-            .alias("n_neighbors"),
-            (F.coalesce(F.col("n_neighbors"), F.lit(0)) >= _DBSCAN_MINPTS).alias(
-                "is_core"
-            ),
+            "n_in_eps",
+            (F.col("n_in_eps") >= _DBSCAN_MINPTS).alias("is_core"),
         )
         .orderBy("point_id")
     )

@@ -35,7 +35,7 @@ def _q(name: str, sql: str | None = None):
 # shared constants
 EQUI_DEPTH_BUCKETS = 10
 INTERPURCHASE_MIN_ORDERS = 3
-ZSCORE_BASELINE = 7  # trailing full days required
+ZSCORE_BASELINE = 7  # trailing OBSERVED days (ROWS frame, see docstring)
 ZSCORE_K = 3  # flag beyond 3 sigma
 
 
@@ -194,12 +194,15 @@ ORDER BY event_type, day
 
 @_q("timeseries_zscore_anomaly", _ZSCORE_SQL)
 def timeseries_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Daily-revenue anomaly flags per event type: trailing-7-day
-    baseline, 3-sigma test cross-multiplied into exact BIGINTs (no
-    sqrt, no division -- the flag AND both test sides are
-    value-checked). One window per type partition; at 100 TB the
-    daily pre-aggregation collapses the stream before any window
-    state exists."""
+    """Daily-revenue anomaly flags per event type: baseline = the 7
+    trailing OBSERVED days (a ROWS frame over the per-day aggregate --
+    a calendar day with zero events extends the baseline's calendar
+    span rather than shrinking the sample; use a RANGE frame like
+    window_range_frames when strict calendar recency matters), 3-sigma
+    test cross-multiplied into exact BIGINTs (no sqrt, no division --
+    the flag AND both test sides are value-checked). One window per
+    type partition; at 100 TB the daily pre-aggregation collapses the
+    stream before any window state exists."""
     ev = load_table(spark, sf_dir, "events")
     daily = ev.groupBy(
         "event_type", F.col("ts").cast("date").alias("day")
@@ -355,7 +358,11 @@ def dq_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBy onto (type, bucket), one window for the per-type totals,
     one final agg -- all keyed by event_type, so AQE reuses the
     exchange. The TVD numerator is cross-multiplied (|n1*N2 - n2*N1|):
-    zero divisions until the single final DIV."""
+    zero divisions until the single final DIV. Overflow bound: the
+    numerator sum is <= 2*N1*N2, so the final 1e6 multiply needs
+    N1*N2 < 2^63/2e6 -- about 2.1M rows per type per half; re-derive
+    (or pre-divide counts) before running a type with more (same
+    documented-bound discipline as timeseries_zscore_anomaly)."""
     ev = load_table(spark, sf_dir, "events")
     e = ev.select(
         "event_type",
