@@ -166,6 +166,11 @@ HEADLINE = [
     "dq_distribution_drift",
     "cohort_ltv_curve",
     "dq_benford_first_digit",
+    # r7-staged additions
+    "ann_truncated_dim_recall_eval",
+    "multimodal_image_ahash_pairs",
+    "pack_length_bucket_waste",
+    "incremental_agg_retract",
     # graph_neighbor_jaccard_topk / graph_common_neighbors_topk are
     # deliberately NOT benched, like the rest of the wedge-join family:
     # their cost is the capped wedge enumeration itself (bounded at

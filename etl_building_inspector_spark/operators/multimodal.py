@@ -426,3 +426,56 @@ def audio_energy_windows(
         F.col(key_col).alias("key"), F.col("media.bytes").alias("bytes")
     )
     return slim.mapInPandas(kernel, schema=_AUDIO_SCHEMA)
+
+
+# --- image: perceptual average-hash (aHash) ---------------------------------
+
+_AHASH_SCHEMA = "key long, h_lo long, h_hi long"
+
+
+def image_ahash(df: DataFrame, key_col: str = "key") -> DataFrame:
+    """Perceptual average-hash over an 8x8 grayscale image: bit i set
+    when pixel i is brighter than the image mean (the classic aHash;
+    resize+grayscale happen upstream -- here the 64 bytes ARE the
+    8x8 plane, codec-free). Emitted as TWO 32-bit halves in BIGINTs
+    (h_lo = bits 0..31, h_hi = bits 32..63): signed-64 wraparound
+    never enters either engine, and hamming distance is
+    bit_count(xor(lo)) + bit_count(xor(hi)).
+
+    The mean comparison is cross-multiplied (pixel * 64 > total), so
+    the bits are exact integers -- the oracle recomputes the identical
+    hash from the same byte algebra.
+    """
+    import numpy as np
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            keys, los, his = [], [], []
+            for key, b in zip(pdf["key"], pdf["bytes"]):
+                arr = np.frombuffer(b[:64], dtype=np.uint8).astype(np.int64)
+                total = int(arr.sum())
+                lo = hi = 0
+                for i, v in enumerate(arr.tolist()):
+                    if v * 64 > total:
+                        if i < 32:
+                            lo |= 1 << i
+                        else:
+                            hi |= 1 << (i - 32)
+                keys.append(key)
+                los.append(lo)
+                his.append(hi)
+            yield pd.DataFrame(
+                {
+                    "key": pd.Series(keys, dtype="int64"),
+                    "h_lo": pd.Series(los, dtype="int64"),
+                    "h_hi": pd.Series(his, dtype="int64"),
+                }
+            )
+
+    from .._dist import ensure_workers_can_import
+
+    ensure_workers_can_import(df.sparkSession)
+    slim = df.select(
+        F.col(key_col).alias("key"), F.col("media.bytes").alias("bytes")
+    )
+    return slim.mapInPandas(kernel, schema=_AHASH_SCHEMA)

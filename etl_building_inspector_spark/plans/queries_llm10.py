@@ -1,0 +1,336 @@
+"""Tenth LLM-pipeline batch: truncated-dimension ANN recall eval
+(the Matryoshka-style "how many dims can we drop" measurement),
+perceptual image near-dup pairs through the real aHash Arrow kernel,
+and length-bucketed batching waste (the padding-efficiency dual of
+sequence packing).
+
+Discipline as everywhere: oracles generated from the same constants,
+integer domains, deterministic tiebreaks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from .queries_llm import _DOT_SQL, _TOKS
+
+QUERIES: dict = {}
+ORACLES: dict[str, str] = {}
+
+
+def _q(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLES[name] = sql
+        return fn
+
+    return deco
+
+
+# shared constants
+TRUNC_DIM = 16  # keep the first 16 of 64 dims
+TRUNC_K = 5
+TRUNC_NQ = 10
+AHASH_MAX_HAMMING = 3  # 4 x 16-bit bands are LOSSLESS for <= 3 flips
+PACK_BATCH = 8
+
+
+# ---------------------------------------------------------------------------
+# Truncated-dimension recall: rank by cosine over only the first
+# TRUNC_DIM dims and measure per-query recall against the full-dim
+# ground truth -- the eval behind Matryoshka-style dimension cuts
+# (retrieval at a fraction of the bytes). Same eval-as-data shape as
+# ann_recall_eval; both sides are exact.
+# ---------------------------------------------------------------------------
+
+
+def _trunc_recall_sql() -> str:
+    from . import queries_llm as _llm
+
+    full = _llm.ORACLES["ann_cosine_topk"].strip()
+    dot_qc = _DOT_SQL.format(a="qe", b="ce")
+    dot_qq = _DOT_SQL.format(a="qe", b="qe")
+    dot_cc = _DOT_SQL.format(a="ce", b="ce")
+    return f"""
+WITH fullk AS (
+{full}
+),
+tq AS (SELECT vec_id AS query_id, embedding[1:{TRUNC_DIM}] AS qe
+       FROM embeddings WHERE vec_id < {TRUNC_NQ}),
+tc AS (SELECT vec_id AS neighbor_id, embedding[1:{TRUNC_DIM}] AS ce FROM embeddings),
+tsims AS (
+  SELECT query_id, neighbor_id,
+         {dot_qc} / (sqrt({dot_qq}) * sqrt({dot_cc})) AS cosine
+  FROM tq, tc WHERE query_id <> neighbor_id),
+trunc AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY cosine DESC, neighbor_id) AS rank
+    FROM tsims) WHERE rank <= {TRUNC_K})
+SELECT f.query_id,
+       CAST(count(*) AS BIGINT) AS k,
+       CAST(count(t.neighbor_id) AS BIGINT) AS n_matched,
+       CAST(count(t.neighbor_id) AS DOUBLE) / count(*) AS recall
+FROM fullk f
+LEFT JOIN trunc t
+  ON t.query_id = f.query_id AND t.neighbor_id = f.neighbor_id
+GROUP BY f.query_id
+ORDER BY f.query_id
+"""
+
+
+@_q("ann_truncated_dim_recall_eval", _trunc_recall_sql())
+def ann_truncated_dim_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query recall of 16-dim truncated cosine top-k vs the 64-dim
+    ground truth: the measurement that decides whether a serving tier
+    can read a quarter of the embedding bytes. Both rankings are exact
+    brute force (this is the EVAL, not the ANN); the join is per-query
+    k-bounded."""
+    from ..operators.similarity import cosine_topk_bruteforce
+    from . import queries_llm as _llm
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    full = _llm.QUERIES["ann_cosine_topk"](spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    te = emb.select(
+        "vec_id", F.slice("embedding", 1, TRUNC_DIM).alias("temb")
+    )
+    tqueries = te.filter(F.col("vec_id") < TRUNC_NQ)
+    trunc = cosine_topk_bruteforce(
+        te, tqueries, "temb", "vec_id", k=TRUNC_K
+    ).select(
+        F.col("query_id").alias("t_qid"), F.col("neighbor_id").alias("t_nid")
+    )
+    j = full.join(
+        trunc,
+        (F.col("query_id") == F.col("t_qid"))
+        & (F.col("neighbor_id") == F.col("t_nid")),
+        "left",
+    )
+    return (
+        j.groupBy("query_id")
+        .agg(
+            F.count("*").cast("long").alias("k"),
+            F.count("t_nid").cast("long").alias("n_matched"),
+            (F.count("t_nid").cast("double") / F.count("*")).alias("recall"),
+        )
+        .orderBy("query_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual image near-dup pairs: synthetic 8x8 "images" (md5-derived
+# bytes; every 10th key gets a one-pixel-perturbed twin under a
+# negative id, the collision-free convention from dedup_truncation),
+# hashed by the REAL aHash Arrow kernel, paired by 16-bit band
+# equi-join, refined by exact hamming <= 3 -- which 4 bands detect
+# LOSSLESSLY (pigeonhole: 3 flips cannot touch all 4 bands), so the
+# O(n^2) definitional oracle and the banded plan agree exactly.
+# ---------------------------------------------------------------------------
+
+
+def _ahash_bits_sql() -> str:
+    """DuckDB twin of the aHash kernel: bytes -> mean bits -> two
+    32-bit halves (signed-64 wraparound never appears)."""
+    byte_i = "ord(substr(payload, i, 1))"
+    total = (
+        "list_reduce([ord(substr(payload, j, 1)) "
+        "for j in generate_series(1, 64)], (x, y) -> x + y)"
+    )
+    lo = (
+        f"list_reduce([CASE WHEN {byte_i} * 64 > t THEN (CAST(1 AS BIGINT) << (i - 1)) "
+        f"ELSE 0 END for i in generate_series(1, 32)], (x, y) -> x + y)"
+    )
+    hi = (
+        f"list_reduce([CASE WHEN {byte_i} * 64 > t THEN (CAST(1 AS BIGINT) << (i - 33)) "
+        f"ELSE 0 END for i in generate_series(33, 64)], (x, y) -> x + y)"
+    )
+    return f"""
+imgs AS (
+  SELECT CAST(p_partkey AS BIGINT) AS key,
+         repeat(md5(CAST(p_partkey AS VARCHAR)), 2) AS payload
+  FROM part
+  UNION ALL
+  SELECT CAST(-p_partkey AS BIGINT) AS key,
+         CASE WHEN substr(repeat(md5(CAST(p_partkey AS VARCHAR)), 2),
+                          CAST(p_partkey % 64 AS INTEGER) + 1, 1) = 'z'
+              THEN concat(
+                substr(repeat(md5(CAST(p_partkey AS VARCHAR)), 2), 1,
+                       CAST(p_partkey % 64 AS INTEGER)),
+                'a',
+                substr(repeat(md5(CAST(p_partkey AS VARCHAR)), 2),
+                       CAST(p_partkey % 64 AS INTEGER) + 2))
+              ELSE concat(
+                substr(repeat(md5(CAST(p_partkey AS VARCHAR)), 2), 1,
+                       CAST(p_partkey % 64 AS INTEGER)),
+                'z',
+                substr(repeat(md5(CAST(p_partkey AS VARCHAR)), 2),
+                       CAST(p_partkey % 64 AS INTEGER) + 2))
+         END
+  FROM part WHERE p_partkey % 10 = 0),
+hashed AS (
+  SELECT key,
+         {lo} AS h_lo,
+         {hi} AS h_hi
+  FROM (SELECT key, payload, {total} AS t FROM imgs))"""
+
+
+def _ahash_pairs_sql() -> str:
+    return f"""
+WITH {_ahash_bits_sql().strip()}
+SELECT a.key AS key_a, b.key AS key_b,
+       CAST(bit_count(xor(a.h_lo, b.h_lo))
+            + bit_count(xor(a.h_hi, b.h_hi)) AS BIGINT) AS hamming
+FROM hashed a JOIN hashed b ON a.key < b.key
+WHERE bit_count(xor(a.h_lo, b.h_lo)) + bit_count(xor(a.h_hi, b.h_hi))
+      <= {AHASH_MAX_HAMMING}
+ORDER BY key_a, key_b
+"""
+
+
+def _synth_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    payload = F.repeat(F.md5(F.col("p_partkey").cast("string")), 2)
+    base = part.select(
+        F.col("p_partkey").cast("long").alias("key"), payload.alias("payload")
+    )
+    # one-pixel twin: flip the char at position key % 64 to 'z' (or
+    # 'a' if it already is 'z'), under a collision-free negative id
+    pos = "CAST(p_partkey % 64 AS INT)"
+    pay = "repeat(md5(CAST(p_partkey AS STRING)), 2)"
+    twin = part.where(F.col("p_partkey") % 10 == 0).select(
+        (-F.col("p_partkey")).cast("long").alias("key"),
+        F.expr(
+            f"concat(substring({pay}, 1, {pos}), "
+            f"CASE WHEN substring({pay}, {pos} + 1, 1) = 'z' THEN 'a' ELSE 'z' END, "
+            f"substring({pay}, {pos} + 2))"
+        ).alias("payload"),
+    )
+    return base.unionAll(twin).select(
+        "key",
+        F.struct(
+            F.encode(F.col("payload"), "utf-8").alias("bytes"),
+            F.lit("image/gray8").alias("mime"),
+            F.struct(
+                F.lit(8).cast("int").alias("width"),
+                F.lit(8).cast("int").alias("height"),
+                F.lit(None).cast("int").alias("duration_ms"),
+            ).alias("meta"),
+        ).alias("media"),
+    )
+
+
+@_q("multimodal_image_ahash_pairs", _ahash_pairs_sql())
+def multimodal_image_ahash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup pairs: aHash through the Arrow kernel, 16-bit
+    band equi-join for candidates, exact hamming refine. At hamming
+    <= 3 the 4-band blocking is lossless (a pair differing in <= 3
+    bits shares at least one untouched band), so the plan finds
+    exactly the O(n^2) definition's pairs while joining only on band
+    buckets -- the simhash discipline applied to pixels. Hashes are
+    persisted: the band explode and the refine both read them."""
+    from ..operators._cache import track_persist
+    from ..operators.multimodal import image_ahash
+
+    imgs = _synth_images(spark, sf_dir)
+    hashed = track_persist(image_ahash(imgs, key_col="key"))
+    bands = hashed.select(
+        "key",
+        "h_lo",
+        "h_hi",
+        F.explode(
+            F.array(
+                F.expr("h_lo & 65535"),
+                F.expr("((shiftright(h_lo, 16)) & 65535) + 65536"),
+                F.expr("(h_hi & 65535) + 131072"),
+                F.expr("((shiftright(h_hi, 16)) & 65535) + 196608"),
+            )
+        ).alias("band"),
+    )
+    a = bands.select(
+        F.col("key").alias("key_a"),
+        F.col("h_lo").alias("lo_a"),
+        F.col("h_hi").alias("hi_a"),
+        "band",
+    )
+    b = bands.select(
+        F.col("key").alias("key_b"),
+        F.col("h_lo").alias("lo_b"),
+        F.col("h_hi").alias("hi_b"),
+        "band",
+    )
+    ham = F.expr("bit_count(lo_a ^ lo_b) + bit_count(hi_a ^ hi_b)")
+    return (
+        a.join(b, "band")
+        .where(F.col("key_a") < F.col("key_b"))
+        .select("key_a", "key_b", ham.cast("long").alias("hamming"))
+        .where(F.col("hamming") <= AHASH_MAX_HAMMING)
+        .distinct()
+        .orderBy("key_a", "key_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Length-bucketed batching waste: assign each doc to the next
+# power-of-two token bucket and report exact padding overhead per
+# bucket -- the measurement that decides between bucketed batching
+# and sequence packing (pack_* queries) for a training pipeline.
+# ---------------------------------------------------------------------------
+
+_PACK_BUCKET_SQL = f"""
+WITH t AS (SELECT doc_id, len({_TOKS}) AS n FROM documents),
+b AS (
+  SELECT doc_id, n,
+         CASE WHEN n <= 1 THEN 1
+              ELSE (CAST(1 AS BIGINT) << length(bin(n - 1))) END AS bucket
+  FROM t)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n) AS BIGINT) AS sum_tokens,
+       CAST(sum(bucket - n) AS BIGINT) AS pad_tokens,
+       CAST((1000000 * sum(bucket - n)) // (count(*) * bucket) AS BIGINT) AS pad_ppm
+FROM b GROUP BY bucket ORDER BY bucket
+"""
+
+
+@_q("pack_length_bucket_waste", _PACK_BUCKET_SQL)
+def pack_length_bucket_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Padding waste under power-of-two length bucketing: per bucket,
+    exact token mass vs padded capacity in ppm. The bucket id comes
+    from length(bin(n-1)) -- integer bit-length, no log2 floats. One
+    map-side pass into a tiny bounded-key aggregate; compare with
+    pack_efficiency_stats to choose packing vs bucketing."""
+    from ..functions.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", token_count("text").alias("n"))
+    b = t.select(
+        "n",
+        F.expr(
+            "CASE WHEN n <= 1 THEN CAST(1 AS BIGINT) "
+            "ELSE shiftleft(CAST(1 AS BIGINT), length(bin(n - 1))) END"
+        ).alias("bucket"),
+    )
+    return (
+        b.groupBy("bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n").cast("long").alias("sum_tokens"),
+            F.sum(F.col("bucket") - F.col("n")).cast("long").alias("pad_tokens"),
+        )
+        .select(
+            F.col("bucket").cast("long").alias("bucket"),
+            "n_docs",
+            "sum_tokens",
+            "pad_tokens",
+            F.expr("(1000000 * pad_tokens) DIV (n_docs * bucket)")
+            .cast("long")
+            .alias("pad_ppm"),
+        )
+        .orderBy("bucket")
+    )

@@ -541,3 +541,74 @@ def dq_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("dev_ppm"),
     ).orderBy("digit")
+
+
+# ---------------------------------------------------------------------------
+# Incremental aggregate maintenance with RETRACTIONS: a correction
+# feed arrives as (-1 old row, +1 corrected row) weighted deltas, and
+# the aggregate merges them without rescanning the base -- the
+# streaming-IVM shape (Flink retract streams) that
+# incremental_agg_merge (insert-only) does not cover. The oracle runs
+# the identical weighted union; equality with a direct recompute on
+# the patched table is pinned in tests.
+# ---------------------------------------------------------------------------
+
+RETRACT_MOD = 97  # every 97th event gets corrected (+500 cents)
+
+
+def _retract_parts(spark: SparkSession, sf_dir: str):
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+        F.lit(1).alias("wt"),
+    )
+    hit = ev.where(F.col("event_id") % RETRACT_MOD == 0)
+    retract = hit.select(
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+        F.lit(-1).alias("wt"),
+    )
+    insert = hit.select(
+        "event_type",
+        (F.round(F.col("value") * 100, 0).cast("long") + 500).alias("cents"),
+        F.lit(1).alias("wt"),
+    )
+    return base, retract, insert
+
+
+_RETRACT_SQL = f"""
+WITH w AS (
+  SELECT event_type, CAST(round(value * 100, 0) AS BIGINT) AS cents, 1 AS wt
+  FROM events
+  UNION ALL
+  SELECT event_type, CAST(round(value * 100, 0) AS BIGINT), -1
+  FROM events WHERE event_id % {RETRACT_MOD} = 0
+  UNION ALL
+  SELECT event_type, CAST(round(value * 100, 0) AS BIGINT) + 500, 1
+  FROM events WHERE event_id % {RETRACT_MOD} = 0)
+SELECT event_type,
+       CAST(sum(wt) AS BIGINT) AS n_rows,
+       CAST(sum(wt * cents) AS BIGINT) AS total_cents
+FROM w GROUP BY event_type ORDER BY event_type
+"""
+
+
+@_q("incremental_agg_retract", _RETRACT_SQL)
+def incremental_agg_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge a correction feed into a running aggregate via weighted
+    deltas: count and sum absorb (-1, +1) pairs directly, no base
+    rescan, no distinct state -- bounded per-key aggregate state, the
+    property that makes retraction streams scale. Completes the IVM
+    story next to incremental_agg_merge (inserts) and
+    mv_join_delta_maintenance (joins)."""
+    base, retract, insert = _retract_parts(spark, sf_dir)
+    w = base.unionAll(retract).unionAll(insert)
+    return (
+        w.groupBy("event_type")
+        .agg(
+            F.sum("wt").cast("long").alias("n_rows"),
+            F.sum(F.col("wt") * F.col("cents")).cast("long").alias("total_cents"),
+        )
+        .orderBy("event_type")
+    )

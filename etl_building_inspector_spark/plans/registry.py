@@ -28,6 +28,7 @@ from . import (
     queries_llm7,
     queries_llm8,
     queries_llm9,
+    queries_llm10,
     queries_spatial,
     queries_streaming,
     queries_surface,
@@ -224,6 +225,7 @@ for mod in (
     queries_llm7,
     queries_llm8,
     queries_llm9,
+    queries_llm10,
     queries_spatial,
     queries_streaming,
     queries_surface,
@@ -388,3 +390,17 @@ assert not _missing_r6, f"WINDOW_R6 names not registered: {_missing_r6}"
 # the r5 staging: assert == once the list is final, so an accidental
 # removal cannot ship a short window)
 assert len(WINDOW_R6_CANDIDATES) == len(set(WINDOW_R6_CANDIDATES)) == 50
+
+# Round-7 staging: queries added AFTER the r6 window filled (the same
+# pattern r5 used for the r6 staging). Grows as post-r6 work adds
+# queries; pad with re-pins at the r7 flip if short of 50.
+WINDOW_R7_CANDIDATES: list[str] = [
+    "flagship_enrich",
+    "ann_truncated_dim_recall_eval",
+    "multimodal_image_ahash_pairs",
+    "pack_length_bucket_waste",
+    "incremental_agg_retract",
+]
+_missing_r7 = [n for n in WINDOW_R7_CANDIDATES if n not in QUERIES]
+assert not _missing_r7, f"WINDOW_R7 names not registered: {_missing_r7}"
+assert len(WINDOW_R7_CANDIDATES) == len(set(WINDOW_R7_CANDIDATES)) <= 50

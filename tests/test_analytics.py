@@ -326,3 +326,35 @@ def test_attribution_empty_events_yields_no_rows(spark, tmp_path):
 
     p = _empty_events_dir(spark, tmp_path)
     assert attribution_last_touch(spark, p).count() == 0
+
+
+def test_incremental_agg_retract_equals_recompute(spark, sf_dir):
+    """The retraction-merged aggregate must equal a direct recompute
+    over the patched table (the IVM identity for weighted deltas)."""
+    from pyspark.sql import functions as F
+
+    from etl_building_inspector_spark.plans.queries_surface8 import (
+        RETRACT_MOD,
+        incremental_agg_retract,
+    )
+    from etl_building_inspector_spark.sources.tables import load_table
+
+    merged = {
+        r.event_type: (r.n_rows, r.total_cents)
+        for r in incremental_agg_retract(spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    patched = ev.select(
+        "event_type",
+        F.when(F.col("event_id") % RETRACT_MOD == 0, cents + 500)
+        .otherwise(cents)
+        .alias("cents"),
+    )
+    recomputed = {
+        r.event_type: (r.n, r.total)
+        for r in patched.groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.sum("cents").alias("total"))
+        .collect()
+    }
+    assert merged == recomputed

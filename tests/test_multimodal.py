@@ -304,3 +304,28 @@ def test_audio_energy_empty_padding_single_window(spark):
     out = audio_energy_windows(df, window_bytes=16).collect()
     assert len(out) == 1
     assert out[0].n_bytes == 2 and out[0].energy == 97 * 97 + 98 * 98
+
+
+def test_image_ahash_kernel_exact(spark):
+    """aHash bits recomputed in plain python against the Arrow kernel:
+    bit i set iff byte_i * 64 > sum(bytes), halves split at bit 32."""
+    from etl_building_inspector_spark.operators.multimodal import image_ahash
+
+    payload = bytes(range(64))  # strictly increasing: top half brighter
+    df = spark.createDataFrame([(3, payload)], "key long, bytes binary").select(
+        "key",
+        F.struct(
+            F.col("bytes"),
+            F.lit("image/gray8").alias("mime"),
+            F.struct(
+                F.lit(8).cast("int").alias("width"),
+                F.lit(8).cast("int").alias("height"),
+                F.lit(None).cast("int").alias("duration_ms"),
+            ).alias("meta"),
+        ).alias("media"),
+    )
+    row = image_ahash(df).collect()[0]
+    total = sum(payload)
+    lo = sum(1 << i for i in range(32) if payload[i] * 64 > total)
+    hi = sum(1 << (i - 32) for i in range(32, 64) if payload[i] * 64 > total)
+    assert (row.h_lo, row.h_hi) == (lo, hi)
