@@ -171,6 +171,8 @@ HEADLINE = [
     "multimodal_image_ahash_pairs",
     "pack_length_bucket_waste",
     "incremental_agg_retract",
+    "er_survivorship_golden",
+    "dq_cross_table_reconciliation",
     # graph_neighbor_jaccard_topk / graph_common_neighbors_topk are
     # deliberately NOT benched, like the rest of the wedge-join family:
     # their cost is the capped wedge enumeration itself (bounded at

@@ -334,3 +334,81 @@ def pack_length_bucket_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# ER survivorship: after blocking -> matching -> transitive merge
+# (er_blocked_fuzzy_match / er_resolution_clusters), pick the GOLDEN
+# RECORD per merged entity with explicit, deterministic rules --
+# longest name wins (completeness proxy), ties break lexicographically
+# then by smallest key. Completes the MDM lifecycle: the cluster id
+# alone is useless to a consumer; the survivor is what lands in the
+# dimension.
+# ---------------------------------------------------------------------------
+
+
+def _survivorship_sql() -> str:
+    from . import queries_llm7 as _llm7
+
+    cc = _llm7.ORACLES["er_resolution_clusters"].strip()
+    # the cluster oracle is itself a WITH RECURSIVE ...; lift its body
+    assert cc.startswith("WITH RECURSIVE")
+    body = cc[len("WITH RECURSIVE"):].rsplit("SELECT CAST(node AS BIGINT)", 1)[0]
+    return f"""
+WITH RECURSIVE {body.strip().rstrip(',')},
+members AS (
+  SELECT comp.canonical AS canonical_key, comp.node AS entity_key, n.p_name
+  FROM comp
+  JOIN (SELECT p_name, min(p_partkey) AS rep_key FROM part GROUP BY p_name) n
+    ON n.rep_key = comp.node),
+ranked AS (
+  SELECT canonical_key, entity_key, p_name,
+         row_number() OVER (PARTITION BY canonical_key
+           ORDER BY length(p_name) DESC, p_name ASC, entity_key ASC) AS rnk
+  FROM members)
+SELECT CAST(canonical_key AS BIGINT) AS canonical_key,
+       CAST(count(*) AS BIGINT) AS n_members,
+       CAST(min(CASE WHEN rnk = 1 THEN entity_key END) AS BIGINT) AS golden_key,
+       min(CASE WHEN rnk = 1 THEN p_name END) AS golden_name
+FROM ranked GROUP BY canonical_key
+ORDER BY canonical_key
+"""
+
+
+@_q("er_survivorship_golden", _survivorship_sql())
+def er_survivorship_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden record per merged entity: longest-name survivorship with
+    total tiebreaks, over the transitive-merge clusters. Plan shape:
+    the cluster table (match participants only -- far smaller than the
+    entity universe) joins the names dim and takes one window per
+    cluster partition."""
+    from ..sources.tables import load_table as _lt
+    from . import queries_llm7 as _llm7
+
+    cc = _llm7.QUERIES["er_resolution_clusters"](spark, sf_dir)
+    part = _lt(spark, sf_dir, "part")
+    names = part.groupBy("p_name").agg(F.min("p_partkey").alias("rep_key"))
+    members = cc.join(
+        names, names["rep_key"] == cc["entity_key"]
+    ).select("canonical_key", "entity_key", "p_name")
+    w = Window.partitionBy("canonical_key").orderBy(
+        F.length("p_name").desc(), F.col("p_name").asc(), F.col("entity_key").asc()
+    )
+    ranked = members.withColumn("rnk", F.row_number().over(w))
+    return (
+        ranked.groupBy("canonical_key")
+        .agg(
+            F.count("*").cast("long").alias("n_members"),
+            F.min(F.when(F.col("rnk") == 1, F.col("entity_key")))
+            .cast("long")
+            .alias("golden_key"),
+            F.min(F.when(F.col("rnk") == 1, F.col("p_name"))).alias("golden_name"),
+        )
+        .select(
+            F.col("canonical_key").cast("long").alias("canonical_key"),
+            "n_members",
+            "golden_key",
+            "golden_name",
+        )
+        .orderBy("canonical_key")
+    )

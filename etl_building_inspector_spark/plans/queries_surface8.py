@@ -612,3 +612,81 @@ def incremental_agg_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-table reconciliation: order-header totals vs the lineitem
+# rollup, entirely in the integer domain -- each money factor becomes
+# integer hundredths FIRST (ep_cents, 100-disc_pct, 100+tax_pct), so
+# the detail rollup is an exact BIGINT at scale 1e4 and the header
+# comparison is o_cents * 10000. The report buckets orders by the
+# DIGIT COUNT of the absolute discrepancy (a log-ish histogram with no
+# log()); headers with no detail rows land in bucket -1. On this
+# synthetic fixture the invariant deliberately does NOT hold -- which
+# is exactly what a reconciliation report is for.
+# ---------------------------------------------------------------------------
+
+_RECON_SQL = """
+WITH li AS (
+  SELECT l_orderkey,
+         sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+             * (100 - CAST(round(l_discount * 100, 0) AS BIGINT))
+             * (100 + CAST(round(l_tax * 100, 0) AS BIGINT))) AS li_e4c
+  FROM lineitem GROUP BY l_orderkey),
+j AS (
+  SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT) * 10000 AS o_e4c,
+         li_e4c
+  FROM orders LEFT JOIN li ON o_orderkey = l_orderkey),
+d AS (
+  SELECT CASE WHEN li_e4c IS NULL THEN -1
+              ELSE length(CAST(abs(o_e4c - li_e4c) AS VARCHAR)) END AS diff_digits,
+         abs(o_e4c - li_e4c) AS ad
+  FROM j)
+SELECT CAST(diff_digits AS BIGINT) AS diff_digits,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(min(ad) AS BIGINT) AS min_diff_e4c,
+       CAST(max(ad) AS BIGINT) AS max_diff_e4c
+FROM d GROUP BY diff_digits ORDER BY diff_digits
+"""
+
+
+@_q("dq_cross_table_reconciliation", _RECON_SQL)
+def dq_cross_table_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Header-vs-detail reconciliation histogram: per order, the
+    lineitem rollup (exact BIGINT at 1e4 scale via per-factor integer
+    hundredths -- no float products, no round() at half boundaries)
+    against the header total, bucketed by discrepancy digit count.
+    One detail-side groupBy on the join key, one join, one bounded
+    aggregate: the daily finance-DQ screen at any scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rollup = li.groupBy("l_orderkey").agg(
+        F.sum(
+            F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+            * (F.lit(100) - F.round(F.col("l_discount") * 100, 0).cast("long"))
+            * (F.lit(100) + F.round(F.col("l_tax") * 100, 0).cast("long"))
+        ).alias("li_e4c")
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.round(F.col("o_totalprice") * 100, 0).cast("long") * 10000).alias(
+            "o_e4c"
+        ),
+    )
+    j = o.join(rollup, o["o_orderkey"] == rollup["l_orderkey"], "left")
+    ad = F.abs(F.col("o_e4c") - F.col("li_e4c"))
+    d = j.select(
+        F.when(F.col("li_e4c").isNull(), F.lit(-1))
+        .otherwise(F.length(ad.cast("string")))
+        .cast("long")
+        .alias("diff_digits"),
+        ad.alias("ad"),
+    )
+    return (
+        d.groupBy("diff_digits")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.min("ad").cast("long").alias("min_diff_e4c"),
+            F.max("ad").cast("long").alias("max_diff_e4c"),
+        )
+        .orderBy("diff_digits")
+    )

@@ -400,6 +400,8 @@ WINDOW_R7_CANDIDATES: list[str] = [
     "multimodal_image_ahash_pairs",
     "pack_length_bucket_waste",
     "incremental_agg_retract",
+    "er_survivorship_golden",
+    "dq_cross_table_reconciliation",
 ]
 _missing_r7 = [n for n in WINDOW_R7_CANDIDATES if n not in QUERIES]
 assert not _missing_r7, f"WINDOW_R7 names not registered: {_missing_r7}"
