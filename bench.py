@@ -173,6 +173,9 @@ HEADLINE = [
     "incremental_agg_retract",
     "er_survivorship_golden",
     "dq_cross_table_reconciliation",
+    "sketch_countmin_error_eval",
+    "emb_int8_fidelity_eval",
+    "corpus_augment_swap",
     # graph_neighbor_jaccard_topk / graph_common_neighbors_topk are
     # deliberately NOT benched, like the rest of the wedge-join family:
     # their cost is the capped wedge enumeration itself (bounded at

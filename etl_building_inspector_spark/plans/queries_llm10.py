@@ -412,3 +412,270 @@ def er_survivorship_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("canonical_key")
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min estimator error eval: for the TRUE top-K bigrams (exact
+# counts, deterministic tiebreak), report the CM overestimate in
+# exact counts and ppm -- CM never underestimates, so `over >= 0` is
+# also a structural invariant the oracle re-proves on every run.
+# Completes the sketch-eval family next to sketch_hll_distinct_eval.
+# ---------------------------------------------------------------------------
+
+CM_EVAL_TOPK = 20
+
+
+def _cm_error_sql() -> str:
+    from .queries_llm7 import _CM_P, _CM_ROWS, _CM_W
+
+    k = "CAST(concat('0x', substr(md5(bg), 1, 8)) AS BIGINT)"
+    vals = ", ".join(f"({a}, {b}, {d})" for d, (a, b) in enumerate(_CM_ROWS))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS} AS t FROM documents),
+bigrams AS (
+  SELECT unnest(CASE WHEN len(t) >= 2
+    THEN [concat(t[i], ' ', t[i+1]) for i in generate_series(1, len(t) - 1)]
+    ELSE []::VARCHAR[] END) AS bg
+  FROM toks),
+keyed AS (SELECT bg, {k} AS k FROM bigrams),
+hashed AS (
+  SELECT bg, d, (a * k + b) % {_CM_P} % {_CM_W} AS bucket
+  FROM keyed, (VALUES {vals}) AS r(a, b, d)),
+sketch AS (SELECT d, bucket, count(*) AS c FROM hashed GROUP BY d, bucket),
+exact AS (SELECT bg, k, count(*) AS n_exact FROM keyed GROUP BY bg, k),
+topk AS (
+  SELECT bg, k, n_exact FROM (
+    SELECT bg, k, n_exact,
+           row_number() OVER (ORDER BY n_exact DESC, bg) AS rn
+    FROM exact) WHERE rn <= {CM_EVAL_TOPK}),
+th AS (
+  SELECT bg, n_exact, d, (a * k + b) % {_CM_P} % {_CM_W} AS bucket
+  FROM topk, (VALUES {vals}) AS r(a, b, d)),
+est AS (
+  SELECT bg, n_exact, min(c) AS estimate
+  FROM th JOIN sketch USING (d, bucket) GROUP BY bg, n_exact)
+SELECT bg AS bigram,
+       CAST(n_exact AS BIGINT) AS n_exact,
+       CAST(estimate AS BIGINT) AS estimate,
+       CAST(estimate - n_exact AS BIGINT) AS overestimate,
+       CAST((1000000 * (estimate - n_exact)) // n_exact AS BIGINT) AS err_ppm
+FROM est ORDER BY n_exact DESC, bigram
+"""
+
+
+@_q("sketch_countmin_error_eval", _cm_error_sql())
+def sketch_countmin_error_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CM overestimate per true heavy hitter, in exact counts and ppm
+    -- the acceptance number that sizes (d, w) before trusting the
+    sketch in production (the minhash-calibration discipline applied
+    to frequencies). One sketch build, one exact top-K, one broadcast
+    readout join."""
+    from ..functions.text import tokens as _tokens
+    from ..operators._cache import track_persist
+    from .queries_llm7 import _cm_hash_rows
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(_tokens("text").alias("t"))
+    bigrams = t.select(
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("t"), 1, F.size("t") - 1),
+                F.slice(F.col("t"), 2, F.size("t") - 1),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            )
+        ).alias("bg")
+    )
+    keyed = track_persist(
+        bigrams.select(
+            "bg",
+            F.conv(F.substring(F.md5("bg"), 1, 8), 16, 10).cast("long").alias("k"),
+        )
+    )
+    sketch = _cm_hash_rows(keyed).groupBy("d", "bucket").agg(
+        F.count("*").alias("c")
+    )
+    exact = keyed.groupBy("bg", "k").agg(F.count("*").alias("n_exact"))
+    w = Window.orderBy(F.desc("n_exact"), F.asc("bg"))
+    topk = (
+        exact.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= CM_EVAL_TOPK)
+        .select("bg", "k", "n_exact")
+    )
+    est = (
+        _cm_hash_rows(topk)
+        .join(topk.select("bg", "n_exact"), "bg")
+        .join(F.broadcast(sketch), ["d", "bucket"])
+        .groupBy("bg", "n_exact")
+        .agg(F.min("c").alias("estimate"))
+    )
+    return est.select(
+        F.col("bg").alias("bigram"),
+        F.col("n_exact").cast("long").alias("n_exact"),
+        F.col("estimate").cast("long").alias("estimate"),
+        (F.col("estimate") - F.col("n_exact")).cast("long").alias("overestimate"),
+        F.expr("(1000000 * (estimate - n_exact)) DIV n_exact")
+        .cast("long")
+        .alias("err_ppm"),
+    ).orderBy(F.desc("n_exact"), F.asc("bigram"))
+
+
+# ---------------------------------------------------------------------------
+# Int8 quantization fidelity eval: cosine between the full-precision
+# vector and its symmetric-int8 quantization (cosine is
+# scale-invariant, so the dequant multiply cancels and the comparison
+# is cos(x, q) directly). Completes the quantize lifecycle started by
+# emb_quantize_int8 (stats) the way ann_recall_eval completes IVF.
+# ---------------------------------------------------------------------------
+
+
+def _int8_fidelity_sql() -> str:
+    q_elem = (
+        "CASE WHEN maxabs = 0 THEN 0 ELSE "
+        "CAST(sign(CAST(x AS DOUBLE)) * floor(abs(CAST(x AS DOUBLE)) * 127 / maxabs) "
+        "AS BIGINT) END"
+    )
+    return f"""
+WITH t AS (
+  SELECT vec_id, embedding,
+         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS maxabs
+  FROM embeddings),
+q AS (
+  SELECT vec_id, embedding, maxabs,
+         list_transform(embedding, x -> {q_elem}) AS ql
+  FROM t WHERE maxabs > 0),
+s AS (
+  SELECT vec_id,
+         list_reduce([CAST(embedding[i] AS DOUBLE) * CAST(ql[i] AS DOUBLE)
+                      for i in generate_series(1, len(embedding))], (a, b) -> a + b) AS dot,
+         sqrt(list_reduce([CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)
+                      for i in generate_series(1, len(embedding))], (a, b) -> a + b)) AS nx,
+         sqrt(list_reduce([CAST(ql[i] AS DOUBLE) * CAST(ql[i] AS DOUBLE)
+                      for i in generate_series(1, len(ql))], (a, b) -> a + b)) AS nq
+  FROM q)
+SELECT CAST(vec_id AS BIGINT) AS vec_id,
+       dot / (nx * nq) AS cos_fidelity,
+       CAST(floor((1.0 - dot / (nx * nq)) * 1000000000.0) AS BIGINT) AS loss_ppb
+FROM s ORDER BY vec_id
+"""
+
+
+@_q("emb_int8_fidelity_eval", _int8_fidelity_sql())
+def emb_int8_fidelity_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector cosine fidelity of symmetric int8 quantization --
+    the number that decides whether the 4x-smaller index is safe to
+    serve. Pure column arithmetic (no shuffle); truncation spelled
+    sign*floor for engine portability, the same convention as
+    emb_quantize_int8."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    t = emb.select(
+        "vec_id",
+        "embedding",
+        F.array_max(
+            F.transform("embedding", lambda x: F.abs(x.cast("double")))
+        ).alias("maxabs"),
+    ).where(F.col("maxabs") > 0)
+    q_elem = (
+        "CASE WHEN maxabs = 0 THEN CAST(0 AS BIGINT) ELSE "
+        "CAST(sign(CAST(x AS DOUBLE)) * floor(abs(CAST(x AS DOUBLE)) * 127 / maxabs) "
+        "AS BIGINT) END"
+    )
+    q = t.withColumn("ql", F.expr(f"transform(embedding, x -> {q_elem})"))
+    dot = F.aggregate(
+        F.zip_with(
+            "embedding", "ql", lambda x, y: x.cast("double") * y.cast("double")
+        ),
+        F.lit(0.0),
+        lambda a, b: a + b,
+    )
+    nx = F.sqrt(
+        F.aggregate(
+            F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda a, b: a + b,
+        )
+    )
+    nq = F.sqrt(
+        F.aggregate(
+            F.transform("ql", lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda a, b: a + b,
+        )
+    )
+    s = q.select("vec_id", dot.alias("dot"), nx.alias("nx"), nq.alias("nq"))
+    fid = F.col("dot") / (F.col("nx") * F.col("nq"))
+    return s.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        fid.alias("cos_fidelity"),
+        F.floor((F.lit(1.0) - fid) * F.lit(1000000000.0))
+        .cast("long")
+        .alias("loss_ppb"),
+    ).orderBy("vec_id")
+
+
+# ---------------------------------------------------------------------------
+# Deterministic token-swap augmentation (EDA-style, Wei & Zou 2019):
+# swap the tokens at two doc_id-derived positions -- reproducible
+# augmentation as a map-only transform, md5-verified output so the
+# oracle checks the full rewrite, not just counts.
+# ---------------------------------------------------------------------------
+
+_AUG_SQL = f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS} AS t FROM documents),
+p AS (
+  SELECT doc_id, t, len(t) AS n,
+         doc_id % len(t) + 1 AS p1,
+         (doc_id * 7) % len(t) + 1 AS p2
+  FROM t WHERE len(t) >= 1),
+aug AS (
+  SELECT doc_id, n, p1, p2,
+         [CASE WHEN i = p1 THEN t[p2]
+               WHEN i = p2 THEN t[p1]
+               ELSE t[i] END
+          for i in generate_series(1, n)] AS a
+  FROM p)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(n AS BIGINT) AS n_toks,
+       p1 <> p2 AS swapped,
+       md5(array_to_string(a, ' ')) AS aug_md5
+FROM aug ORDER BY doc_id
+"""
+
+
+@_q("corpus_augment_swap", _AUG_SQL)
+def corpus_augment_swap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible token-swap augmentation: positions derived from
+    doc_id, so the augmented corpus is a pure function of the input
+    (the property that makes augmentation auditable and cache-safe).
+    Map-only -- scan-speed at any corpus size; the md5 check covers
+    the entire rewritten text."""
+    from ..functions.text import tokens as _tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    p = (
+        docs.select("doc_id", _tokens("text").alias("t"))
+        .where(F.size("t") >= 1)
+        .select(
+            "doc_id",
+            "t",
+            F.size("t").alias("n"),
+            (F.col("doc_id") % F.size("t") + 1).alias("p1"),
+            ((F.col("doc_id") * 7) % F.size("t") + 1).alias("p2"),
+        )
+    )
+    aug = p.withColumn(
+        "a",
+        F.expr(
+            "transform(sequence(1, n), i -> "
+            "CASE WHEN i = p1 THEN element_at(t, CAST(p2 AS INT)) "
+            "WHEN i = p2 THEN element_at(t, CAST(p1 AS INT)) "
+            "ELSE element_at(t, CAST(i AS INT)) END)"
+        ),
+    )
+    return aug.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n").cast("long").alias("n_toks"),
+        (F.col("p1") != F.col("p2")).alias("swapped"),
+        F.md5(F.array_join("a", " ")).alias("aug_md5"),
+    ).orderBy("doc_id")

@@ -310,6 +310,29 @@ _CM_ROWS = [(1, 0), (31, 7), (131, 17), (1031, 29)]
 _CM_TOPK = 20
 
 
+def _cm_hash_rows(df: DataFrame) -> DataFrame:
+    """All d CM hash rows in ONE pass (explode of a d-element array),
+    not a d-branch union that re-runs the input lineage per row
+    (Catalyst does not dedupe common subplans across union branches).
+    Shared by the heavy-hitter readout and the estimator error eval."""
+    return df.select(
+        "bg",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        ((F.lit(a) * F.col("k") + F.lit(b)) % _CM_P % _CM_W).alias(
+                            "bucket"
+                        ),
+                    )
+                    for d, (a, b) in enumerate(_CM_ROWS)
+                ]
+            )
+        ).alias("h"),
+    ).select("bg", F.col("h.d").alias("d"), F.col("h.bucket").alias("bucket"))
+
+
 def _cm_sql() -> str:
     k = "CAST(concat('0x', substr(md5(bg), 1, 8)) AS BIGINT)"
     hash_cases = " UNION ALL ".join(
@@ -382,28 +405,8 @@ def sketch_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame
         )
     )
 
-    def hash_rows(df: DataFrame) -> DataFrame:
-        # all d hash rows in ONE pass (explode of a 4-element array),
-        # not a 4-branch union that re-runs the input lineage per row
-        return df.select(
-            "bg",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(d).alias("d"),
-                            ((F.lit(a) * F.col("k") + F.lit(b)) % _CM_P % _CM_W).alias(
-                                "bucket"
-                            ),
-                        )
-                        for d, (a, b) in enumerate(_CM_ROWS)
-                    ]
-                )
-            ).alias("h"),
-        ).select("bg", F.col("h.d").alias("d"), F.col("h.bucket").alias("bucket"))
-
-    sketch = hash_rows(keyed).groupBy("d", "bucket").agg(F.count("*").alias("c"))
-    cand_h = hash_rows(keyed.distinct())
+    sketch = _cm_hash_rows(keyed).groupBy("d", "bucket").agg(F.count("*").alias("c"))
+    cand_h = _cm_hash_rows(keyed.distinct())
     est = (
         cand_h.join(F.broadcast(sketch), ["d", "bucket"])
         .groupBy("bg")

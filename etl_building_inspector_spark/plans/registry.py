@@ -402,6 +402,9 @@ WINDOW_R7_CANDIDATES: list[str] = [
     "incremental_agg_retract",
     "er_survivorship_golden",
     "dq_cross_table_reconciliation",
+    "sketch_countmin_error_eval",
+    "emb_int8_fidelity_eval",
+    "corpus_augment_swap",
 ]
 _missing_r7 = [n for n in WINDOW_R7_CANDIDATES if n not in QUERIES]
 assert not _missing_r7, f"WINDOW_R7 names not registered: {_missing_r7}"
