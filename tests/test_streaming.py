@@ -746,3 +746,81 @@ def test_checkpoint_restart_no_double_count(spark, sf_dir, tmp_path_factory):
         .collect()
     }
     assert got == expect
+
+
+def test_streaming_foreachbatch_merge_lifecycle(spark, tmp_path_factory):
+    """Streaming upsert sink: a file-source stream of changesets is
+    applied through foreachBatch -> merge_on_files (the COW MERGE
+    executor), each micro-batch committing a new table version (kept +
+    rewritten + appended). The final version must equal the classic
+    MERGE of all changesets over the original base -- the
+    streaming-ingest lifecycle that connects the streaming surface to
+    the maintenance executors."""
+    import pyspark.sql.functions as F
+
+    from etl_building_inspector_spark.operators.maintenance import merge_on_files
+
+    root = str(tmp_path_factory.mktemp("fbm"))
+    base0 = root + "/base_v0"
+    spark.range(100).select(
+        F.col("id").alias("key"), (F.col("id") * 10).alias("val")
+    ).repartitionByRange(4, "key").write.parquet(base0)
+
+    # two changeset arrivals (disjoint keys -> final state is batch-
+    # order independent): updates + one insert each
+    upd_dir = root + "/updates"
+    b1 = spark.range(10, 15).select(
+        F.col("id").alias("key"), (F.col("id") + 1000).alias("val")
+    ).unionByName(
+        spark.createDataFrame([(1000, 1)], "key long, val long")
+    )
+    b1.coalesce(1).write.mode("append").parquet(upd_dir)
+    b2 = spark.range(20, 25).select(
+        F.col("id").alias("key"), (F.col("id") + 2000).alias("val")
+    ).unionByName(
+        spark.createDataFrame([(2000, 2)], "key long, val long")
+    )
+    b2.coalesce(1).write.mode("append").parquet(upd_dir)
+
+    state = {"base": base0, "versions": 0}
+
+    def apply_batch(batch_df, epoch_id):
+        if batch_df.isEmpty():
+            return
+        out = f"{root}/delta_v{epoch_id}"
+        stats = merge_on_files(
+            batch_df.sparkSession, state["base"], out, batch_df, "key", ["val"]
+        )
+        parts = list(stats["kept"])
+        if stats["rewritten_dir"]:
+            parts.append(stats["rewritten_dir"])
+        if stats["appended_dir"]:
+            parts.append(stats["appended_dir"])
+        new_base = f"{root}/base_v{epoch_id + 1}"
+        batch_df.sparkSession.read.parquet(*parts).write.parquet(new_base)
+        state["base"] = new_base
+        state["versions"] += 1
+
+    stream = (
+        spark.readStream.schema("key long, val long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(upd_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", root + "/ckpt")
+        .start()
+    )
+    q.awaitTermination(120)
+    assert state["versions"] >= 1  # maxFilesPerTrigger may still batch
+
+    final = {
+        r.key: r.val for r in spark.read.parquet(state["base"]).collect()
+    }
+    expected = {k: k * 10 for k in range(100)}
+    expected.update({k: k + 1000 for k in range(10, 15)})
+    expected.update({k: k + 2000 for k in range(20, 25)})
+    expected[1000] = 1
+    expected[2000] = 2
+    assert final == expected
