@@ -448,27 +448,35 @@ def image_ahash(df: DataFrame, key_col: str = "key") -> DataFrame:
     """
     import numpy as np
 
+    # bit weights for the two 32-bit halves, built once per executor
+    _w32 = (np.int64(1) << np.arange(32, dtype=np.int64))
+
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            keys, los, his = [], [], []
-            for key, b in zip(pdf["key"], pdf["bytes"]):
-                arr = np.frombuffer(b[:64], dtype=np.uint8).astype(np.int64)
-                total = int(arr.sum())
-                lo = hi = 0
-                for i, v in enumerate(arr.tolist()):
-                    if v * 64 > total:
-                        if i < 32:
-                            lo |= 1 << i
-                        else:
-                            hi |= 1 << (i - 32)
-                keys.append(key)
-                los.append(lo)
-                his.append(hi)
+            if len(pdf) == 0:
+                yield pd.DataFrame(
+                    {"key": pd.Series(dtype="int64"),
+                     "h_lo": pd.Series(dtype="int64"),
+                     "h_hi": pd.Series(dtype="int64")}
+                )
+                continue
+            # one python loop per ROW to unpack the object column; all
+            # per-pixel arithmetic is vectorized over the (n, 64) batch
+            mats = np.stack(
+                [
+                    np.frombuffer(bytes(b[:64]).ljust(64, b"\0"), dtype=np.uint8)
+                    for b in pdf["bytes"]
+                ]
+            ).astype(np.int64)
+            totals = mats.sum(axis=1)
+            mask = (mats * 64) > totals[:, None]
+            lo = (mask[:, :32] * _w32).sum(axis=1)
+            hi = (mask[:, 32:] * _w32).sum(axis=1)
             yield pd.DataFrame(
                 {
-                    "key": pd.Series(keys, dtype="int64"),
-                    "h_lo": pd.Series(los, dtype="int64"),
-                    "h_hi": pd.Series(his, dtype="int64"),
+                    "key": pd.Series(np.asarray(pdf["key"], dtype="int64")),
+                    "h_lo": pd.Series(lo, dtype="int64"),
+                    "h_hi": pd.Series(hi, dtype="int64"),
                 }
             )
 

@@ -348,14 +348,10 @@ def pack_length_bucket_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _survivorship_sql() -> str:
-    from . import queries_llm7 as _llm7
+    from .queries_llm7 import _er_cc_cte_body
 
-    cc = _llm7.ORACLES["er_resolution_clusters"].strip()
-    # the cluster oracle is itself a WITH RECURSIVE ...; lift its body
-    assert cc.startswith("WITH RECURSIVE")
-    body = cc[len("WITH RECURSIVE"):].rsplit("SELECT CAST(node AS BIGINT)", 1)[0]
     return f"""
-WITH RECURSIVE {body.strip().rstrip(',')},
+WITH RECURSIVE {_er_cc_cte_body()},
 members AS (
   SELECT comp.canonical AS canonical_key, comp.node AS entity_key, n.p_name
   FROM comp
@@ -382,11 +378,10 @@ def er_survivorship_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
     the cluster table (match participants only -- far smaller than the
     entity universe) joins the names dim and takes one window per
     cluster partition."""
-    from ..sources.tables import load_table as _lt
     from . import queries_llm7 as _llm7
 
     cc = _llm7.QUERIES["er_resolution_clusters"](spark, sf_dir)
-    part = _lt(spark, sf_dir, "part")
+    part = load_table(spark, sf_dir, "part")
     names = part.groupBy("p_name").agg(F.min("p_partkey").alias("rep_key"))
     members = cc.join(
         names, names["rep_key"] == cc["entity_key"]

@@ -496,10 +496,13 @@ def emb_dimension_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _er_clusters_sql() -> str:
+def _er_cc_cte_body() -> str:
+    """The recursive-CC CTE chain (pairs -> sym -> nodes -> reach ->
+    comp), shared verbatim by the cluster oracle and the survivorship
+    oracle (queries_llm10) -- one source of truth, no string surgery
+    on a finished SQL statement."""
     pairs = ORACLES_ER_PAIRS.strip()
-    return f"""
-WITH RECURSIVE pairs AS (
+    return f"""pairs AS (
 {pairs}
 ),
 sym AS (
@@ -515,7 +518,12 @@ reach AS (
 ),
 comp AS (
   SELECT node, min(lab) AS canonical FROM reach GROUP BY node
-)
+)"""
+
+
+def _er_clusters_sql() -> str:
+    return f"""
+WITH RECURSIVE {_er_cc_cte_body()}
 SELECT CAST(node AS BIGINT) AS entity_key,
        CAST(canonical AS BIGINT) AS canonical_key
 FROM comp ORDER BY entity_key

@@ -556,25 +556,26 @@ def dq_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
 RETRACT_MOD = 97  # every 97th event gets corrected (+500 cents)
 
 
-def _retract_parts(spark: SparkSession, sf_dir: str):
+def _retract_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One scan of events -> the weighted delta stream: every row
+    emits (cents, +1); corrected rows ALSO emit (cents, -1) and
+    (cents+500, +1). The explode-per-row form keeps this map-only (a
+    three-branch union would re-read the parquet three times --
+    Catalyst does not dedupe common subplans across union branches)."""
     ev = load_table(spark, sf_dir, "events")
-    base = ev.select(
-        "event_type",
-        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
-        F.lit(1).alias("wt"),
-    )
-    hit = ev.where(F.col("event_id") % RETRACT_MOD == 0)
-    retract = hit.select(
-        "event_type",
-        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
-        F.lit(-1).alias("wt"),
-    )
-    insert = hit.select(
-        "event_type",
-        (F.round(F.col("value") * 100, 0).cast("long") + 500).alias("cents"),
-        F.lit(1).alias("wt"),
-    )
-    return base, retract, insert
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    one = F.struct(cents.alias("cents"), F.lit(1).alias("wt"))
+    deltas = F.when(
+        F.col("event_id") % RETRACT_MOD == 0,
+        F.array(
+            one,
+            F.struct(cents.alias("cents"), F.lit(-1).alias("wt")),
+            F.struct((cents + 500).alias("cents"), F.lit(1).alias("wt")),
+        ),
+    ).otherwise(F.array(one))
+    return ev.select(
+        "event_type", F.explode(deltas).alias("d")
+    ).select("event_type", F.col("d.cents").alias("cents"), F.col("d.wt").alias("wt"))
 
 
 _RETRACT_SQL = f"""
@@ -602,8 +603,7 @@ def incremental_agg_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
     property that makes retraction streams scale. Completes the IVM
     story next to incremental_agg_merge (inserts) and
     mv_join_delta_maintenance (joins)."""
-    base, retract, insert = _retract_parts(spark, sf_dir)
-    w = base.unionAll(retract).unionAll(insert)
+    w = _retract_deltas(spark, sf_dir)
     return (
         w.groupBy("event_type")
         .agg(

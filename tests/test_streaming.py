@@ -812,7 +812,13 @@ def test_streaming_foreachbatch_merge_lifecycle(spark, tmp_path_factory):
         .option("checkpointLocation", root + "/ckpt")
         .start()
     )
-    q.awaitTermination(120)
+    try:
+        # awaitTermination returns False on timeout with the query
+        # still running -- failing HERE beats racing the asserts below
+        # against an in-flight batch
+        assert q.awaitTermination(120), "stream did not drain in 120s"
+    finally:
+        q.stop()
     assert state["versions"] >= 1  # maxFilesPerTrigger may still batch
 
     final = {
