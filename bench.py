@@ -176,6 +176,7 @@ HEADLINE = [
     "sketch_countmin_error_eval",
     "emb_int8_fidelity_eval",
     "corpus_augment_swap",
+    "hierarchy_rollup_cost",
     # graph_neighbor_jaccard_topk / graph_common_neighbors_topk are
     # deliberately NOT benched, like the rest of the wedge-join family:
     # their cost is the capped wedge enumeration itself (bounded at

@@ -690,3 +690,65 @@ def dq_cross_table_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("diff_digits")
     )
+
+
+# ---------------------------------------------------------------------------
+# Hierarchical (BOM/org-chart) subtree rollup WITHOUT recursion: the
+# part keys form an implicit decimal tree (parent(k) = k DIV 10), so
+# every node's ancestor chain is derivable arithmetically -- explode
+# the chain (depth = log10(maxkey), ~4 levels) and aggregate per
+# ancestor. The recursive-CTE oracle proves the closed form; the
+# Spark plan never iterates. This is the recursive-AGGREGATION shape
+# (sql_recursive_reachability covers recursive REACHABILITY).
+# ---------------------------------------------------------------------------
+
+_HIER_SQL = """
+WITH RECURSIVE nodes AS (
+  SELECT CAST(p_partkey AS BIGINT) AS node,
+         CAST(round(p_retailprice * 100, 0) AS BIGINT) AS cents
+  FROM part),
+up AS (
+  SELECT node, node AS anc, cents FROM nodes
+  UNION ALL
+  SELECT up.node, up.anc // 10 AS anc, up.cents
+  FROM up WHERE up.anc >= 10)
+SELECT CAST(anc AS BIGINT) AS node,
+       CAST(count(*) AS BIGINT) AS n_subtree,
+       CAST(sum(cents) AS BIGINT) AS subtree_cents
+FROM up GROUP BY anc
+ORDER BY node
+"""
+
+
+@_q("hierarchy_rollup_cost", _HIER_SQL)
+def hierarchy_rollup_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subtree cost rollup over the implicit decimal hierarchy
+    (parent = key DIV 10): each row explodes its arithmetic ancestor
+    chain, one groupBy sums per ancestor. 100 TB shape: fan-out equals
+    tree DEPTH (logarithmic), no iteration, no recursion, one shuffle
+    -- the closed-form alternative to a recursive BOM rollup whenever
+    the ancestor chain is computable from the key (time/geo/decimal
+    hierarchies all qualify). The oracle proves equivalence to the
+    recursive definition. Note the rollup includes interior nodes
+    that exist only as ancestors (classic BOM semantics)."""
+    part = load_table(spark, sf_dir, "part")
+    nodes = part.select(
+        F.col("p_partkey").cast("long").alias("node"),
+        F.round(F.col("p_retailprice") * 100, 0).cast("long").alias("cents"),
+    )
+    # ancestor chain: node, node/10, node/100, ... down to the 1-digit
+    # root -- generated as a sequence of decimal shifts
+    chain = F.expr(
+        "transform(sequence(0, CAST(length(CAST(node AS STRING)) - 1 AS INT)), "
+        "i -> node DIV CAST(pow(10, i) AS BIGINT))"
+    )
+    up = nodes.select("cents", F.explode(chain).alias("anc"))
+    return (
+        up.groupBy("anc")
+        .agg(
+            F.count("*").cast("long").alias("n_subtree"),
+            F.sum("cents").cast("long").alias("subtree_cents"),
+        )
+        .select(F.col("anc").cast("long").alias("node"), "n_subtree", "subtree_cents")
+        .orderBy("node")
+    )

@@ -405,6 +405,7 @@ WINDOW_R7_CANDIDATES: list[str] = [
     "sketch_countmin_error_eval",
     "emb_int8_fidelity_eval",
     "corpus_augment_swap",
+    "hierarchy_rollup_cost",
 ]
 _missing_r7 = [n for n in WINDOW_R7_CANDIDATES if n not in QUERIES]
 assert not _missing_r7, f"WINDOW_R7 names not registered: {_missing_r7}"

@@ -86,3 +86,52 @@ def test_hll_sketch_partials_merge(spark):
     )
     assert abs(whole - 500) <= 10
     assert abs(merged - 500) <= 10
+
+
+def test_ahash_band_blocking_lossless_at_threshold():
+    """Pigeonhole property the banded aHash join relies on: ANY pair
+    of 64-bit hashes at hamming distance <= 3 shares at least one of
+    the four 16-bit bands. Pure-python over randomized flips."""
+    import random
+
+    rnd = random.Random(42)
+    for _ in range(500):
+        lo = rnd.getrandbits(32)
+        hi = rnd.getrandbits(32)
+        flips = rnd.sample(range(64), rnd.randint(0, 3))
+        lo2, hi2 = lo, hi
+        for f in flips:
+            if f < 32:
+                lo2 ^= 1 << f
+            else:
+                hi2 ^= 1 << (f - 32)
+        bands_a = [lo & 0xFFFF, (lo >> 16) & 0xFFFF, hi & 0xFFFF, (hi >> 16) & 0xFFFF]
+        bands_b = [lo2 & 0xFFFF, (lo2 >> 16) & 0xFFFF, hi2 & 0xFFFF, (hi2 >> 16) & 0xFFFF]
+        assert any(a == b for a, b in zip(bands_a, bands_b))
+
+
+def test_hll_register_table_is_max_mergeable(spark):
+    """The sketch property everything downstream relies on: building
+    HLL registers over a UNION equals max-merging the two halves'
+    register tables -- so shards/days/streams merge for free."""
+    from pyspark.sql import functions as F
+
+    from etl_building_inspector_spark.plans.queries_llm9 import _hll_exprs
+
+    reg, v, rho = _hll_exprs("spark")
+    ids = spark.range(2000).select(
+        F.md5(F.col("id").cast("string")).alias("h"),
+        (F.col("id") % 2).alias("half"),
+    )
+    rr = ids.select("half", F.expr(reg).alias("reg"), F.expr(v).alias("v"))
+    whole = {
+        (r.reg): r.m
+        for r in rr.groupBy("reg").agg(F.max(F.expr(rho)).alias("m")).collect()
+    }
+    halves = (
+        rr.groupBy("half", "reg").agg(F.max(F.expr(rho)).alias("m")).collect()
+    )
+    merged = {}
+    for r in halves:
+        merged[r.reg] = max(merged.get(r.reg, 0), r.m)
+    assert merged == whole
