@@ -177,6 +177,9 @@ HEADLINE = [
     "emb_int8_fidelity_eval",
     "corpus_augment_swap",
     "hierarchy_rollup_cost",
+    "multimodal_audio_silence_segments",
+    "text_code_switch_detect",
+    "emb_centroid_drift_eval",
     # graph_neighbor_jaccard_topk / graph_common_neighbors_topk are
     # deliberately NOT benched, like the rest of the wedge-join family:
     # their cost is the capped wedge enumeration itself (bounded at

@@ -674,3 +674,265 @@ def corpus_augment_swap(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("p1") != F.col("p2")).alias("swapped"),
         F.md5(F.array_join("a", " ")).alias("aug_md5"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Audio silence segmentation: windows below the per-key mean energy
+# (cross-multiplied -- no division) merged into consecutive runs via
+# the gaps-and-islands trick. The DSP pre-step of every ASR pipeline
+# (silence trimming), composed from the REAL audio kernel + the
+# relational islands machinery; oracle shares the windows CTE with
+# the energy query so the two cannot drift.
+# ---------------------------------------------------------------------------
+
+
+def _silence_sql() -> str:
+    from .queries_llm9 import _audio_windows_cte
+
+    return f"""
+WITH {_audio_windows_cte()},
+m AS (
+  SELECT key, win_idx, energy,
+         count(*) OVER (PARTITION BY key) AS n_win,
+         sum(energy) OVER (PARTITION BY key) AS tot
+  FROM wenergy),
+sil AS (SELECT key, win_idx FROM m WHERE energy * n_win < tot),
+isl AS (
+  SELECT key, win_idx,
+         win_idx - row_number() OVER (PARTITION BY key ORDER BY win_idx) AS grp
+  FROM sil)
+SELECT key,
+       CAST(min(win_idx) AS INTEGER) AS seg_start,
+       CAST(max(win_idx) AS INTEGER) AS seg_end,
+       CAST(count(*) AS BIGINT) AS n_windows
+FROM isl GROUP BY key, grp
+ORDER BY key, seg_start
+"""
+
+
+@_q("multimodal_audio_silence_segments", _silence_sql())
+def multimodal_audio_silence_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Below-mean-energy windows merged into contiguous silence
+    segments (islands): kernel windows -> two per-key window
+    functions -> one islands groupBy, all partitioned by key -- no
+    global ordering anywhere. The silence rule is cross-multiplied
+    (energy * n < total), so the flag is exact."""
+    from .queries_llm9 import multimodal_audio_energy_windows
+
+    we = multimodal_audio_energy_windows(spark, sf_dir)
+    wk = Window.partitionBy("key")
+    m = we.withColumn("n_win", F.count("*").over(wk)).withColumn(
+        "tot", F.sum("energy").over(wk)
+    )
+    sil = m.where(F.col("energy") * F.col("n_win") < F.col("tot"))
+    wo = Window.partitionBy("key").orderBy("win_idx")
+    isl = sil.withColumn("grp", F.col("win_idx") - F.row_number().over(wo))
+    return (
+        isl.groupBy("key", "grp")
+        .agg(
+            F.min("win_idx").cast("int").alias("seg_start"),
+            F.max("win_idx").cast("int").alias("seg_end"),
+            F.count("*").cast("long").alias("n_windows"),
+        )
+        .select("key", "seg_start", "seg_end", "n_windows")
+        .orderBy("key", "seg_start")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Code-switching detection: 10-token windows, the registered stopword
+# lang-ID per window (same argmax/tiebreak/und rules as text_lang_id),
+# doc flagged when >= 2 distinct languages win windows -- the
+# within-document language-mix signal monolingual filters miss.
+# ---------------------------------------------------------------------------
+
+CSW_WINDOW = 10
+
+
+def _code_switch_sql() -> str:
+    from ..functions.text import LANG_STOPWORDS
+
+    langs = sorted(LANG_STOPWORDS)
+    score_cols = ",\n  ".join(
+        "sum(CASE WHEN list_contains(["
+        + ", ".join(f"'{w}'" for w in LANG_STOPWORDS[lang])
+        + "], w) THEN 1 ELSE 0 END) AS s_" + lang
+        for lang in langs
+    )
+    all_zero = " AND ".join(f"s_{lang} = 0" for lang in langs)
+    case_lines = []
+    for i, lang in enumerate(langs):
+        later = [f"s_{lang} >= s_{other}" for other in langs[i + 1 :]]
+        cond = " AND ".join(later) if later else "TRUE"
+        case_lines.append(f"WHEN {cond} THEN '{lang}'")
+    case = "\n    ".join(case_lines)
+    return f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+pos AS (
+  SELECT doc_id,
+         unnest([{{'i': i, 'w': toks[i]}} for i in generate_series(1, len(toks))]) AS p
+  FROM t),
+win AS (SELECT doc_id, (p.i - 1) // {CSW_WINDOW} AS win, p.w AS w FROM pos),
+s AS (
+  SELECT doc_id, win,
+  {score_cols}
+  FROM win GROUP BY doc_id, win),
+wl AS (
+  SELECT doc_id, win,
+         CASE WHEN {all_zero} THEN 'und'
+    {case}
+  END AS wlang
+  FROM s)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(count(*) AS BIGINT) AS n_windows,
+       CAST(count(CASE WHEN wlang <> 'und' THEN 1 END) AS BIGINT) AS n_identified,
+       CAST(count(DISTINCT CASE WHEN wlang <> 'und' THEN wlang END) AS BIGINT) AS n_langs,
+       count(DISTINCT CASE WHEN wlang <> 'und' THEN wlang END) >= 2 AS code_switched
+FROM wl GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+@_q("text_code_switch_detect", _code_switch_sql())
+def text_code_switch_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-window language votes over 10-token windows, doc-level
+    code-switching flag when >= 2 languages win. Same deterministic
+    argmax/tiebreak as text_lang_id (generated from the one
+    LANG_STOPWORDS constant); two bounded aggregations, both keyed by
+    doc -- linear in corpus tokens."""
+    from ..functions.text import LANG_STOPWORDS, tokens as _tokens
+
+    langs = sorted(LANG_STOPWORDS)
+    docs = load_table(spark, sf_dir, "documents")
+    win = docs.select(
+        "doc_id", F.posexplode(_tokens("text")).alias("pos0", "w")
+    ).select(
+        "doc_id", (F.col("pos0") / CSW_WINDOW).cast("long").alias("win"), "w"
+    )
+    s = win.groupBy("doc_id", "win").agg(
+        *[
+            F.sum(
+                F.when(F.col("w").isin(*LANG_STOPWORDS[lang]), 1).otherwise(0)
+            ).alias(f"s_{lang}")
+            for lang in langs
+        ]
+    )
+    all_zero = " AND ".join(f"s_{lang} = 0" for lang in langs)
+    case_lines = []
+    for i, lang in enumerate(langs):
+        later = [f"s_{lang} >= s_{other}" for other in langs[i + 1 :]]
+        cond = " AND ".join(later) if later else "TRUE"
+        case_lines.append(f"WHEN {cond} THEN '{lang}'")
+    wlang = F.expr(
+        f"CASE WHEN {all_zero} THEN 'und' " + " ".join(case_lines) + " END"
+    )
+    wl = s.select("doc_id", wlang.alias("wlang"))
+    ident = F.when(F.col("wlang") != "und", F.col("wlang"))
+    return (
+        wl.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_windows"),
+            F.count(ident).cast("long").alias("n_identified"),
+            F.countDistinct(ident).cast("long").alias("n_langs"),
+            (F.countDistinct(ident) >= 2).alias("code_switched"),
+        )
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "n_windows",
+            "n_identified",
+            "n_langs",
+            "code_switched",
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding centroid drift: per-label L1 distance between the "ref"
+# and "cur" halves' centroids, numerator accumulated as exact BIGINTs
+# (cross-multiplied per dim BEFORE the order-free integer sum), one
+# final double division -- the embedding-space twin of
+# dq_distribution_drift, the monitor that catches encoder or
+# upstream-distribution shifts before retrieval quality drops.
+# ---------------------------------------------------------------------------
+
+_DRIFT_SCALE = 1048576  # 2^20, same exact-atom convention as whitening
+
+
+def _centroid_drift_sql() -> str:
+    from .queries_llm import EMB_DIM
+
+    return f"""
+WITH flat AS (
+  SELECT label, vec_id % 2 AS half, u.d AS dim,
+         CAST(floor(CAST(u.v AS DOUBLE) * {_DRIFT_SCALE}) AS BIGINT) AS s
+  FROM (
+    SELECT label, vec_id,
+           unnest([{{'d': i, 'v': embedding[i]}}
+                   for i in generate_series(1, len(embedding))]) AS u
+    FROM embeddings)),
+agg AS (
+  SELECT label, dim,
+         COALESCE(sum(CASE WHEN half = 0 THEN s END), 0) AS s0,
+         count(CASE WHEN half = 0 THEN 1 END) AS n0,
+         COALESCE(sum(CASE WHEN half = 1 THEN s END), 0) AS s1,
+         count(CASE WHEN half = 1 THEN 1 END) AS n1
+  FROM flat GROUP BY label, dim)
+SELECT CAST(label AS BIGINT) AS label,
+       CAST(n0 AS BIGINT) AS n_ref,
+       CAST(n1 AS BIGINT) AS n_cur,
+       CAST(sum(abs(s0 * n1 - s1 * n0)) AS BIGINT) AS drift_num,
+       CAST(sum(abs(s0 * n1 - s1 * n0)) AS DOUBLE)
+         / (CAST(n0 AS DOUBLE) * n1 * {_DRIFT_SCALE} * {EMB_DIM}) AS drift_l1_mean
+FROM agg GROUP BY label, n0, n1
+ORDER BY label
+"""
+
+
+@_q("emb_centroid_drift_eval", _centroid_drift_sql())
+def emb_centroid_drift_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid L1 drift between two deterministic halves of
+    the corpus: per-dim mean difference cross-multiplied into exact
+    BIGINTs (so the 64-term sum is order-free), one final double
+    division. One explode + one (label, dim)-keyed aggregate + one
+    label rollup -- bounded keys end to end."""
+    from .queries_llm import EMB_DIM
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    flat = emb.select(
+        "label",
+        (F.col("vec_id") % 2).alias("half"),
+        F.posexplode("embedding").alias("pos", "v"),
+    ).select(
+        "label",
+        "half",
+        (F.col("pos") + 1).alias("dim"),
+        F.floor(F.col("v").cast("double") * _DRIFT_SCALE).cast("long").alias("s"),
+    )
+    agg = flat.groupBy("label", "dim").agg(
+        F.coalesce(F.sum(F.when(F.col("half") == 0, F.col("s"))), F.lit(0)).alias("s0"),
+        F.count(F.when(F.col("half") == 0, 1)).alias("n0"),
+        F.coalesce(F.sum(F.when(F.col("half") == 1, F.col("s"))), F.lit(0)).alias("s1"),
+        F.count(F.when(F.col("half") == 1, 1)).alias("n1"),
+    )
+    num = F.abs(F.col("s0") * F.col("n1") - F.col("s1") * F.col("n0"))
+    return (
+        agg.groupBy("label", "n0", "n1")
+        .agg(F.sum(num).alias("drift_num"))
+        .select(
+            F.col("label").cast("long").alias("label"),
+            F.col("n0").cast("long").alias("n_ref"),
+            F.col("n1").cast("long").alias("n_cur"),
+            F.col("drift_num").cast("long").alias("drift_num"),
+            (
+                F.col("drift_num").cast("double")
+                / (
+                    F.col("n0").cast("double")
+                    * F.col("n1")
+                    * F.lit(_DRIFT_SCALE)
+                    * F.lit(EMB_DIM)
+                )
+            ).alias("drift_l1_mean"),
+        )
+        .orderBy("label")
+    )

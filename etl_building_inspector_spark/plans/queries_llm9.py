@@ -580,14 +580,16 @@ def ann_cosine_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 AUDIO_WIN = 16
 
 
-def _audio_sql() -> str:
+def _audio_windows_cte() -> str:
+    """auds/wins/wenergy CTE chain (key, win_idx, n_bytes, energy) --
+    the DuckDB twin of the audio kernel, shared by the energy-windows
+    oracle and the silence-segments oracle (queries_llm10)."""
     seg_len = f"least({AUDIO_WIN}, length(payload) - w.wi * {AUDIO_WIN})"
     byte2 = (
         f"ord(substr(payload, w.wi * {AUDIO_WIN} + i, 1))"
         f" * ord(substr(payload, w.wi * {AUDIO_WIN} + i, 1))"
     )
-    return f"""
-WITH auds AS (
+    return f"""auds AS (
   SELECT CAST(s_suppkey AS BIGINT) AS key,
          concat(repeat(md5(CAST(s_suppkey AS VARCHAR)), s_suppkey % 3 + 2),
                 substr(md5(CAST(s_suppkey AS VARCHAR)), 1,
@@ -597,13 +599,21 @@ wins AS (
   SELECT key, payload,
          unnest(generate_series(0,
            (length(payload) + {AUDIO_WIN - 1}) // {AUDIO_WIN} - 1)) AS wi
-  FROM auds)
-SELECT key,
-       CAST(w.wi AS INTEGER) AS win_idx,
-       CAST({seg_len} AS INTEGER) AS n_bytes,
-       CAST(list_reduce([{byte2} for i in generate_series(1, {seg_len})],
-                        (x, y) -> x + y) AS BIGINT) AS energy
-FROM wins w ORDER BY key, win_idx
+  FROM auds),
+wenergy AS (
+  SELECT key,
+         CAST(w.wi AS INTEGER) AS win_idx,
+         CAST({seg_len} AS INTEGER) AS n_bytes,
+         CAST(list_reduce([{byte2} for i in generate_series(1, {seg_len})],
+                          (x, y) -> x + y) AS BIGINT) AS energy
+  FROM wins w)"""
+
+
+def _audio_sql() -> str:
+    return f"""
+WITH {_audio_windows_cte()}
+SELECT key, win_idx, n_bytes, energy
+FROM wenergy ORDER BY key, win_idx
 """
 
 

@@ -406,6 +406,9 @@ WINDOW_R7_CANDIDATES: list[str] = [
     "emb_int8_fidelity_eval",
     "corpus_augment_swap",
     "hierarchy_rollup_cost",
+    "multimodal_audio_silence_segments",
+    "text_code_switch_detect",
+    "emb_centroid_drift_eval",
 ]
 _missing_r7 = [n for n in WINDOW_R7_CANDIDATES if n not in QUERIES]
 assert not _missing_r7, f"WINDOW_R7 names not registered: {_missing_r7}"
