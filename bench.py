@@ -180,6 +180,8 @@ HEADLINE = [
     "multimodal_audio_silence_segments",
     "text_code_switch_detect",
     "emb_centroid_drift_eval",
+    "dedup_pair_agreement_eval",
+    "sample_balanced_classes",
     # graph_neighbor_jaccard_topk / graph_common_neighbors_topk are
     # deliberately NOT benched, like the rest of the wedge-join family:
     # their cost is the capped wedge enumeration itself (bounded at

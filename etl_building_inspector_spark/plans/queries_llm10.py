@@ -936,3 +936,141 @@ def emb_centroid_drift_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# ---------------------------------------------------------------------------
+# Dedup strategy agreement: the MinHash-LSH candidate pairs vs the
+# DF-capped exact-Jaccard pairs, as one summary row of overlap /
+# precision-shaped / recall-shaped ppms. Both sides are REGISTERED
+# strategies with their own oracles; this eval quantifies how much
+# the sketch path and the exact path agree on the same corpus --
+# the go/no-go number for replacing the exact join with the sketch
+# at scale. (Named "agreement", not precision/recall: the exact side
+# is itself DF-capped, so neither side is unconditioned ground truth.)
+# ---------------------------------------------------------------------------
+
+
+def _pair_agreement_sql() -> str:
+    from . import queries_llm as _llm
+
+    lsh = _llm.ORACLES["dedup_minhash_lsh_pairs"].strip()
+    jac = _llm.ORACLES["dedup_ngram_jaccard"].strip()
+    return f"""
+WITH lsh AS (
+{lsh}
+),
+jac AS (
+{jac}
+),
+j AS (SELECT id_a, id_b FROM jac),
+tp AS (
+  SELECT count(*) AS n FROM lsh JOIN j USING (id_a, id_b))
+SELECT CAST((SELECT count(*) FROM lsh) AS BIGINT) AS n_lsh,
+       CAST((SELECT count(*) FROM j) AS BIGINT) AS n_exact,
+       CAST(tp.n AS BIGINT) AS n_both,
+       CAST((1000000 * tp.n) // (SELECT count(*) FROM lsh) AS BIGINT) AS agree_vs_lsh_ppm,
+       CAST((1000000 * tp.n) // (SELECT count(*) FROM j) AS BIGINT) AS agree_vs_exact_ppm
+FROM tp
+"""
+
+
+@_q("dedup_pair_agreement_eval", _pair_agreement_sql())
+def dedup_pair_agreement_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row agreement summary between the LSH candidate pairs and
+    the DF-capped exact-Jaccard pairs (both registered strategies
+    reused as-is). The join is pair-keyed (bounded by the smaller
+    pair set); counts and ppms are exact."""
+    from . import queries_llm as _llm
+
+    lsh = _llm.QUERIES["dedup_minhash_lsh_pairs"](spark, sf_dir).select(
+        "id_a", "id_b"
+    )
+    jac = _llm.QUERIES["dedup_ngram_jaccard"](spark, sf_dir).select(
+        "id_a", "id_b"
+    )
+    from ..operators._cache import track_persist
+
+    lsh = track_persist(lsh)
+    jac = track_persist(jac)
+    n_lsh = lsh.count()
+    n_exact = jac.count()
+    n_both = lsh.join(jac, ["id_a", "id_b"]).count()
+    # counts are driver-side scalars by design: the output IS one
+    # summary row (same sanctioned pattern as provenance_file_counts)
+    return spark.createDataFrame(
+        [
+            (
+                n_lsh,
+                n_exact,
+                n_both,
+                (1000000 * n_both) // n_lsh,
+                (1000000 * n_both) // n_exact,
+            )
+        ],
+        "n_lsh long, n_exact long, n_both long, "
+        "agree_vs_lsh_ppm long, agree_vs_exact_ppm long",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Class-balanced downsampling: cap every label at the minority-class
+# count, keeping a deterministic md5-ordered sample per label -- the
+# standard prep for training on skewed labels. The kept-id SUM is
+# part of the output, so the oracle value-checks the exact SELECTION,
+# not just the sizes.
+# ---------------------------------------------------------------------------
+
+_BAL_SQL = """
+WITH n AS (SELECT label, count(*) AS n_total FROM embeddings GROUP BY label),
+cap AS (SELECT min(n_total) AS cap FROM n),
+r AS (
+  SELECT label, vec_id,
+         row_number() OVER (PARTITION BY label ORDER BY
+           md5(concat('bal:', CAST(vec_id AS VARCHAR))), vec_id) AS rk
+  FROM embeddings),
+kept AS (SELECT label, vec_id FROM r, cap WHERE rk <= cap.cap)
+SELECT CAST(n.label AS BIGINT) AS label,
+       CAST(n.n_total AS BIGINT) AS n_total,
+       CAST(count(kept.vec_id) AS BIGINT) AS n_kept,
+       CAST(sum(kept.vec_id) AS BIGINT) AS kept_id_sum
+FROM n LEFT JOIN kept ON n.label = kept.label
+GROUP BY n.label, n.n_total
+ORDER BY label
+"""
+
+
+@_q("sample_balanced_classes", _BAL_SQL)
+def sample_balanced_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Downsample every label to the minority-class count with a
+    deterministic md5-ranked pick. Plan shape: one bounded groupBy for
+    class sizes, a broadcast one-row cap, one per-label window over
+    label partitions (never global). kept_id_sum makes the selection
+    itself hash-checkable."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.groupBy("label").agg(F.count("*").alias("n_total"))
+    cap = n.agg(F.min("n_total").alias("cap"))
+    w = Window.partitionBy("label").orderBy(
+        F.md5(F.concat(F.lit("bal:"), F.col("vec_id").cast("string"))),
+        F.col("vec_id"),
+    )
+    r = emb.select("label", "vec_id").withColumn("rk", F.row_number().over(w))
+    kept = r.crossJoin(F.broadcast(cap)).where(F.col("rk") <= F.col("cap"))
+    return (
+        n.join(
+            kept.select(F.col("label").alias("k_label"), "vec_id"),
+            n["label"] == F.col("k_label"),
+            "left",
+        )
+        .groupBy("label", "n_total")
+        .agg(
+            F.count("vec_id").cast("long").alias("n_kept"),
+            F.sum("vec_id").cast("long").alias("kept_id_sum"),
+        )
+        .select(
+            F.col("label").cast("long").alias("label"),
+            F.col("n_total").cast("long").alias("n_total"),
+            "n_kept",
+            "kept_id_sum",
+        )
+        .orderBy("label")
+    )

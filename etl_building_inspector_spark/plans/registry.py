@@ -409,6 +409,8 @@ WINDOW_R7_CANDIDATES: list[str] = [
     "multimodal_audio_silence_segments",
     "text_code_switch_detect",
     "emb_centroid_drift_eval",
+    "dedup_pair_agreement_eval",
+    "sample_balanced_classes",
 ]
 _missing_r7 = [n for n in WINDOW_R7_CANDIDATES if n not in QUERIES]
 assert not _missing_r7, f"WINDOW_R7 names not registered: {_missing_r7}"
