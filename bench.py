@@ -180,7 +180,11 @@ HEADLINE = [
     "multimodal_audio_silence_segments",
     "text_code_switch_detect",
     "emb_centroid_drift_eval",
-    "dedup_pair_agreement_eval",
+    # dedup_pair_agreement_eval is NOT benched: it composes the two
+    # pair pipelines benched individually right above, so its time
+    # would double-count dedup_minhash_lsh_pairs + dedup_ngram_jaccard
+    # (the wedge-family exclusion rationale); correctness is
+    # oracle-checked and r7-staged.
     "sample_balanced_classes",
     # graph_neighbor_jaccard_topk / graph_common_neighbors_topk are
     # deliberately NOT benched, like the rest of the wedge-join family:
