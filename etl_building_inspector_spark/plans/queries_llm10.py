@@ -717,9 +717,9 @@ def multimodal_audio_silence_segments(spark: SparkSession, sf_dir: str) -> DataF
     functions -> one islands groupBy, all partitioned by key -- no
     global ordering anywhere. The silence rule is cross-multiplied
     (energy * n < total), so the flag is exact."""
-    from .queries_llm9 import multimodal_audio_energy_windows
+    from .queries_llm9 import audio_windows_df
 
-    we = multimodal_audio_energy_windows(spark, sf_dir)
+    we = audio_windows_df(spark, sf_dir)
     wk = Window.partitionBy("key")
     m = we.withColumn("n_win", F.count("*").over(wk)).withColumn(
         "tot", F.sum("energy").over(wk)
@@ -749,6 +749,23 @@ def multimodal_audio_silence_segments(spark: SparkSession, sf_dir: str) -> DataF
 CSW_WINDOW = 10
 
 
+def _langid_argmax_sql() -> tuple[str, str]:
+    """(all_zero, case_chain) over s_<lang> score columns -- the ONE
+    argmax/tiebreak builder both the oracle and the Spark expression
+    consume, so the two sides cannot drift (the LANG_STOPWORDS
+    single-source discipline applied to the decision rule too)."""
+    from ..functions.text import LANG_STOPWORDS
+
+    langs = sorted(LANG_STOPWORDS)
+    all_zero = " AND ".join(f"s_{lang} = 0" for lang in langs)
+    case_lines = []
+    for i, lang in enumerate(langs):
+        later = [f"s_{lang} >= s_{other}" for other in langs[i + 1 :]]
+        cond = " AND ".join(later) if later else "TRUE"
+        case_lines.append(f"WHEN {cond} THEN '{lang}'")
+    return all_zero, " ".join(case_lines)
+
+
 def _code_switch_sql() -> str:
     from ..functions.text import LANG_STOPWORDS
 
@@ -759,13 +776,7 @@ def _code_switch_sql() -> str:
         + "], w) THEN 1 ELSE 0 END) AS s_" + lang
         for lang in langs
     )
-    all_zero = " AND ".join(f"s_{lang} = 0" for lang in langs)
-    case_lines = []
-    for i, lang in enumerate(langs):
-        later = [f"s_{lang} >= s_{other}" for other in langs[i + 1 :]]
-        cond = " AND ".join(later) if later else "TRUE"
-        case_lines.append(f"WHEN {cond} THEN '{lang}'")
-    case = "\n    ".join(case_lines)
+    all_zero, case = _langid_argmax_sql()
     return f"""
 WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
 pos AS (
@@ -817,15 +828,8 @@ def text_code_switch_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
             for lang in langs
         ]
     )
-    all_zero = " AND ".join(f"s_{lang} = 0" for lang in langs)
-    case_lines = []
-    for i, lang in enumerate(langs):
-        later = [f"s_{lang} >= s_{other}" for other in langs[i + 1 :]]
-        cond = " AND ".join(later) if later else "TRUE"
-        case_lines.append(f"WHEN {cond} THEN '{lang}'")
-    wlang = F.expr(
-        f"CASE WHEN {all_zero} THEN 'und' " + " ".join(case_lines) + " END"
-    )
+    all_zero, case = _langid_argmax_sql()
+    wlang = F.expr(f"CASE WHEN {all_zero} THEN 'und' {case} END")
     wl = s.select("doc_id", wlang.alias("wlang"))
     ident = F.when(F.col("wlang") != "und", F.col("wlang"))
     return (
@@ -882,8 +886,10 @@ SELECT CAST(label AS BIGINT) AS label,
        CAST(n0 AS BIGINT) AS n_ref,
        CAST(n1 AS BIGINT) AS n_cur,
        CAST(sum(abs(s0 * n1 - s1 * n0)) AS BIGINT) AS drift_num,
-       CAST(sum(abs(s0 * n1 - s1 * n0)) AS DOUBLE)
-         / (CAST(n0 AS DOUBLE) * n1 * {_DRIFT_SCALE} * {EMB_DIM}) AS drift_l1_mean
+       CASE WHEN n0 = 0 OR n1 = 0 THEN NULL
+            ELSE CAST(sum(abs(s0 * n1 - s1 * n0)) AS DOUBLE)
+                 / (CAST(n0 AS DOUBLE) * n1 * {_DRIFT_SCALE} * {EMB_DIM})
+       END AS drift_l1_mean
 FROM agg GROUP BY label, n0, n1
 ORDER BY label
 """
@@ -924,7 +930,10 @@ def emb_centroid_drift_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n0").cast("long").alias("n_ref"),
             F.col("n1").cast("long").alias("n_cur"),
             F.col("drift_num").cast("long").alias("drift_num"),
-            (
+            F.when(
+                (F.col("n0") == 0) | (F.col("n1") == 0), F.lit(None)
+            )
+            .otherwise(
                 F.col("drift_num").cast("double")
                 / (
                     F.col("n0").cast("double")
@@ -932,7 +941,8 @@ def emb_centroid_drift_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
                     * F.lit(_DRIFT_SCALE)
                     * F.lit(EMB_DIM)
                 )
-            ).alias("drift_l1_mean"),
+            )
+            .alias("drift_l1_mean"),
         )
         .orderBy("label")
     )
@@ -996,15 +1006,17 @@ def dedup_pair_agreement_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_exact = jac.count()
     n_both = lsh.join(jac, ["id_a", "id_b"]).count()
     # counts are driver-side scalars by design: the output IS one
-    # summary row (same sanctioned pattern as provenance_file_counts)
+    # summary row (same sanctioned pattern as provenance_file_counts).
+    # An empty pair set yields NULL ppm, matching DuckDB's // NULL
+    # semantics (caps can legitimately prune every candidate).
     return spark.createDataFrame(
         [
             (
                 n_lsh,
                 n_exact,
                 n_both,
-                (1000000 * n_both) // n_lsh,
-                (1000000 * n_both) // n_exact,
+                (1000000 * n_both) // n_lsh if n_lsh else None,
+                (1000000 * n_both) // n_exact if n_exact else None,
             )
         ],
         "n_lsh long, n_exact long, n_both long, "

@@ -617,13 +617,12 @@ FROM wenergy ORDER BY key, win_idx
 """
 
 
-@_q("multimodal_audio_energy_windows", _audio_sql())
-def multimodal_audio_energy_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Framed audio energy via the Arrow mapInPandas kernel
-    (operators/multimodal.audio_energy_windows): 1 blob -> one row per
-    16-byte window, exact BIGINT energies, partial trailing window
-    kept with its true length. The value check covers the full
-    numpy-side arithmetic, not just row counts."""
+def audio_windows_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNORDERED kernel windows (key, win_idx, n_bytes, energy) -- the
+    Spark twin of _audio_windows_cte, shared by the energy query
+    (which adds the presentation orderBy) and the silence-segments
+    query (which must NOT inherit a global sort before its per-key
+    windows)."""
     from ..operators.multimodal import audio_energy_windows
 
     sup = load_table(spark, sf_dir, "supplier")
@@ -644,8 +643,17 @@ def multimodal_audio_energy_windows(spark: SparkSession, sf_dir: str) -> DataFra
             ).alias("meta"),
         ).alias("media"),
     )
-    out = audio_energy_windows(auds, window_bytes=AUDIO_WIN, key_col="key")
-    return out.orderBy("key", "win_idx")
+    return audio_energy_windows(auds, window_bytes=AUDIO_WIN, key_col="key")
+
+
+@_q("multimodal_audio_energy_windows", _audio_sql())
+def multimodal_audio_energy_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Framed audio energy via the Arrow mapInPandas kernel
+    (operators/multimodal.audio_energy_windows): 1 blob -> one row per
+    16-byte window, exact BIGINT energies, partial trailing window
+    kept with its true length. The value check covers the full
+    numpy-side arithmetic, not just row counts."""
+    return audio_windows_df(spark, sf_dir).orderBy("key", "win_idx")
 
 
 # ---------------------------------------------------------------------------
