@@ -186,6 +186,12 @@ HEADLINE = [
     # (the wedge-family exclusion rationale); correctness is
     # oracle-checked and r7-staged.
     "sample_balanced_classes",
+    # llm11: governance + lossless set-similarity + bloom eval
+    "privacy_k_anonymity",
+    "privacy_contribution_cap",
+    "dedup_jaccard_prefix_filter",
+    "sketch_bloom_fpr_eval",
+    "schema_evolution_union",
     # graph_neighbor_jaccard_topk / graph_common_neighbors_topk are
     # deliberately NOT benched, like the rest of the wedge-join family:
     # their cost is the capped wedge enumeration itself (bounded at

@@ -534,3 +534,102 @@ def connected_components_alternating(
         )
     )
     return out
+
+
+def jaccard_prefix_filter_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int = 3,
+    threshold_pct: int = 60,
+) -> DataFrame:
+    """COMPLETE set-similarity self-join via prefix filtering (AllPairs
+    / SSJoin: Bayardo, Ma & Srikant, WWW'07; Chaudhuri, Ganti &
+    Kaushik, ICDE'06) over distinct word-shingle sets.
+
+    Unlike `ngram_jaccard_pairs` (whose doc-frequency cap trades
+    completeness for a bounded join), prefix filtering is LOSSLESS for
+    a fixed threshold t: order every doc's shingles by a corpus-wide
+    total order (document frequency asc, shingle asc — rarest first),
+    keep only the first  p = s - ceil(t*s) + 1  shingles as the doc's
+    "prefix", and join docs on shared PREFIX shingles. Any pair with
+    Jaccard >= t must share at least one prefix shingle (pigeonhole on
+    the ordered sets), so candidate generation misses nothing; a size
+    filter (t * s_max <= s_min is necessary for J >= t) prunes further
+    before verification.
+
+    100 TB shape: the candidate join touches only prefix shingles,
+    which are each doc's RAREST — so hot boilerplate shingles never
+    enter the join (the algorithm's own skew guard, replacing the df
+    cap). Verification joins full shingle sets ONLY for surviving
+    candidate pairs: cost |cand| x avg set size, shuffled on
+    (id, shingle). All arithmetic is integer (threshold as a percent,
+    cross-multiplied), so the DuckDB twin is bit-exact.
+    """
+    t = threshold_pct
+    # hash shingles to 60-bit md5-derived BIGINTs BEFORE any shuffle
+    # (same trick and same rationale as ngram_jaccard_pairs above:
+    # 8-byte shuffle keys, not multi-word strings; the oracle applies
+    # the identical hash so results stay bit-equal). The prefix
+    # theorem needs only SOME corpus-wide total order on tokens —
+    # (df asc, hash asc) is one — so ordering by the hash instead of
+    # the string loses nothing.
+    sh = df.select(
+        id_col, F.explode(F.array_distinct(shingles(text_col, shingle_n))).alias("sh0")
+    ).select(
+        id_col,
+        F.conv(F.substring(F.md5("sh0"), 1, 15), 16, 10).cast("long").alias("sh"),
+    )
+    # referenced by df-counts, prefix ranking, and verification: one
+    # tracked persist (released between queries by _cache)
+    sh = track_persist(sh)
+    dfreq = sh.groupBy("sh").agg(F.count("*").alias("df"))
+    # rarest-first rank WITHIN each doc; set size from the SAME
+    # per-doc exchange (count over the id partition — no sizes join)
+    w = Window.partitionBy(id_col).orderBy(F.col("df").asc(), F.col("sh").asc())
+    w_all = Window.partitionBy(id_col)
+    ordered = (
+        sh.join(dfreq, "sh")
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("s", F.count("*").over(w_all).cast("long"))
+    )
+    # prefix length p = s - ceil(t*s/100) + 1, integer ceil for s > 0
+    pref = ordered.filter(
+        F.col("rn") <= F.col("s") - ((F.col("s") * t + 99) / 100).cast("long") + 1
+    ).select(id_col, "sh", "s")
+    a = pref.select(
+        F.col(id_col).alias("id_a"), F.col("sh").alias("sh"), F.col("s").alias("s_a")
+    )
+    b = pref.select(
+        F.col(id_col).alias("id_b"), F.col("sh").alias("sh"), F.col("s").alias("s_b")
+    )
+    cand = (
+        a.join(b, "sh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        # size filter: J >= t  =>  100 * min(s) >= t * max(s)
+        .filter(
+            F.lit(100) * F.least("s_a", "s_b") >= F.lit(t) * F.greatest("s_a", "s_b")
+        )
+        .select("id_a", "id_b", "s_a", "s_b")
+        .distinct()
+    )
+    # verification: exact |A ∩ B| for candidates only
+    sh_a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh"))
+    sh_b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh"))
+    inter = (
+        cand.join(sh_a, "id_a")
+        .join(sh_b, ["id_b", "sh"])
+        .groupBy("id_a", "id_b", "s_a", "s_b")
+        .agg(F.count("*").cast("long").alias("inter_sh"))
+    )
+    return (
+        inter.withColumn("union_sh", F.col("s_a") + F.col("s_b") - F.col("inter_sh"))
+        .filter(F.lit(100) * F.col("inter_sh") >= F.lit(t) * F.col("union_sh"))
+        .select(
+            "id_a",
+            "id_b",
+            "inter_sh",
+            "union_sh",
+            (F.col("inter_sh").cast("double") / F.col("union_sh")).alias("jaccard"),
+        )
+    )

@@ -29,6 +29,7 @@ from . import (
     queries_llm8,
     queries_llm9,
     queries_llm10,
+    queries_llm11,
     queries_spatial,
     queries_streaming,
     queries_surface,
@@ -226,6 +227,7 @@ for mod in (
     queries_llm8,
     queries_llm9,
     queries_llm10,
+    queries_llm11,
     queries_spatial,
     queries_streaming,
     queries_surface,
@@ -411,6 +413,12 @@ WINDOW_R7_CANDIDATES: list[str] = [
     "emb_centroid_drift_eval",
     "dedup_pair_agreement_eval",
     "sample_balanced_classes",
+    # llm11: governance + lossless set-similarity + sketch eval
+    "privacy_k_anonymity",
+    "privacy_contribution_cap",
+    "dedup_jaccard_prefix_filter",
+    "sketch_bloom_fpr_eval",
+    "schema_evolution_union",
 ]
 _missing_r7 = [n for n in WINDOW_R7_CANDIDATES if n not in QUERIES]
 assert not _missing_r7, f"WINDOW_R7 names not registered: {_missing_r7}"
