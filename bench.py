@@ -192,6 +192,11 @@ HEADLINE = [
     "dedup_jaccard_prefix_filter",
     "sketch_bloom_fpr_eval",
     "schema_evolution_union",
+    # llm12: sketch mergeability, layout economics, span corruption
+    "sketch_hll_merge_rollup",
+    "sketch_histogram_quantile_eval",
+    "corpus_span_corruption",
+    "file_skipping_effectiveness",
     # graph_neighbor_jaccard_topk / graph_common_neighbors_topk are
     # deliberately NOT benched, like the rest of the wedge-join family:
     # their cost is the capped wedge enumeration itself (bounded at

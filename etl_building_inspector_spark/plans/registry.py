@@ -30,6 +30,7 @@ from . import (
     queries_llm9,
     queries_llm10,
     queries_llm11,
+    queries_llm12,
     queries_spatial,
     queries_streaming,
     queries_surface,
@@ -228,6 +229,7 @@ for mod in (
     queries_llm9,
     queries_llm10,
     queries_llm11,
+    queries_llm12,
     queries_spatial,
     queries_streaming,
     queries_surface,
@@ -419,6 +421,11 @@ WINDOW_R7_CANDIDATES: list[str] = [
     "dedup_jaccard_prefix_filter",
     "sketch_bloom_fpr_eval",
     "schema_evolution_union",
+    # llm12: sketch mergeability, layout economics, span corruption
+    "sketch_hll_merge_rollup",
+    "sketch_histogram_quantile_eval",
+    "corpus_span_corruption",
+    "file_skipping_effectiveness",
 ]
 _missing_r7 = [n for n in WINDOW_R7_CANDIDATES if n not in QUERIES]
 assert not _missing_r7, f"WINDOW_R7 names not registered: {_missing_r7}"
