@@ -197,6 +197,10 @@ HEADLINE = [
     "sketch_histogram_quantile_eval",
     "corpus_span_corruption",
     "file_skipping_effectiveness",
+    # llm13: retrieval + metric-learning data prep
+    "text_phrase_search",
+    "dedup_minhash_bbit_eval",
+    "emb_contrastive_pairs",
     # graph_neighbor_jaccard_topk / graph_common_neighbors_topk are
     # deliberately NOT benched, like the rest of the wedge-join family:
     # their cost is the capped wedge enumeration itself (bounded at

@@ -31,6 +31,7 @@ from . import (
     queries_llm10,
     queries_llm11,
     queries_llm12,
+    queries_llm13,
     queries_spatial,
     queries_streaming,
     queries_surface,
@@ -230,6 +231,7 @@ for mod in (
     queries_llm10,
     queries_llm11,
     queries_llm12,
+    queries_llm13,
     queries_spatial,
     queries_streaming,
     queries_surface,
@@ -426,6 +428,10 @@ WINDOW_R7_CANDIDATES: list[str] = [
     "sketch_histogram_quantile_eval",
     "corpus_span_corruption",
     "file_skipping_effectiveness",
+    # llm13: retrieval + metric-learning data prep
+    "text_phrase_search",
+    "dedup_minhash_bbit_eval",
+    "emb_contrastive_pairs",
 ]
 _missing_r7 = [n for n in WINDOW_R7_CANDIDATES if n not in QUERIES]
 assert not _missing_r7, f"WINDOW_R7 names not registered: {_missing_r7}"
