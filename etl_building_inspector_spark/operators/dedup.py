@@ -107,8 +107,15 @@ def minhash_lsh_pairs(
     bands: int = 4,
     shingle_n: int = 3,
     max_bucket_width: int | None = None,
+    sig: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded MinHash LSH.
+
+    `sig`, when given, is a precomputed frame holding `id_col` and
+    minhash_0..minhash_{k-1} (the minhash_signature output): callers
+    that also need the signatures for their own estimates (the
+    calibration evals) compute them ONCE and share, instead of this
+    function re-deriving the whole tokenize+shingle+sha256 lineage.
 
     Plan shape (the 100 TB path):
       1. signature: narrow, no shuffle.
@@ -129,7 +136,8 @@ def minhash_lsh_pairs(
     docs belong to exact_dedup, not near-dup pairing.
     """
     rows_per_band = k // bands
-    sig = minhash_signature(df.select(id_col, text_col), text_col, k, shingle_n)
+    if sig is None:
+        sig = minhash_signature(df.select(id_col, text_col), text_col, k, shingle_n)
     band_cols = [
         F.struct(
             F.lit(b).alias("band"),

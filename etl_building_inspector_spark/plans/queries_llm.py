@@ -891,12 +891,17 @@ def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     dshing = docs.withColumn(
         "shd", F.array_distinct(shingles("text", n))
     ).select("doc_id", "shd")
-    sigs = minhash_signature(docs, "text", k=k, shingle_n=n).select(
-        "doc_id", *[f"minhash_{i}" for i in range(k)]
+    from ..operators._cache import track_persist
+
+    # ONE signature pass shared with the LSH banding (sig= kwarg)
+    sigs = track_persist(
+        minhash_signature(docs, "text", k=k, shingle_n=n).select(
+            "doc_id", *[f"minhash_{i}" for i in range(k)]
+        )
     )
     pairs = minhash_lsh_pairs(
         docs, "text", "doc_id", k=k, bands=4, shingle_n=n,
-        max_bucket_width=MINHASH_BUCKET_CAP,
+        max_bucket_width=MINHASH_BUCKET_CAP, sig=sigs,
     )
     sa = sigs.select(
         F.col("doc_id").alias("id_a"),

@@ -269,7 +269,11 @@ def _bloom_sql() -> str:
 WITH fps AS (SELECT doc_id, {_FP} AS fp FROM documents),
 members AS (SELECT DISTINCT fp FROM fps WHERE doc_id % 2 = 0),
 probes0 AS (SELECT DISTINCT fp FROM fps WHERE doc_id % 2 = 1),
-probes AS (SELECT fp FROM probes0 WHERE fp NOT IN (SELECT fp FROM members)),
+probes AS (
+  -- NOT EXISTS, not NOT IN: anti-join semantics (a NULL member fp
+  -- must not veto every probe), matching the Spark left_anti twin
+  SELECT fp FROM probes0 p
+  WHERE NOT EXISTS (SELECT 1 FROM members m WHERE m.fp = p.fp)),
 hpos_m AS (SELECT fp, md5(fp) AS h FROM members),
 bits AS (
   SELECT DISTINCT pos FROM (

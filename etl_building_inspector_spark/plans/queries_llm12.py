@@ -28,7 +28,14 @@ from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
 from .queries_llm import _TOKS
-from .queries_llm9 import _HLL_NUM, _hll_exprs
+from .queries_llm9 import _HLL_NUM, HLL_M, HLL_VBITS, _hll_exprs
+
+# z-denominator building blocks derived from the llm9 constants (a
+# retune of HLL_M/HLL_VBITS there must flow through here, or the
+# estimates silently desync while the shared-constant oracle still
+# passes)
+_HLL_SHIFT = HLL_VBITS + 1  # rho in [1, SHIFT]; weight of rho=r is 2^(SHIFT-r)
+_HLL_EMPTY = 2**_HLL_SHIFT  # an absent register contributes 2^SHIFT (rho = 0)
 
 QUERIES: dict = {}
 ORACLES: dict[str, str] = {}
@@ -69,7 +76,8 @@ SKIP_PREDS = [
 
 def _hll_rollup_sql() -> str:
     reg, v, rho = _hll_exprs("duck")
-    two49 = 2**49
+    two49 = _HLL_EMPTY
+    sh = _HLL_SHIFT
     return f"""
 WITH h AS (
   SELECT event_type, strftime(ts, '%Y-%m') AS shard,
@@ -87,14 +95,14 @@ direct AS (
   FROM rr GROUP BY event_type, reg),
 mz AS (
   SELECT event_type,
-         CAST(sum(CAST(1 AS BIGINT) << (49 - m)) AS BIGINT)
-           + (64 - count(*)) * {two49} AS z_int,
+         CAST(sum(CAST(1 AS BIGINT) << ({sh} - m)) AS BIGINT)
+           + ({HLL_M} - count(*)) * {two49} AS z_int,
          count(*) AS n_regs
   FROM merged GROUP BY event_type),
 dz AS (
   SELECT event_type,
-         CAST(sum(CAST(1 AS BIGINT) << (49 - m)) AS BIGINT)
-           + (64 - count(*)) * {two49} AS z_int,
+         CAST(sum(CAST(1 AS BIGINT) << ({sh} - m)) AS BIGINT)
+           + ({HLL_M} - count(*)) * {two49} AS z_int,
          count(*) AS n_regs
   FROM direct GROUP BY event_type),
 shards AS (
@@ -143,8 +151,12 @@ def sketch_hll_merge_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     def z_of(regs: DataFrame) -> DataFrame:
         return regs.groupBy("event_type").agg(
             (
-                F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), CAST(49 - m AS INT))"))
-                + (F.lit(64) - F.count("*")) * F.lit(2**49)
+                F.sum(
+                    F.expr(
+                        f"shiftleft(CAST(1 AS BIGINT), CAST({_HLL_SHIFT} - m AS INT))"
+                    )
+                )
+                + (F.lit(HLL_M) - F.count("*")) * F.lit(_HLL_EMPTY)
             )
             .cast("long")
             .alias("z_int"),

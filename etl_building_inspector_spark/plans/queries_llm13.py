@@ -144,7 +144,9 @@ _ODD_HEX = "('1','3','5','7','9','b','d','f')"
 def _bbit_sql(k: int = BBIT_K, n: int = 3) -> str:
     from .queries_llm import MINHASH_BUCKET_CAP, _minhash_lsh_sql, _shingles_sql
 
-    pairs_inner = _minhash_lsh_sql(k=k, bands=4, n=n).strip()
+    # cap passed explicitly so the coupling with the Spark twin's
+    # max_bucket_width=MINHASH_BUCKET_CAP stays visible
+    pairs_inner = _minhash_lsh_sql(k=k, bands=4, n=n, cap=MINHASH_BUCKET_CAP).strip()
     sig_cols = ",\n  ".join(
         f"list_min(list_transform(shd, x -> substr(sha256(x), {i * 8 + 1}, 8))) AS mh_{i}"
         for i in range(k)
@@ -184,6 +186,7 @@ def dedup_minhash_bbit_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     of hiding it (production runs k >= 64; the machinery is
     identical). Exact intersections run only for candidates."""
     from ..functions.text import shingles
+    from ..operators._cache import track_persist
     from ..operators.dedup import minhash_lsh_pairs, minhash_signature
     from .queries_llm import MINHASH_BUCKET_CAP
 
@@ -192,8 +195,13 @@ def dedup_minhash_bbit_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     dshing = docs.withColumn("shd", F.array_distinct(shingles("text", n))).select(
         "doc_id", "shd"
     )
-    sigs = minhash_signature(docs, "text", k=k, shingle_n=n).select(
-        "doc_id", *[f"minhash_{i}" for i in range(k)]
+    # ONE signature pass, shared by the bit columns AND the LSH
+    # banding (sig= kwarg) — without it the tokenize+shingle+sha256
+    # lineage runs twice per query
+    sigs = track_persist(
+        minhash_signature(docs, "text", k=k, shingle_n=n).select(
+            "doc_id", *[f"minhash_{i}" for i in range(k)]
+        )
     )
     pairs = minhash_lsh_pairs(
         docs,
@@ -203,6 +211,7 @@ def dedup_minhash_bbit_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         bands=4,
         shingle_n=n,
         max_bucket_width=MINHASH_BUCKET_CAP,
+        sig=sigs,
     )
 
     def bit(col: str):

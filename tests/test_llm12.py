@@ -4,7 +4,6 @@
 from __future__ import annotations
 
 from etl_building_inspector_spark.plans.queries_llm12 import (
-    HIST_BINS,
     SPAN_MAX_LEN,
     corpus_span_corruption,
     file_skipping_effectiveness,
@@ -42,25 +41,53 @@ def test_histogram_quantile_error_bounded_by_bin_width(spark):
         assert r.est_med_cents > 0
 
 
-def test_span_corruption_structure(spark):
-    """Spans never outnumber masked tokens; a span is at most
-    SPAN_MAX_LEN long (merged runs can exceed it only via overlap,
-    in which case n_spans counts the merged run once)."""
-    rows = corpus_span_corruption(spark, SF).collect()
-    assert len(rows) > 0
-    masked_total = sum(r.n_masked for r in rows)
+def test_span_corruption_matches_python_replica(spark):
+    """Re-derive the span mask in plain Python from the SAME hash rule
+    (md5('sc:doc:pos') start/length draws, overlaps merged) and pin
+    n_masked / n_spans per doc exactly — the independent ground truth
+    neither engine twin provides, since both share the SQL steps."""
+    import hashlib
+    import re
+
+    from etl_building_inspector_spark.plans.queries_llm12 import (
+        SPAN_START_MOD,
+    )
+    from etl_building_inspector_spark.sources.tables import load_table
+
+    docs = {
+        r.doc_id: r.text
+        for r in load_table(spark, SF, "documents").select("doc_id", "text").collect()
+    }
+    got = {
+        r.doc_id: (r.n_tokens, r.n_masked, r.n_spans)
+        for r in corpus_span_corruption(spark, SF).collect()
+    }
+
+    def u32(doc_id: int, pos: int) -> int:
+        h = hashlib.md5(f"sc:{doc_id}:{pos}".encode()).hexdigest()
+        return int(h[:8], 16)
+
+    masked_total = 0
+    for did, text in docs.items():
+        toks = [t for t in re.sub(r"[^a-z0-9]+", " ", text.lower()).strip().split(" ") if t]
+        n = len(toks)
+        if n == 0:
+            assert did not in got
+            continue
+        masked = [False] * (n + 1)
+        for p in range(1, n + 1):
+            u = u32(did, p)
+            if u % SPAN_START_MOD == 0:
+                length = 1 + (u // SPAN_START_MOD) % SPAN_MAX_LEN
+                for q in range(p, min(p + length, n + 1)):
+                    masked[q] = True
+        n_masked = sum(masked)
+        n_spans = sum(
+            1 for p in range(1, n + 1) if masked[p] and not masked[p - 1]
+        )
+        assert got[did] == (n, n_masked, n_spans), did
+        masked_total += n_masked
     assert masked_total > 0  # the 1-in-20 rate must fire on 500 docs
-    for r in rows:
-        assert r.n_spans <= r.n_masked
-        assert r.n_masked <= r.n_tokens
-        # each merged run contributes >= 1 and <= run length
-        if r.n_spans:
-            assert r.n_masked / r.n_spans <= r.n_tokens
-    # global mask rate should be in the right ballpark for
-    # start rate 1/20 and mean span length 2: ~8-12%
-    tokens_total = sum(r.n_tokens for r in rows)
-    rate = masked_total / tokens_total
-    assert 0.04 < rate < 0.2, rate
 
 
 def test_clustered_layout_prunes_at_least_arrival(spark):
