@@ -201,6 +201,10 @@ HEADLINE = [
     "text_phrase_search",
     "dedup_minhash_bbit_eval",
     "emb_contrastive_pairs",
+    # llm14: sketch set-algebra, weighted sampling, l-diversity
+    "sketch_hll_intersection_eval",
+    "corpus_negative_sampling",
+    "privacy_l_diversity",
     # graph_neighbor_jaccard_topk / graph_common_neighbors_topk are
     # deliberately NOT benched, like the rest of the wedge-join family:
     # their cost is the capped wedge enumeration itself (bounded at

@@ -32,6 +32,7 @@ from . import (
     queries_llm11,
     queries_llm12,
     queries_llm13,
+    queries_llm14,
     queries_spatial,
     queries_streaming,
     queries_surface,
@@ -232,6 +233,7 @@ for mod in (
     queries_llm11,
     queries_llm12,
     queries_llm13,
+    queries_llm14,
     queries_spatial,
     queries_streaming,
     queries_surface,
@@ -432,6 +434,10 @@ WINDOW_R7_CANDIDATES: list[str] = [
     "text_phrase_search",
     "dedup_minhash_bbit_eval",
     "emb_contrastive_pairs",
+    # llm14: sketch set-algebra, weighted sampling, l-diversity
+    "sketch_hll_intersection_eval",
+    "corpus_negative_sampling",
+    "privacy_l_diversity",
 ]
 _missing_r7 = [n for n in WINDOW_R7_CANDIDATES if n not in QUERIES]
 assert not _missing_r7, f"WINDOW_R7 names not registered: {_missing_r7}"
