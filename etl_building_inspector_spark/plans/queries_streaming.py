@@ -360,3 +360,139 @@ def streaming_hopping_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_events").cast("long").alias("n_events"),
         F.col("value_e4").cast("long").alias("value_e4"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Late-data drop accounting: a THREE-batch replay that forces the
+# watermark to actually drop stragglers, with the result exactly
+# predictable — so the drop contract itself is oracle-checked.
+#
+# Empirically pinned on Spark 4.1 (the numbers in comments are the
+# sf0.001 fixture): batch 0 = the on-time bulk [T0, T1) sets the
+# watermark to wm1 = max(bulk ts) - DELAY; batch 1 = the newest slice
+# [T1, inf) advances it to wm2 = max(all ts) - DELAY; batch 2 = the
+# stragglers (< T0). Spark 3.4+ stateful operators carry TWO
+# watermarks: late-INPUT filtering uses the PREVIOUS batch's value
+# (wm1 when the stragglers arrive), eviction/emission uses the
+# updated one (wm2). Dropping happens at CELL granularity (after the
+# map-side partial aggregation: numRowsDroppedByWatermark counted 234
+# cells, not the 273 raw rows). Net: the append-mode sink ends up
+# with exactly the straggler cells whose window_end lands in
+# (wm1, wm2] — on-time cells all end after wm2 and stay in state
+# forever (the documented end-of-stream property).
+# ---------------------------------------------------------------------------
+
+LATE_T0 = "2024-01-16 00:00:00"
+LATE_T1 = "2024-01-29 00:00:00"
+LATE_DELAY_DAYS = 20
+
+
+def _stream_late_events_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the events fixture as THREE ordered files (bulk, newest,
+    stragglers) so maxFilesPerTrigger=1 replays them as three
+    deterministic batches. Names AND mtimes both ascend, so the file
+    source's (modTime, path) ordering is unambiguous."""
+    import glob
+    import shutil
+    import time
+
+    from ..sources.tables import load_table
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    d = os.path.join(tempfile.gettempdir(), f"ebi_stream_late_{tag}")
+    marker = os.path.join(d, "part-0002.parquet")
+    if os.path.exists(marker):
+        return d
+    ev = load_table(spark, sf_dir, "events")
+    splits = [
+        ev.filter((F.col("ts") >= LATE_T0) & (F.col("ts") < LATE_T1)),
+        ev.filter(F.col("ts") >= LATE_T1),
+        ev.filter(F.col("ts") < LATE_T0),
+    ]
+    stage = d + ".staging"
+    shutil.rmtree(stage, ignore_errors=True)
+    os.makedirs(stage)
+    now = time.time()
+    for i, df in enumerate(splits):
+        tmp = os.path.join(stage, f"w{i}")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        src = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dst = os.path.join(stage, f"part-{i:04d}.parquet")
+        shutil.copy(src, dst)
+        os.utime(dst, (now + 10 * i, now + 10 * i))
+        shutil.rmtree(tmp)
+    try:
+        os.rename(stage, d)
+    except OSError:
+        pass  # concurrent winner already renamed; theirs is complete
+    return d
+
+
+def _late_drop_sql() -> str:
+    return f"""
+WITH bulk AS (
+  SELECT ts FROM events
+  WHERE ts >= TIMESTAMP '{LATE_T0}' AND ts < TIMESTAMP '{LATE_T1}'),
+wm AS (
+  SELECT (SELECT max(ts) FROM bulk) - INTERVAL {LATE_DELAY_DAYS} DAY AS wm1,
+         (SELECT max(ts) FROM events) - INTERVAL {LATE_DELAY_DAYS} DAY AS wm2),
+straggler_cells AS (
+  SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+         time_bucket(INTERVAL '1 hour', ts) + INTERVAL 1 HOUR AS window_end,
+         event_type,
+         count(*) AS n_events
+  FROM events WHERE ts < TIMESTAMP '{LATE_T0}'
+  GROUP BY 1, 2, 3)
+SELECT window_start, event_type, CAST(n_events AS BIGINT) AS n_events
+FROM straggler_cells, wm
+WHERE window_end > wm1 AND window_end <= wm2
+ORDER BY window_start, event_type
+"""
+
+
+@_q("streaming_late_data_drop", _late_drop_sql())
+def streaming_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark late-data semantics as an exact oracle: a 3-batch
+    file replay (bulk -> newest -> stragglers, maxFilesPerTrigger=1)
+    through an append-mode 1h windowed count. The straggler batch
+    meets the PREVIOUS watermark (wm1) as its late-input filter and
+    the advanced one (wm2) as the eviction bound, so the sink holds
+    exactly the straggler cells with window_end in (wm1, wm2] — both
+    watermarks are closed-form (max(ts) - delay), which is what makes
+    a streaming DROP contract hash-checkable at all. 100 TB shape:
+    bounded state (windows within delay x types); the replay is the
+    bounded-source stand-in for a Kafka stream."""
+    from ..streaming.events import EVENTS_SCHEMA
+
+    events_dir = _stream_late_events_dir(spark, sf_dir)
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(events_dir)
+    )
+    agg = (
+        stream.withWatermark("ts", f"{LATE_DELAY_DAYS} days")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            F.col("n_events").cast("long").alias("n_events"),
+        )
+    )
+    _MEMORY_SINK_SEQ[0] += 1
+    name = f"streaming_late_drop_{_MEMORY_SINK_SEQ[0]}"
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(
+        f"SELECT window_start, event_type, n_events FROM {name} "
+        "ORDER BY window_start, event_type"
+    )

@@ -438,6 +438,8 @@ WINDOW_R7_CANDIDATES: list[str] = [
     "sketch_hll_intersection_eval",
     "corpus_negative_sampling",
     "privacy_l_diversity",
+    # streaming: the watermark drop contract, exactly predicted
+    "streaming_late_data_drop",
 ]
 _missing_r7 = [n for n in WINDOW_R7_CANDIDATES if n not in QUERIES]
 assert not _missing_r7, f"WINDOW_R7 names not registered: {_missing_r7}"

@@ -830,3 +830,73 @@ def test_streaming_foreachbatch_merge_lifecycle(spark, tmp_path_factory):
     expected[1000] = 1
     expected[2000] = 2
     assert final == expected
+
+
+def test_late_data_drop_metric_matches_prediction(spark, sf_dir):
+    """streaming_late_data_drop's oracle checks the RESULT; this pins
+    the MECHANISM: the straggler batch's numRowsDroppedByWatermark
+    must equal the count of straggler CELLS (post-partial-agg rows,
+    not raw events) whose window_end <= wm1 (the PREVIOUS batch's
+    watermark -- Spark's late-input filter lags the eviction
+    watermark by one batch)."""
+    import datetime
+    import json
+
+    from pyspark.sql import functions as F
+
+    from etl_building_inspector_spark.plans.queries_streaming import (
+        LATE_DELAY_DAYS,
+        LATE_T0,
+        LATE_T1,
+        _stream_late_events_dir,
+    )
+    from etl_building_inspector_spark.sources.tables import load_table
+    from etl_building_inspector_spark.streaming.events import EVENTS_SCHEMA
+
+    d = _stream_late_events_dir(spark, sf_dir)
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d)
+    )
+    agg = (
+        stream.withWatermark("ts", f"{LATE_DELAY_DAYS} days")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("late_drop_metric_probe")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        progress = [json.loads(p.json) for p in q.recentProgress]
+    finally:
+        q.stop()
+
+    dropped_per_batch = [
+        sum(s.get("numRowsDroppedByWatermark", 0) for s in p.get("stateOperators", []))
+        for p in progress
+        if p["numInputRows"] > 0
+    ]
+    assert len(dropped_per_batch) == 3  # bulk, newest, stragglers
+    assert dropped_per_batch[0] == 0 and dropped_per_batch[1] == 0
+
+    ev = load_table(spark, sf_dir, "events")
+    bulk_max = (
+        ev.filter((F.col("ts") >= LATE_T0) & (F.col("ts") < LATE_T1))
+        .agg(F.max("ts"))
+        .collect()[0][0]
+    )
+    wm1 = bulk_max - datetime.timedelta(days=LATE_DELAY_DAYS)
+    expected_dropped_cells = (
+        ev.filter(F.col("ts") < LATE_T0)
+        .select(F.window("ts", "1 hour").alias("w"), "event_type")
+        .distinct()
+        .filter(F.col("w.end") <= F.lit(wm1))
+        .count()
+    )
+    assert dropped_per_batch[2] == expected_dropped_cells
+    assert expected_dropped_cells > 0  # the fixture must exercise the drop
