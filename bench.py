@@ -205,6 +205,9 @@ HEADLINE = [
     "sketch_hll_intersection_eval",
     "corpus_negative_sampling",
     "privacy_l_diversity",
+    # llm15: phonetic ER blocking + video shot segmentation
+    "er_phonetic_blocking",
+    "multimodal_video_shot_cuts",
     # graph_neighbor_jaccard_topk / graph_common_neighbors_topk are
     # deliberately NOT benched, like the rest of the wedge-join family:
     # their cost is the capped wedge enumeration itself (bounded at

@@ -311,7 +311,9 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _FRAME_EVERY_MS = 1000
 
-_FRAME_SQL = f"""
+# body shared with queries_llm15's shot-cut oracle (which wraps it in
+# its own CTE and must not inherit the presentation ORDER BY)
+_FRAME_BODY_SQL = f"""
 WITH vids AS (
   SELECT CAST(s_suppkey AS BIGINT) AS key,
          repeat(md5(CAST(s_suppkey AS VARCHAR)), 4) AS payload,
@@ -326,8 +328,9 @@ SELECT key,
        CAST(frame_idx AS INTEGER) AS frame_idx,
        CAST(frame_idx * {_FRAME_EVERY_MS} AS INTEGER) AS ts_ms,
        upper(md5(payload || '@' || CAST(frame_idx * {_FRAME_EVERY_MS} AS VARCHAR))) AS frame_hex
-FROM frames ORDER BY key, frame_idx
-"""
+FROM frames"""
+
+_FRAME_SQL = _FRAME_BODY_SQL + "\nORDER BY key, frame_idx\n"
 
 
 @_q("multimodal_frame_sample_fanout", _FRAME_SQL)

@@ -33,6 +33,7 @@ from . import (
     queries_llm12,
     queries_llm13,
     queries_llm14,
+    queries_llm15,
     queries_spatial,
     queries_streaming,
     queries_surface,
@@ -234,6 +235,7 @@ for mod in (
     queries_llm12,
     queries_llm13,
     queries_llm14,
+    queries_llm15,
     queries_spatial,
     queries_streaming,
     queries_surface,
@@ -440,6 +442,9 @@ WINDOW_R7_CANDIDATES: list[str] = [
     "privacy_l_diversity",
     # streaming: the watermark drop contract, exactly predicted
     "streaming_late_data_drop",
+    # llm15: phonetic ER blocking + video shot segmentation
+    "er_phonetic_blocking",
+    "multimodal_video_shot_cuts",
 ]
 _missing_r7 = [n for n in WINDOW_R7_CANDIDATES if n not in QUERIES]
 assert not _missing_r7, f"WINDOW_R7 names not registered: {_missing_r7}"
