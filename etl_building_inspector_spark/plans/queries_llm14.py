@@ -72,9 +72,13 @@ regs AS (
   SELECT event_type, reg, max({rho}) AS m
   FROM rr GROUP BY event_type, reg),
 pairs AS ({pairs_rows}),
+probes AS (
+  SELECT type_a, type_b, type_a AS event_type FROM pairs
+  UNION ALL
+  SELECT type_a, type_b, type_b AS event_type FROM pairs),
 uni AS (
   SELECT p.type_a, p.type_b, r.reg, max(r.m) AS m
-  FROM pairs p JOIN regs r ON r.event_type IN (p.type_a, p.type_b)
+  FROM probes p JOIN regs r ON r.event_type = p.event_type
   GROUP BY p.type_a, p.type_b, r.reg),
 z1 AS (
   SELECT event_type,
@@ -132,13 +136,15 @@ def sketch_hll_intersection_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = spark.createDataFrame(
         list(OVERLAP_PAIRS), "type_a string, type_b string"
     )
+    # unpivot each pair into two probe rows and EQUI-join on the
+    # probed type — an OR condition here compiles to a
+    # BroadcastNestedLoopJoin, which the plan discipline forbids even
+    # when bounded
+    probes = pairs.selectExpr(
+        "type_a", "type_b", "stack(2, type_a, type_b) AS event_type"
+    )
     uni = (
-        F.broadcast(pairs)
-        .join(
-            regs,
-            (F.col("event_type") == F.col("type_a"))
-            | (F.col("event_type") == F.col("type_b")),
-        )
+        regs.join(F.broadcast(probes), "event_type")
         .groupBy("type_a", "type_b", "reg")
         .agg(F.max("m").alias("m"))
     )
@@ -224,11 +230,18 @@ cum AS (
   -- whole-frame sum may fold doubles in a different order per engine;
   -- max(cw) reuses the one sequentially-folded series bit-for-bit
   SELECT tok, freq, w, cw, max(cw) OVER () AS total_w FROM cum0),
-iv AS (
+iv0 AS (
   SELECT tok, freq,
-         CAST(floor((cw - w) / total_w * {U32}) AS BIGINT) AS lo,
          CAST(floor(cw / total_w * {U32}) AS BIGINT) AS hi
   FROM cum),
+iv AS (
+  -- lo = previous row's hi, NOT an independent floor((cw - w)/...):
+  -- (cw_i + w) - w != cw_i in floating point, and an ulp across an
+  -- integer boundary would overlap/gap adjacent intervals. lag(hi)
+  -- guarantees an exact partition of [0, 2^32).
+  SELECT tok, freq,
+         coalesce(lag(hi) OVER (ORDER BY tok), 0) AS lo, hi
+  FROM iv0),
 icells AS (
   SELECT tok, freq, lo, hi, cell
   FROM iv, unnest(generate_series(lo // {_BSZ}, (hi - 1) // {_BSZ})) AS u(cell)
@@ -282,13 +295,14 @@ def corpus_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     cum = wv.withColumn("cw", F.sum("w").over(w_cum)).withColumn(
         "total_w", F.max("cw").over(w_all)
     )
-    iv = cum.select(
+    # lo = lag(hi): exact partition of [0, 2^32) — see _ns_sql comment
+    iv0 = cum.select(
         "tok",
         "freq",
-        F.floor((F.col("cw") - F.col("w")) / F.col("total_w") * U32)
-        .cast("long")
-        .alias("lo"),
         F.floor(F.col("cw") / F.col("total_w") * U32).cast("long").alias("hi"),
+    )
+    iv = iv0.withColumn(
+        "lo", F.coalesce(F.lag("hi").over(Window.orderBy("tok")), F.lit(0))
     ).filter(F.col("hi") > F.col("lo"))
     icells = track_persist(
         iv.select(

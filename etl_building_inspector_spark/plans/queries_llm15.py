@@ -36,10 +36,13 @@ def _q(name: str, sql: str | None = None):
     return deco
 
 
-# shared constants
+# shared constants (the frame cadence lives in queries_llm8 — this
+# module consumes its helper and SQL body, never its own copy)
 PHON_LEV_MAX = 2
 SHOT_DELTA = 400  # energy delta (0..999 scale) that starts a new shot
-_FRAME_EVERY_MS = 1000  # must match queries_llm8's fan-out constant
+# synthetic typo rows get NEGATIVE keys: -(k+1) can never collide with
+# a real p_partkey at any SF (the '+1e6 offset' class collides at sf5)
+TYPO_KEY = "-(k + 1)"
 
 # Simplified Soundex letter classes (vowels/h/w/y -> 0, dropped later).
 # Deviation from ANSI Soundex documented: no h/w "separator" rule —
@@ -85,7 +88,7 @@ WITH base AS (
 names AS (
   SELECT n, k FROM base
   UNION ALL
-  SELECT {typo.replace('p_name', 'n')} AS n, k + 1000000 AS k
+  SELECT {typo.replace('p_name', 'n')} AS n, {TYPO_KEY} AS k
   FROM base WHERE k % 7 = 0),
 keyed AS (SELECT n, k, {key} AS ph FROM names),
 pairs AS (
@@ -112,17 +115,12 @@ def er_phonetic_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
     key, edit distance only within blocks."""
     part = load_table(spark, sf_dir, "part")
     base = part.groupBy("p_name").agg(F.min("p_partkey").alias("k"))
-    t1 = F.split_part(F.col("p_name"), F.lit(" "), F.lit(1))
-    typo_name = F.concat(
-        F.substring(t1, 1, 1),
-        F.substring(t1, 3, 1),
-        F.substring(t1, 2, 1),
-        F.expr("substr(split_part(p_name, ' ', 1), 4)"),
-        F.expr("substr(p_name, length(split_part(p_name, ' ', 1)) + 1)"),
-    )
+    # the typo expression is the ONE generator both engines share —
+    # F.expr of the same SQL string, never a hand-copied twin
     names = base.select(F.col("p_name").alias("n"), "k").unionByName(
         base.filter(F.col("k") % 7 == 0).select(
-            typo_name.alias("n"), (F.col("k") + 1000000).alias("k")
+            F.expr(_typo_sql("p_name")).alias("n"),
+            F.expr(TYPO_KEY).alias("k"),
         )
     )
     keyed = names.withColumn(
@@ -205,25 +203,10 @@ def multimodal_video_shot_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
     SHOT_DELTA, gaps-and-islands into shots. All per-key windows —
     nothing global. The video twin of
     multimodal_audio_silence_segments."""
-    from ..operators.multimodal import sample_frames
-    from .queries_llm8 import _FRAME_EVERY_MS as EVERY_MS
+    from .queries_llm8 import _video_stub_frames
 
-    sup = load_table(spark, sf_dir, "supplier")
-    payload = F.repeat(F.md5(F.col("s_suppkey").cast("string")), 4)
-    vids = sup.select(
-        F.col("s_suppkey").cast("long").alias("key"),
-        F.struct(
-            F.encode(payload, "utf-8").alias("bytes"),
-            F.lit("video/mp4").alias("mime"),
-            F.struct(
-                F.lit(None).cast("int").alias("width"),
-                F.lit(None).cast("int").alias("height"),
-                ((F.col("s_suppkey") % 5 + 1) * 3000).cast("int").alias("duration_ms"),
-            ).alias("meta"),
-        ).alias("media"),
-    )
-    frames = sample_frames(vids, every_ms=EVERY_MS, key_col="key").select(
-        "key", "frame_idx", F.upper(F.hex("frame")).alias("frame_hex")
+    frames = _video_stub_frames(spark, sf_dir).select(
+        "key", "frame_idx", F.hex("frame").alias("frame_hex")
     )
     energy = (
         F.conv(F.substring(F.md5("frame_hex"), 1, 8), 16, 10).cast("long")

@@ -333,13 +333,12 @@ FROM frames"""
 _FRAME_SQL = _FRAME_BODY_SQL + "\nORDER BY key, frame_idx\n"
 
 
-@_q("multimodal_frame_sample_fanout", _FRAME_SQL)
-def multimodal_frame_sample_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Video frame sampling through the real Arrow mapInPandas kernel:
-    1 -> duration/every_ms rows per blob, frames as content-addressed
-    stubs (no codecs in container; the fan-out arithmetic, schema and
-    batch behavior are the production shape). F.hex(frame) exposes
-    the stub digest for the exact oracle."""
+def _video_stub_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic video blobs (payload/duration derived from supplier
+    keys, the _FRAME_BODY_SQL twin) run through the REAL mapInPandas
+    fan-out kernel. Shared by multimodal_frame_sample_fanout and
+    queries_llm15's shot-cut query so the stub construction cannot
+    drift between them while both oracles share _FRAME_BODY_SQL."""
     from ..operators.multimodal import sample_frames
 
     sup = load_table(spark, sf_dir, "supplier")
@@ -356,7 +355,17 @@ def multimodal_frame_sample_fanout(spark: SparkSession, sf_dir: str) -> DataFram
             ).alias("meta"),
         ).alias("media"),
     )
-    frames = sample_frames(vids, every_ms=_FRAME_EVERY_MS, key_col="key")
+    return sample_frames(vids, every_ms=_FRAME_EVERY_MS, key_col="key")
+
+
+@_q("multimodal_frame_sample_fanout", _FRAME_SQL)
+def multimodal_frame_sample_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling through the real Arrow mapInPandas kernel:
+    1 -> duration/every_ms rows per blob, frames as content-addressed
+    stubs (no codecs in container; the fan-out arithmetic, schema and
+    batch behavior are the production shape). F.hex(frame) exposes
+    the stub digest for the exact oracle."""
+    frames = _video_stub_frames(spark, sf_dir)
     return frames.select(
         "key",
         "frame_idx",

@@ -52,12 +52,18 @@ def _stream_events_dir(spark: SparkSession, sf_dir: str) -> str:
     d = os.path.join(tempfile.gettempdir(), f"ebi_stream_events_{tag}")
     marker = os.path.join(d, "_SUCCESS")
     if not os.path.exists(marker):
-        stage = d + ".staging"
-        load_table(spark, sf_dir, "events").write.mode("overwrite").parquet(stage)
+        # private mkdtemp staging per runner (not a shared fixed name):
+        # concurrent runners race only on the atomic rename
+        stage = tempfile.mkdtemp(prefix=f"ebi_stream_events_{tag}_stage_")
+        out = os.path.join(stage, "out")
+        load_table(spark, sf_dir, "events").write.mode("overwrite").parquet(out)
         try:
-            os.rename(stage, d)
+            os.rename(out, d)
         except OSError:
             pass  # concurrent winner already renamed; theirs is complete
+        import shutil
+
+        shutil.rmtree(stage, ignore_errors=True)
     return d
 
 
@@ -409,9 +415,10 @@ def _stream_late_events_dir(spark: SparkSession, sf_dir: str) -> str:
         ev.filter(F.col("ts") >= LATE_T1),
         ev.filter(F.col("ts") < LATE_T0),
     ]
-    stage = d + ".staging"
-    shutil.rmtree(stage, ignore_errors=True)
-    os.makedirs(stage)
+    # a PRIVATE staging dir per runner (mkdtemp), NOT a shared fixed
+    # name: concurrent runners each build a complete replay and race
+    # only on the final atomic rename — the loser keeps the winner's
+    stage = tempfile.mkdtemp(prefix=f"ebi_stream_late_{tag}_stage_")
     now = time.time()
     for i, df in enumerate(splits):
         tmp = os.path.join(stage, f"w{i}")
@@ -424,7 +431,7 @@ def _stream_late_events_dir(spark: SparkSession, sf_dir: str) -> str:
     try:
         os.rename(stage, d)
     except OSError:
-        pass  # concurrent winner already renamed; theirs is complete
+        shutil.rmtree(stage, ignore_errors=True)  # winner's dir is complete
     return d
 
 
@@ -480,19 +487,12 @@ def streaming_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_events").cast("long").alias("n_events"),
         )
     )
+    from ..streaming.events import run_to_memory_append
+
     _MEMORY_SINK_SEQ[0] += 1
-    name = f"streaming_late_drop_{_MEMORY_SINK_SEQ[0]}"
-    q = (
-        agg.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .start()
+    result = run_to_memory_append(
+        agg, f"streaming_late_drop_{_MEMORY_SINK_SEQ[0]}"
     )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-    return spark.sql(
-        f"SELECT window_start, event_type, n_events FROM {name} "
-        "ORDER BY window_start, event_type"
+    return result.select("window_start", "event_type", "n_events").orderBy(
+        "window_start", "event_type"
     )
