@@ -208,6 +208,9 @@ HEADLINE = [
     # llm15: phonetic ER blocking + video shot segmentation
     "er_phonetic_blocking",
     "multimodal_video_shot_cuts",
+    # llm16: operational honesty reports
+    "dedup_lsh_cap_loss_report",
+    "outlier_winsorized_stats",
     # graph_neighbor_jaccard_topk / graph_common_neighbors_topk are
     # deliberately NOT benched, like the rest of the wedge-join family:
     # their cost is the capped wedge enumeration itself (bounded at

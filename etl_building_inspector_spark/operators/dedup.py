@@ -99,6 +99,39 @@ def minhash_signature(
     )
 
 
+def minhash_lsh_buckets(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+    sig: DataFrame | None = None,
+) -> DataFrame:
+    """(id, band, key) band-bucket assignments — the LSH blocking
+    table minhash_lsh_pairs self-joins, exposed so diagnostics (the
+    cap-loss report in plans/queries_llm16.py) can aggregate bucket
+    WIDTHS from the exact same construction. `sig` as in
+    minhash_lsh_pairs."""
+    rows_per_band = k // bands
+    if sig is None:
+        sig = minhash_signature(df.select(id_col, text_col), text_col, k, shingle_n)
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(
+                F.concat_ws(
+                    "|", *[f"minhash_{b * rows_per_band + r}" for r in range(rows_per_band)]
+                )
+            ).alias("key"),
+        )
+        for b in range(bands)
+    ]
+    return sig.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str,
@@ -135,23 +168,9 @@ def minhash_lsh_pairs(
     is also the semantically right boilerplate filter -- exact-identical
     docs belong to exact_dedup, not near-dup pairing.
     """
-    rows_per_band = k // bands
-    if sig is None:
-        sig = minhash_signature(df.select(id_col, text_col), text_col, k, shingle_n)
-    band_cols = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.md5(
-                F.concat_ws(
-                    "|", *[f"minhash_{b * rows_per_band + r}" for r in range(rows_per_band)]
-                )
-            ).alias("key"),
-        )
-        for b in range(bands)
-    ]
-    buckets = sig.select(
-        F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")
-    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    buckets = minhash_lsh_buckets(
+        df, text_col, id_col, k=k, bands=bands, shingle_n=shingle_n, sig=sig
+    )
     # self-join would otherwise recompute the whole signature pipeline
     # for each side; persist so it runs once (tracked: see
     # _cache.release_persisted). At cluster scale this is a small

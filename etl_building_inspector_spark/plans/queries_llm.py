@@ -242,9 +242,10 @@ def dedup_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_lsh_sql(
-    k: int = 8, bands: int = 4, n: int = 3, cap: int = MINHASH_BUCKET_CAP
-) -> str:
+def _lsh_buckets_cte(k: int = 8, bands: int = 4, n: int = 3) -> str:
+    """The docs -> tokens -> shingles -> signatures -> band buckets
+    CTE chain, shared by the LSH pairs oracle and the cap-loss report
+    (queries_llm16) so the banding construction cannot drift."""
     rpb = k // bands
     sig_cols = ",\n  ".join(
         f"list_min(list_transform(sh, x -> substr(sha256(x), {i * 8 + 1}, 8))) AS minhash_{i}"
@@ -256,12 +257,18 @@ def _minhash_lsh_sql(
         + ")) AS key FROM sig"
         for b in range(bands)
     )
-    return f"""
-WITH {_DOCS_WITH_DUPS_SQL.strip()},
+    return f"""{_DOCS_WITH_DUPS_SQL.strip()},
 t AS (SELECT doc_id, {_TOKS} AS toks FROM docs),
 sh AS (SELECT doc_id, {_shingles_sql("toks", n)} AS sh FROM t),
 sig AS (SELECT doc_id, {sig_cols} FROM sh),
-buckets AS ({band_selects}),
+buckets AS ({band_selects})"""
+
+
+def _minhash_lsh_sql(
+    k: int = 8, bands: int = 4, n: int = 3, cap: int = MINHASH_BUCKET_CAP
+) -> str:
+    return f"""
+WITH {_lsh_buckets_cte(k, bands, n)},
 kept AS (SELECT band, key FROM buckets GROUP BY band, key HAVING count(*) <= {cap}),
 b2 AS (SELECT buckets.* FROM buckets JOIN kept USING (band, key))
 SELECT DISTINCT CAST(a.doc_id AS BIGINT) AS id_a,

@@ -34,6 +34,7 @@ from . import (
     queries_llm13,
     queries_llm14,
     queries_llm15,
+    queries_llm16,
     queries_spatial,
     queries_streaming,
     queries_surface,
@@ -236,6 +237,7 @@ for mod in (
     queries_llm13,
     queries_llm14,
     queries_llm15,
+    queries_llm16,
     queries_spatial,
     queries_streaming,
     queries_surface,
@@ -445,6 +447,9 @@ WINDOW_R7_CANDIDATES: list[str] = [
     # llm15: phonetic ER blocking + video shot segmentation
     "er_phonetic_blocking",
     "multimodal_video_shot_cuts",
+    # llm16: operational honesty reports
+    "dedup_lsh_cap_loss_report",
+    "outlier_winsorized_stats",
 ]
 _missing_r7 = [n for n in WINDOW_R7_CANDIDATES if n not in QUERIES]
 assert not _missing_r7, f"WINDOW_R7 names not registered: {_missing_r7}"
