@@ -211,6 +211,8 @@ HEADLINE = [
     # llm16: operational honesty reports
     "dedup_lsh_cap_loss_report",
     "outlier_winsorized_stats",
+    "events_user_lifecycle_states",
+    "privacy_release_gate",
     # graph_neighbor_jaccard_topk / graph_common_neighbors_topk are
     # deliberately NOT benched, like the rest of the wedge-join family:
     # their cost is the capped wedge enumeration itself (bounded at

@@ -224,3 +224,168 @@ def outlier_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_nationkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# Growth accounting: per month, users classified new / retained /
+# resurrected, plus churned-from-previous-month — the canonical
+# lifecycle matrix. States derive from first-ever month and the
+# previous active month via per-user windows; counts per month are
+# bounded-key aggregates.
+# ---------------------------------------------------------------------------
+
+
+def _lifecycle_sql() -> str:
+    return """
+WITH active AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+hist AS (
+  SELECT user_id, d,
+         min(d) OVER (PARTITION BY user_id) AS first_d,
+         lag(d) OVER (PARTITION BY user_id ORDER BY d) AS prev_d
+  FROM active),
+states AS (
+  SELECT d,
+         CASE WHEN d = first_d THEN 'new'
+              WHEN prev_d = d - INTERVAL 1 DAY THEN 'retained'
+              ELSE 'resurrected' END AS state
+  FROM hist),
+counts AS (
+  SELECT d, state, count(*) AS n FROM states GROUP BY d, state),
+churn AS (
+  SELECT h.d + INTERVAL 1 DAY AS d, 'churned' AS state, count(*) AS n
+  FROM hist h
+  WHERE NOT EXISTS (
+    SELECT 1 FROM active a
+    WHERE a.user_id = h.user_id AND a.d = h.d + INTERVAL 1 DAY)
+    AND h.d < (SELECT max(d) FROM active)
+  GROUP BY 1, 2)
+SELECT CAST(d AS DATE) AS day, state, CAST(n AS BIGINT) AS n_users
+FROM (SELECT * FROM counts UNION ALL SELECT * FROM churn)
+ORDER BY day, state
+"""
+
+
+@_q("events_user_lifecycle_states", _lifecycle_sql())
+def events_user_lifecycle_states(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily growth accounting: new (first-ever day), retained
+    (also active the previous day), resurrected (active before,
+    skipped >= 1 day), churned (active on d, absent on d+1; charged
+    to d+1; the final day has no verdict yet). Distinct (user, day)
+    first — every window runs over the SMALL activity table. Bounded
+    output: days x 4 states. Daily granularity because the fixture
+    spans one month; the month/week variant is the same plan with a
+    different bucket expression."""
+    from ..operators._cache import track_persist
+
+    ev = load_table(spark, sf_dir, "events")
+    active = track_persist(
+        ev.select("user_id", F.col("ts").cast("date").alias("d")).distinct()
+    )
+    w_first = Window.partitionBy("user_id")
+    w_lag = Window.partitionBy("user_id").orderBy("d")
+    hist = track_persist(
+        active.withColumn("first_d", F.min("d").over(w_first)).withColumn(
+            "prev_d", F.lag("d").over(w_lag)
+        )
+    )
+    states = hist.select(
+        "d",
+        F.when(F.col("d") == F.col("first_d"), "new")
+        .when(F.col("prev_d") == F.date_add("d", -1), "retained")
+        .otherwise("resurrected")
+        .alias("state"),
+    )
+    counts = states.groupBy("d", "state").agg(F.count("*").alias("n"))
+    max_d = active.agg(F.max("d").alias("max_d"))
+    nxt = hist.select("user_id", "d", F.date_add("d", 1).alias("nd"))
+    churn = (
+        nxt.join(
+            active.withColumnsRenamed({"d": "nd"}),
+            ["user_id", "nd"],
+            "left_anti",
+        )
+        .crossJoin(F.broadcast(max_d))
+        .filter(F.col("d") < F.col("max_d"))
+        .groupBy(F.col("nd").alias("d"))
+        .agg(F.count("*").alias("n"))
+        .select("d", F.lit("churned").alias("state"), "n")
+    )
+    return (
+        counts.unionByName(churn)
+        .select(
+            F.col("d").alias("day"), "state", F.col("n").cast("long").alias("n_users")
+        )
+        .orderBy("day", "state")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Composed privacy release gate: one report per QI cell (nation x
+# balance band) carrying group size, sensitive diversity, both rule
+# verdicts, and the release decision — what privacy_k_anonymity and
+# privacy_l_diversity feed in practice.
+# ---------------------------------------------------------------------------
+
+GATE_K = 4
+GATE_L = 3
+
+
+def _release_gate_sql() -> str:
+    from .queries_llm11 import _BAND
+
+    cents = "CAST(round(c_acctbal * 100, 0) AS BIGINT)"
+    band = _BAND.format(cents=cents, div="//")
+    return f"""
+SELECT CAST(c_nationkey AS INT) AS c_nationkey,
+       CAST({band} AS BIGINT) AS bal_band,
+       CAST(count(*) AS BIGINT) AS group_size,
+       CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS n_distinct_sensitive,
+       CAST(count(*) >= {GATE_K} AS BIGINT) AS k_ok,
+       CAST(count(DISTINCT c_mktsegment) >= {GATE_L} AS BIGINT) AS l_ok,
+       CAST(count(*) >= {GATE_K} AND count(DISTINCT c_mktsegment) >= {GATE_L} AS BIGINT)
+         AS released
+FROM customer
+GROUP BY 1, 2
+ORDER BY c_nationkey, bal_band
+"""
+
+
+@_q("privacy_release_gate", _release_gate_sql())
+def privacy_release_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed release decision per QI cell: k-anonymity
+    (size >= K) AND l-diversity (sensitive diversity >= L) in one
+    bounded groupBy — the report a data-release pipeline actually
+    consumes, with both sub-verdicts visible so a failed cell says
+    WHY. Same engine shape as the two audits it composes."""
+    from .queries_llm11 import _BAND
+
+    cust = load_table(spark, sf_dir, "customer")
+    band = F.expr(
+        _BAND.format(cents="CAST(round(c_acctbal * 100, 0) AS BIGINT)", div="DIV")
+    ).cast("long")
+    return (
+        cust.groupBy(
+            F.col("c_nationkey").cast("int").alias("c_nationkey"),
+            band.alias("bal_band"),
+        )
+        .agg(
+            F.count("*").cast("long").alias("group_size"),
+            F.countDistinct("c_mktsegment").cast("long").alias("n_distinct_sensitive"),
+        )
+        .select(
+            "c_nationkey",
+            "bal_band",
+            "group_size",
+            "n_distinct_sensitive",
+            (F.col("group_size") >= GATE_K).cast("long").alias("k_ok"),
+            (F.col("n_distinct_sensitive") >= GATE_L).cast("long").alias("l_ok"),
+            (
+                (F.col("group_size") >= GATE_K)
+                & (F.col("n_distinct_sensitive") >= GATE_L)
+            )
+            .cast("long")
+            .alias("released"),
+        )
+        .orderBy("c_nationkey", "bal_band")
+    )

@@ -450,6 +450,8 @@ WINDOW_R7_CANDIDATES: list[str] = [
     # llm16: operational honesty reports
     "dedup_lsh_cap_loss_report",
     "outlier_winsorized_stats",
+    "events_user_lifecycle_states",
+    "privacy_release_gate",
 ]
 _missing_r7 = [n for n in WINDOW_R7_CANDIDATES if n not in QUERIES]
 assert not _missing_r7, f"WINDOW_R7 names not registered: {_missing_r7}"

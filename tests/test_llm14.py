@@ -126,3 +126,43 @@ def test_winsorized_mean_bounded_by_percentiles(spark):
         assert r.n == len(vals)
         assert r.n_clipped_low == sum(1 for v in vals if v < r.p5_cents)
         assert r.n_clipped_high == sum(1 for v in vals if v > r.p95_cents)
+
+
+def test_lifecycle_states_conserve_users(spark):
+    """Per day: new + retained + resurrected must equal the day's
+    distinct active users, and churned(d) = active(d-1) - retained(d)
+    ... wait, churn is charged to d for users active on d-1 and absent
+    on d, so active(d-1) = retained(d) + churned(d) for every
+    non-first day. Both identities recounted from raw events."""
+    from etl_building_inspector_spark.plans.queries_llm16 import (
+        events_user_lifecycle_states,
+    )
+    from etl_building_inspector_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    active = (
+        load_table(spark, SF, "events")
+        .select("user_id", F.col("ts").cast("date").alias("d"))
+        .distinct()
+        .collect()
+    )
+    by_day: dict = {}
+    for r in active:
+        by_day.setdefault(r.d, set()).add(r.user_id)
+    days = sorted(by_day)
+    rows = events_user_lifecycle_states(spark, SF).collect()
+    table: dict = {}
+    for r in rows:
+        table.setdefault(r.day, {})[r.state] = r.n_users
+    for i, d in enumerate(days):
+        st = table.get(d, {})
+        inflow = st.get("new", 0) + st.get("retained", 0) + st.get("resurrected", 0)
+        assert inflow == len(by_day[d]), d
+        if i > 0:
+            prev = days[i - 1]
+            # calendar-adjacent only: retained/churned split applies
+            # to users active the previous CALENDAR day
+            if (d - prev).days == 1:
+                assert st.get("retained", 0) + table.get(d, {}).get(
+                    "churned", 0
+                ) == len(by_day[prev]), d
