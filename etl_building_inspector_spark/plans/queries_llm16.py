@@ -227,11 +227,11 @@ def outlier_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Growth accounting: per month, users classified new / retained /
-# resurrected, plus churned-from-previous-month — the canonical
-# lifecycle matrix. States derive from first-ever month and the
-# previous active month via per-user windows; counts per month are
-# bounded-key aggregates.
+# Growth accounting: per DAY, users classified new / retained /
+# resurrected, plus churned-from-previous-day — the canonical
+# lifecycle matrix at the granularity the one-month fixture supports.
+# States derive from first-ever day and the previous active day via
+# per-user windows; counts per day are bounded-key aggregates.
 # ---------------------------------------------------------------------------
 
 
