@@ -213,6 +213,37 @@ HEADLINE = [
     "outlier_winsorized_stats",
     "events_user_lifecycle_states",
     "privacy_release_gate",
+    # llm17: corpus QA + pre-flight audits
+    "quality_gopher_rules",
+    "text_zipf_profile",
+    "text_compression_ratio_proxy",
+    "corpus_dedup_survivor_bias",
+    "join_explosion_audit",
+    "shuffle_partition_balance_report",
+    # dedup_threshold_sensitivity is NOT benched: like
+    # dedup_pair_agreement_eval above it re-runs the LSH pairs
+    # machinery benched as dedup_minhash_lsh_pairs, so its time would
+    # double-count that pipeline; correctness is oracle-checked and
+    # r7-staged.
+    # surface9: ACF stats, downsample, norm outliers, t-closeness,
+    # timeout sensitivity
+    "timeseries_acf_lag1",
+    "timeseries_downsample_minmax",
+    "emb_norm_percentile_outliers",
+    "privacy_t_closeness",
+    "sessionization_gap_sensitivity",
+    # surface10: native session windows, local clustering, volume
+    # anomaly, nearest as-of
+    "events_session_window_native",
+    "graph_local_clustering",
+    "dq_volume_anomaly_daily",
+    "asof_join_nearest",
+    # llm18: Heaps growth, radius search, shingle sensitivity, DP
+    # sensitivity audit
+    "text_vocab_growth_heaps",
+    "ann_range_search",
+    "dedup_shingle_size_sensitivity",
+    "privacy_histogram_sensitivity",
     # graph_neighbor_jaccard_topk / graph_common_neighbors_topk are
     # deliberately NOT benched, like the rest of the wedge-join family:
     # their cost is the capped wedge enumeration itself (bounded at

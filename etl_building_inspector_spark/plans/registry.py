@@ -35,6 +35,8 @@ from . import (
     queries_llm14,
     queries_llm15,
     queries_llm16,
+    queries_llm17,
+    queries_llm18,
     queries_spatial,
     queries_streaming,
     queries_surface,
@@ -45,6 +47,8 @@ from . import (
     queries_surface6,
     queries_surface7,
     queries_surface8,
+    queries_surface9,
+    queries_surface10,
     queries_tpch,
 )
 
@@ -238,6 +242,8 @@ for mod in (
     queries_llm14,
     queries_llm15,
     queries_llm16,
+    queries_llm17,
+    queries_llm18,
     queries_spatial,
     queries_streaming,
     queries_surface,
@@ -248,6 +254,8 @@ for mod in (
     queries_surface6,
     queries_surface7,
     queries_surface8,
+    queries_surface9,
+    queries_surface10,
     queries_tpch,
 ):
     QUERIES.update({k: _released(v) for k, v in mod.QUERIES.items()})
@@ -404,8 +412,9 @@ assert not _missing_r6, f"WINDOW_R6 names not registered: {_missing_r6}"
 assert len(WINDOW_R6_CANDIDATES) == len(set(WINDOW_R6_CANDIDATES)) == 50
 
 # Round-7 staging: queries added AFTER the r6 window filled (the same
-# pattern r5 used for the r6 staging). Grows as post-r6 work adds
-# queries; pad with re-pins at the r7 flip if short of 50.
+# pattern r5 used for the r6 staging). Complete at exactly 50 slots
+# as of the llm17/surface9 batch; queries added beyond this point go
+# to WINDOW_R8_CANDIDATES below.
 WINDOW_R7_CANDIDATES: list[str] = [
     "flagship_enrich",
     "ann_truncated_dim_recall_eval",
@@ -452,7 +461,48 @@ WINDOW_R7_CANDIDATES: list[str] = [
     "outlier_winsorized_stats",
     "events_user_lifecycle_states",
     "privacy_release_gate",
+    # llm17: corpus QA + pre-flight audits (Gopher rules, Zipf,
+    # compression proxy, threshold sensitivity, survivor bias,
+    # join-explosion and shuffle-balance audits)
+    "quality_gopher_rules",
+    "text_zipf_profile",
+    "text_compression_ratio_proxy",
+    "dedup_threshold_sensitivity",
+    "corpus_dedup_survivor_bias",
+    "join_explosion_audit",
+    "shuffle_partition_balance_report",
+    # surface9: ACF sufficient stats, min/max downsample, norm
+    # outliers, t-closeness, sessionization timeout sensitivity --
+    # window now exactly 50, all first-time
+    "timeseries_acf_lag1",
+    "timeseries_downsample_minmax",
+    "emb_norm_percentile_outliers",
+    "privacy_t_closeness",
+    "sessionization_gap_sensitivity",
 ]
 _missing_r7 = [n for n in WINDOW_R7_CANDIDATES if n not in QUERIES]
 assert not _missing_r7, f"WINDOW_R7 names not registered: {_missing_r7}"
-assert len(WINDOW_R7_CANDIDATES) == len(set(WINDOW_R7_CANDIDATES)) <= 50
+# complete at exactly 50 unique slots (the r4-ADVICE ==50 pattern)
+assert len(WINDOW_R7_CANDIDATES) == len(set(WINDOW_R7_CANDIDATES)) == 50
+
+# Round-8 staging: queries added after the r7 window filled. Grows as
+# the round adds queries; pad with re-pins at the r8 flip if short
+# of 50.
+WINDOW_R8_CANDIDATES: list[str] = [
+    "flagship_enrich",
+    # surface10: native session windows, local clustering, volume
+    # anomaly, nearest as-of
+    "events_session_window_native",
+    "graph_local_clustering",
+    "dq_volume_anomaly_daily",
+    "asof_join_nearest",
+    # llm18: Heaps growth, radius search, shingle sensitivity, DP
+    # sensitivity audit
+    "text_vocab_growth_heaps",
+    "ann_range_search",
+    "dedup_shingle_size_sensitivity",
+    "privacy_histogram_sensitivity",
+]
+_missing_r8 = [n for n in WINDOW_R8_CANDIDATES if n not in QUERIES]
+assert not _missing_r8, f"WINDOW_R8 names not registered: {_missing_r8}"
+assert len(WINDOW_R8_CANDIDATES) == len(set(WINDOW_R8_CANDIDATES)) <= 50
