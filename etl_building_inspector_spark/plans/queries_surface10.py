@@ -41,11 +41,10 @@ CLUSTERING_TOP_K = 50
 # Native session windows in BATCH: F.session_window(ts, gap) is the
 # same operator Structured Streaming uses for stateful sessionization,
 # so running it in batch pins the semantics the streaming job will
-# have. NOTE the boundary convention differs from events_sessionize:
-# session_window merges an event iff it lands STRICTLY before
-# prev_end = prev_ts + gap, i.e. a gap of exactly 30:00.000000 starts
-# a NEW session (events_sessionize's manual `>` keeps it). The oracle
-# mirrors that with `>=`.
+# have. Boundary semantics probed empirically (same probe as
+# queries_streaming.py's): an event landing EXACTLY at prev_ts + gap
+# still MERGES -- a new session needs gap STRICTLY > the duration,
+# matching events_sessionize's manual `>` convention exactly.
 # ---------------------------------------------------------------------------
 
 _SESSION_WINDOW_SQL = f"""
@@ -55,7 +54,7 @@ WITH marked AS (
          CASE WHEN lag(ts) OVER w IS NULL
               OR epoch_us(CAST(ts AS TIMESTAMP))
                  - epoch_us(CAST(lag(ts) OVER w AS TIMESTAMP))
-                 >= {SESSION_GAP_MIN * 60 * 1_000_000}
+                 > {SESSION_GAP_MIN * 60 * 1_000_000}
               THEN 1 ELSE 0 END AS new_s
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -82,11 +81,11 @@ def events_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     use with watermarked state, so batch output here IS the streaming
     contract (modulo late data). One shuffle on user_id; the gap-merge
     happens inside the session-window aggregation, no self-join and no
-    second pass. Boundary semantics: an event exactly gap after its
-    predecessor starts a NEW session (strict merge, ts < prev_end) --
-    the oracle's manual gap-merge uses >= to match; no fixture gap
-    lands exactly on the boundary (checked at sf0.001/0.01), and the
-    convention is pinned here either way."""
+    second pass. Boundary semantics probed empirically: an event
+    landing EXACTLY gap after its predecessor still MERGES (a new
+    session needs gap > duration), so the oracle's manual gap-merge
+    uses strict `>` -- the same convention as events_sessionize and
+    the streaming sessionizer's probe (queries_streaming.py:9-14)."""
     ev = load_table(spark, sf_dir, "events")
     cents = F.round(F.col("value") * 100, 0).cast("long")
     sess = ev.groupBy(

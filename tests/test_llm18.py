@@ -13,8 +13,8 @@ SF = "/root/testdata/sf0.001"
 def test_session_window_native_counts(spark):
     """Native session_window must agree with the manual gap-merge on
     totals: same event count overall, and per-user session counts
-    equal to events_sessionize's (no fixture gap sits exactly on the
-    boundary, so > vs >= cannot diverge here)."""
+    equal to events_sessionize's (both use the probed strict-`>`
+    boundary convention, so they agree on ANY data)."""
     from etl_building_inspector_spark.plans.queries_core import (
         events_sessionize,
     )
