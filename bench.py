@@ -244,6 +244,17 @@ HEADLINE = [
     "ann_range_search",
     "dedup_shingle_size_sensitivity",
     "privacy_histogram_sensitivity",
+    # surface11: repeat-order audit, xcorr ladder, k-anon ladder,
+    # latency percentiles
+    "dq_rapid_repeat_orders",
+    "timeseries_xcorr_lags",
+    "privacy_generalization_ladder",
+    "orders_ship_latency_percentiles",
+    # llm19: mixture diversity, waterfill, fingerprint eval, KMV
+    "corpus_mixture_diversity",
+    "corpus_token_budget_waterfill",
+    "dedup_exact_bytes_vs_norm_eval",
+    "sketch_bottomk_theta_eval",
     # graph_neighbor_jaccard_topk / graph_common_neighbors_topk are
     # deliberately NOT benched, like the rest of the wedge-join family:
     # their cost is the capped wedge enumeration itself (bounded at

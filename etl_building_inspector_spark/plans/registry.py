@@ -37,6 +37,7 @@ from . import (
     queries_llm16,
     queries_llm17,
     queries_llm18,
+    queries_llm19,
     queries_spatial,
     queries_streaming,
     queries_surface,
@@ -49,6 +50,7 @@ from . import (
     queries_surface8,
     queries_surface9,
     queries_surface10,
+    queries_surface11,
     queries_tpch,
 )
 
@@ -244,6 +246,7 @@ for mod in (
     queries_llm16,
     queries_llm17,
     queries_llm18,
+    queries_llm19,
     queries_spatial,
     queries_streaming,
     queries_surface,
@@ -256,6 +259,7 @@ for mod in (
     queries_surface8,
     queries_surface9,
     queries_surface10,
+    queries_surface11,
     queries_tpch,
 ):
     QUERIES.update({k: _released(v) for k, v in mod.QUERIES.items()})
@@ -502,6 +506,17 @@ WINDOW_R8_CANDIDATES: list[str] = [
     "ann_range_search",
     "dedup_shingle_size_sensitivity",
     "privacy_histogram_sensitivity",
+    # surface11: repeat-order audit, xcorr ladder, k-anon ladder,
+    # latency percentiles
+    "dq_rapid_repeat_orders",
+    "timeseries_xcorr_lags",
+    "privacy_generalization_ladder",
+    "orders_ship_latency_percentiles",
+    # llm19: mixture diversity, waterfill, fingerprint eval, KMV
+    "corpus_mixture_diversity",
+    "corpus_token_budget_waterfill",
+    "dedup_exact_bytes_vs_norm_eval",
+    "sketch_bottomk_theta_eval",
 ]
 _missing_r8 = [n for n in WINDOW_R8_CANDIDATES if n not in QUERIES]
 assert not _missing_r8, f"WINDOW_R8 names not registered: {_missing_r8}"
