@@ -255,6 +255,14 @@ HEADLINE = [
     "corpus_token_budget_waterfill",
     "dedup_exact_bytes_vs_norm_eval",
     "sketch_bottomk_theta_eval",
+    # llm20: coverage, group-size census, fertility, cosine histogram
+    "text_ngram_coverage_vs_reference",
+    "dedup_group_size_histogram",
+    "text_tokenizer_fertility_by_lang",
+    "emb_cosine_histogram_sampled",
+    # surface12: fixed-point decay, incremental distinct MV
+    "customer_decayed_value_fixedpoint",
+    "mv_distinct_delta_maintenance",
     # graph_neighbor_jaccard_topk / graph_common_neighbors_topk are
     # deliberately NOT benched, like the rest of the wedge-join family:
     # their cost is the capped wedge enumeration itself (bounded at

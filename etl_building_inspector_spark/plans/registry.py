@@ -38,6 +38,7 @@ from . import (
     queries_llm17,
     queries_llm18,
     queries_llm19,
+    queries_llm20,
     queries_spatial,
     queries_streaming,
     queries_surface,
@@ -51,6 +52,7 @@ from . import (
     queries_surface9,
     queries_surface10,
     queries_surface11,
+    queries_surface12,
     queries_tpch,
 )
 
@@ -247,6 +249,7 @@ for mod in (
     queries_llm17,
     queries_llm18,
     queries_llm19,
+    queries_llm20,
     queries_spatial,
     queries_streaming,
     queries_surface,
@@ -260,6 +263,7 @@ for mod in (
     queries_surface9,
     queries_surface10,
     queries_surface11,
+    queries_surface12,
     queries_tpch,
 ):
     QUERIES.update({k: _released(v) for k, v in mod.QUERIES.items()})
@@ -517,6 +521,14 @@ WINDOW_R8_CANDIDATES: list[str] = [
     "corpus_token_budget_waterfill",
     "dedup_exact_bytes_vs_norm_eval",
     "sketch_bottomk_theta_eval",
+    # llm20: coverage, group-size census, fertility, cosine histogram
+    "text_ngram_coverage_vs_reference",
+    "dedup_group_size_histogram",
+    "text_tokenizer_fertility_by_lang",
+    "emb_cosine_histogram_sampled",
+    # surface12: fixed-point decay, incremental distinct MV
+    "customer_decayed_value_fixedpoint",
+    "mv_distinct_delta_maintenance",
 ]
 _missing_r8 = [n for n in WINDOW_R8_CANDIDATES if n not in QUERIES]
 assert not _missing_r8, f"WINDOW_R8 names not registered: {_missing_r8}"
