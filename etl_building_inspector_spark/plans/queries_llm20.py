@@ -261,7 +261,11 @@ def emb_cosine_histogram_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     join + a 20-bucket count -- never a full self-join. Buckets from
     floor(cos*10) clamped to [-10, 9]; the cosine is the shared
     sequential fold, identical IEEE result both engines, so boundary
-    assignment agrees."""
+    assignment agrees. Scale note: the sampled side grows with the
+    corpus (1/MOD of it) -- at real corpus scale raise MOD (or hash
+    into a fixed-count sample, sample_bottomk's shape) so the build
+    side stays broadcastable; the histogram needs only ~1e5 pairs for
+    a stable shape, not a fixed FRACTION."""
     emb = load_table(spark, sf_dir, "embeddings")
     from ..operators.similarity import _dot, _norm
 

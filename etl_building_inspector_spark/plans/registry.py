@@ -39,6 +39,7 @@ from . import (
     queries_llm18,
     queries_llm19,
     queries_llm20,
+    queries_llm21,
     queries_spatial,
     queries_streaming,
     queries_surface,
@@ -250,6 +251,7 @@ for mod in (
     queries_llm18,
     queries_llm19,
     queries_llm20,
+    queries_llm21,
     queries_spatial,
     queries_streaming,
     queries_surface,
@@ -529,6 +531,9 @@ WINDOW_R8_CANDIDATES: list[str] = [
     # surface12: fixed-point decay, incremental distinct MV
     "customer_decayed_value_fixedpoint",
     "mv_distinct_delta_maintenance",
+    # llm21: LSH S-curve design (exact integer ppm), stopword matrix
+    "dedup_lsh_s_curve_design",
+    "text_stopword_signal_matrix",
 ]
 _missing_r8 = [n for n in WINDOW_R8_CANDIDATES if n not in QUERIES]
 assert not _missing_r8, f"WINDOW_R8 names not registered: {_missing_r8}"

@@ -155,3 +155,55 @@ def test_mv_distinct_base_plus_delta(spark):
         assert r.base_distinct_users + r.delta_new_users == r.mv_distinct_users
         assert r.mv_distinct_users == direct[r.event_type]
         assert r.delta_new_users >= 0
+
+
+def test_s_curve_design_exact(spark):
+    """The S-curve matches a Python recount of 1-(1-s^r)^b in exact
+    rational arithmetic, and b4r2 dominates b2r4 at low similarity
+    (the aggressive-vs-conservative design fact)."""
+    from etl_building_inspector_spark.plans.queries_llm21 import (
+        dedup_lsh_s_curve_design,
+    )
+
+    rows = sorted(
+        dedup_lsh_s_curve_design(spark, SF).collect(),
+        key=lambda r: r.s_tenths,
+    )
+    assert [r.s_tenths for r in rows] == list(range(1, 10))
+    for r in rows:
+        t = r.s_tenths
+        assert r.band_match_ppm_b4r2 == t * t * 10000
+        assert r.p_candidate_ppm_b4r2 == (10**8 - (100 - t * t) ** 4) // 100
+        assert (
+            r.p_candidate_ppm_b2r4
+            == (10**8 - (10**4 - t**4) ** 2) // 100
+        )
+        assert r.p_candidate_ppm_b4r2 >= r.p_candidate_ppm_b2r4
+
+
+def test_stopword_matrix_exposes_fixture_labels(spark):
+    """The matrix is the measurement, and on THIS fixture it exposes
+    that lang labels are decorative: the text is English-vocabulary
+    for every label, so the 'en' stopset column dominates every row
+    and all other columns are zero. Also: totals conserved across
+    stopsets and the ppm arithmetic is exact."""
+    from etl_building_inspector_spark.plans.queries_llm21 import (
+        text_stopword_signal_matrix,
+    )
+
+    rows = text_stopword_signal_matrix(spark, SF).collect()
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_lang, {})[r.stopset_lang] = r
+        assert r.hit_ppm == r.stop_hits * 1_000_000 // r.n_tokens
+    assert set(by_doc) == {"en", "es", "de", "fr", "zh"}
+    for lang, row in by_doc.items():
+        assert len(row) == 5
+        assert row["en"].hit_ppm == max(r.hit_ppm for r in row.values())
+        assert row["en"].hit_ppm > 0
+        assert all(
+            r.hit_ppm == 0 for k, r in row.items() if k != "en"
+        )
+        toks = {r.n_tokens for r in row.values()}
+        docs = {r.n_docs for r in row.values()}
+        assert len(toks) == 1 and len(docs) == 1
