@@ -305,7 +305,10 @@ WITH h AS (
                                            1, 8)) AS BIGINT) AS hv
   FROM lineitem
 ), kth AS (
-  SELECT max(hv) AS h_k, count(*) AS k
+  -- greatest(.., 1): u32(md5) == 0 happens with p ~= 2^-32 per key;
+  -- on a large key set that tail event would make h_k = 0 and the
+  -- estimate divide by zero -- clamp identically on both engines
+  SELECT greatest(max(hv), 1) AS h_k, count(*) AS k
   FROM (SELECT hv FROM h ORDER BY hv LIMIT {KMV_K}) t
 ), exact AS (
   SELECT count(DISTINCT l_orderkey) AS n FROM lineitem
@@ -337,8 +340,11 @@ def sketch_bottomk_theta_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     h = li.select(sample_hash_u32("l_orderkey", "kmv").alias("hv")).distinct()
     bottom = h.orderBy("hv").limit(KMV_K)
+    # greatest(.., 1) guards the 2^-32-per-key hv == 0 tail (division
+    # by zero in the estimate), clamped identically in the oracle
     kth = bottom.agg(
-        F.max("hv").alias("h_k"), F.count("*").alias("k")
+        F.greatest(F.max("hv"), F.lit(1)).alias("h_k"),
+        F.count("*").alias("k"),
     )
     exact = li.agg(F.countDistinct("l_orderkey").alias("n"))
     return (
