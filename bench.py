@@ -266,9 +266,10 @@ HEADLINE = [
     # surface12: fixed-point decay, incremental distinct MV
     "customer_decayed_value_fixedpoint",
     "mv_distinct_delta_maintenance",
-    # llm21: LSH S-curve design, stopword signal matrix
+    # llm21: LSH S-curve design, stopword signal matrix, blocking eval
     "dedup_lsh_s_curve_design",
     "text_stopword_signal_matrix",
+    "er_blocking_strategy_eval",
     # graph_neighbor_jaccard_topk / graph_common_neighbors_topk are
     # deliberately NOT benched, like the rest of the wedge-join family:
     # their cost is the capped wedge enumeration itself (bounded at

@@ -154,3 +154,139 @@ def text_stopword_signal_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_lang", "stopset_lang", "n_docs", "stop_hits", "n_tokens",
         "hit_ppm",
     ).orderBy("doc_lang", "stopset_lang")
+
+
+# ---------------------------------------------------------------------------
+# Blocking-strategy eval: recall on the planted-typo truth pairs vs
+# candidate-pair workload, for THREE blocking keys over the same name
+# universe. The trick that keeps it O(n): a truth pair (name, typo)
+# is co-blocked by strategy S iff key_S(name) == key_S(typo) -- a
+# ROW-WISE comparison, no join; the workload is the explosion-audit
+# arithmetic (sum w*(w-1)/2 over key widths). So the whole
+# recall-vs-cost table costs one projection + three key counts.
+# ---------------------------------------------------------------------------
+
+
+def _blocking_eval_sql() -> str:
+    from .queries_llm15 import _phonetic_sql, _typo_sql
+
+    typo = _typo_sql("n")
+    strategies = {
+        "exact_token": "split_part({x}, ' ', 1)",
+        "phonetic": None,  # _phonetic_sql applied to the first token
+        "prefix2": "substr(split_part({x}, ' ', 1), 1, 2)",
+    }
+
+    def key(strat: str, x: str) -> str:
+        if strat == "phonetic":
+            return _phonetic_sql(f"split_part({x}, ' ', 1)")
+        return strategies[strat].format(x=x)
+
+    selects = []
+    for s in sorted(strategies):
+        selects.append(f"""
+SELECT '{s}' AS strategy,
+       (SELECT CAST(count(*) AS BIGINT)
+        FROM (SELECT n, {typo} AS typo
+              FROM (SELECT p_name AS n, min(p_partkey) AS k FROM part
+                    GROUP BY p_name) b WHERE k % 7 = 0) t
+        WHERE typo <> n) AS n_truth,
+       (SELECT CAST(count(*) AS BIGINT)
+        FROM (SELECT n, {typo} AS typo
+              FROM (SELECT p_name AS n, min(p_partkey) AS k FROM part
+                    GROUP BY p_name) b WHERE k % 7 = 0) t
+        WHERE typo <> n AND {key(s, "n")} = {key(s, "typo")}) AS n_found,
+       (SELECT CAST(sum(w * (w - 1) // 2) AS BIGINT)
+        FROM (SELECT count(*) AS w FROM (
+                SELECT {key(s, "n")} AS kk FROM (
+                  SELECT p_name AS n FROM part GROUP BY p_name
+                  UNION ALL
+                  SELECT typo AS n FROM (
+                    SELECT n, {typo} AS typo
+                    FROM (SELECT p_name AS n, min(p_partkey) AS k FROM part
+                          GROUP BY p_name) b WHERE k % 7 = 0) p
+                  WHERE typo <> n) u
+              ) kk GROUP BY kk) w) AS n_candidate_pairs""")
+    body = "\nUNION ALL\n".join(selects)
+    return f"""
+WITH out AS ({body})
+SELECT strategy, n_truth, n_found,
+       CAST(n_found * 1000000 // n_truth AS BIGINT) AS recall_ppm,
+       n_candidate_pairs
+FROM out ORDER BY strategy
+"""
+
+
+@_q("er_blocking_strategy_eval", _blocking_eval_sql())
+def er_blocking_strategy_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall vs candidate workload for three ER blocking strategies
+    (exact first token, simplified Soundex, 2-char prefix) on the
+    planted-typo truth set (the llm15 generator, shared expression).
+    A truth pair is co-blocked iff both sides produce the same key --
+    a row-wise test, so recall costs one projection; the workload
+    column is sum w*(w-1)/2 over that strategy's key widths (the
+    join_explosion_audit arithmetic). This is the blocking decision
+    table: the transposition typo defeats exact-token and prefix2
+    (recall ~0) while the phonetic key survives it at comparable
+    candidate cost -- measured, per strategy, before any pair is
+    generated."""
+    from .queries_llm15 import _phonetic_sql, _typo_sql
+
+    part = load_table(spark, sf_dir, "part")
+    base = part.groupBy(F.col("p_name").alias("n")).agg(
+        F.min("p_partkey").alias("k")
+    )
+    from ..operators._cache import track_persist
+
+    planted = track_persist(
+        base.filter(F.col("k") % 7 == 0)
+        .select("n", F.expr(_typo_sql("n")).alias("typo"))
+        .filter(F.col("typo") != F.col("n"))
+    )
+    universe = track_persist(
+        base.select("n").unionByName(planted.select(F.col("typo").alias("n")))
+    )
+
+    def key_expr(strat: str, x: str) -> str:
+        if strat == "phonetic":
+            return _phonetic_sql(f"split_part({x}, ' ', 1)")
+        if strat == "exact_token":
+            return f"split_part({x}, ' ', 1)"
+        return f"substr(split_part({x}, ' ', 1), 1, 2)"
+
+    outs = []
+    for s in ("exact_token", "phonetic", "prefix2"):
+        found = planted.agg(
+            F.count("*").alias("n_truth"),
+            F.sum(
+                F.when(
+                    F.expr(key_expr(s, "n")) == F.expr(key_expr(s, "typo")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_found"),
+        )
+        widths = (
+            universe.select(F.expr(key_expr(s, "n")).alias("kk"))
+            .groupBy("kk")
+            .agg(F.count("*").alias("w"))
+            .agg(
+                F.sum(F.expr("w * (w - 1) DIV 2"))
+                .cast("long")
+                .alias("n_candidate_pairs")
+            )
+        )
+        outs.append(
+            found.crossJoin(F.broadcast(widths)).select(
+                F.lit(s).alias("strategy"),
+                F.col("n_truth").cast("long").alias("n_truth"),
+                "n_found",
+                F.expr("n_found * 1000000 DIV n_truth").alias("recall_ppm"),
+                "n_candidate_pairs",
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("strategy")

@@ -534,6 +534,7 @@ WINDOW_R8_CANDIDATES: list[str] = [
     # llm21: LSH S-curve design (exact integer ppm), stopword matrix
     "dedup_lsh_s_curve_design",
     "text_stopword_signal_matrix",
+    "er_blocking_strategy_eval",
 ]
 _missing_r8 = [n for n in WINDOW_R8_CANDIDATES if n not in QUERIES]
 assert not _missing_r8, f"WINDOW_R8 names not registered: {_missing_r8}"

@@ -207,3 +207,24 @@ def test_stopword_matrix_exposes_fixture_labels(spark):
         toks = {r.n_tokens for r in row.values()}
         docs = {r.n_docs for r in row.values()}
         assert len(toks) == 1 and len(docs) == 1
+
+
+def test_blocking_strategy_eval_story(spark):
+    """The designed fact, measured: the transposition typo defeats
+    exact-token and prefix2 blocking (recall 0) while the phonetic key
+    recovers most planted pairs; workload arithmetic recounted."""
+    from etl_building_inspector_spark.plans.queries_llm21 import (
+        er_blocking_strategy_eval,
+    )
+
+    rows = {r.strategy: r for r in er_blocking_strategy_eval(spark, SF).collect()}
+    assert set(rows) == {"exact_token", "phonetic", "prefix2"}
+    truths = {r.n_truth for r in rows.values()}
+    assert len(truths) == 1 and truths.pop() > 0
+    assert rows["exact_token"].n_found == 0
+    assert rows["prefix2"].n_found == 0
+    ph = rows["phonetic"]
+    assert ph.n_found * 2 > ph.n_truth  # majority recovered
+    for r in rows.values():
+        assert r.recall_ppm == r.n_found * 1_000_000 // r.n_truth
+        assert r.n_candidate_pairs >= 0
