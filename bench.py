@@ -270,6 +270,35 @@ HEADLINE = [
     "dedup_lsh_s_curve_design",
     "text_stopword_signal_matrix",
     "er_blocking_strategy_eval",
+    # surface13: SLA, window batteries, money audit, gap buckets,
+    # forward asof, HHI, weekday, returns, lifecycle, cohort
+    "orders_fill_rate_sla",
+    "window_first_last_value_battery",
+    "window_ratio_to_report",
+    "window_lead_lag_battery",
+    "dq_money_precision_audit",
+    "events_gap_time_buckets",
+    "asof_join_forward",
+    "revenue_concentration_hhi",
+    "orders_weekday_profile",
+    "lineitem_return_rate_by_nation",
+    "customers_monthly_lifecycle",
+    "cohort_time_to_first_purchase",
+    # llm22: curriculum, winnow sensitivity, margins, exact emb
+    # dedup, KMV merge proof, truncation curve, source TVD, layout
+    # planning, word lengths, hapax, length percentiles, radius ladder
+    "corpus_curriculum_phases",
+    "dedup_winnow_window_sensitivity",
+    "ann_topk_margin_eval",
+    "dedup_embedding_exact",
+    "sketch_kmv_merge_eval",
+    "pack_truncation_loss_curve",
+    "corpus_source_token_tvd",
+    "layout_partition_size_planning",
+    "text_word_length_histogram",
+    "text_hapax_ratio_by_source",
+    "corpus_length_percentiles_by_lang",
+    "ann_radius_sensitivity",
     # graph_neighbor_jaccard_topk / graph_common_neighbors_topk are
     # deliberately NOT benched, like the rest of the wedge-join family:
     # their cost is the capped wedge enumeration itself (bounded at

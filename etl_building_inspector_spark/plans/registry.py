@@ -40,6 +40,7 @@ from . import (
     queries_llm19,
     queries_llm20,
     queries_llm21,
+    queries_llm22,
     queries_spatial,
     queries_streaming,
     queries_surface,
@@ -54,6 +55,7 @@ from . import (
     queries_surface10,
     queries_surface11,
     queries_surface12,
+    queries_surface13,
     queries_tpch,
 )
 
@@ -252,6 +254,7 @@ for mod in (
     queries_llm19,
     queries_llm20,
     queries_llm21,
+    queries_llm22,
     queries_spatial,
     queries_streaming,
     queries_surface,
@@ -266,6 +269,7 @@ for mod in (
     queries_surface10,
     queries_surface11,
     queries_surface12,
+    queries_surface13,
     queries_tpch,
 ):
     QUERIES.update({k: _released(v) for k, v in mod.QUERIES.items()})
@@ -495,9 +499,10 @@ assert not _missing_r7, f"WINDOW_R7 names not registered: {_missing_r7}"
 # complete at exactly 50 unique slots (the r4-ADVICE ==50 pattern)
 assert len(WINDOW_R7_CANDIDATES) == len(set(WINDOW_R7_CANDIDATES)) == 50
 
-# Round-8 staging: queries added after the r7 window filled. Grows as
-# the round adds queries; pad with re-pins at the r8 flip if short
-# of 50.
+# Round-8 staging: queries added after the r7 window filled --
+# COMPLETE at exactly 50 unique first-time slots as of the
+# surface13/llm22 batch (assert ==50 per the r4-ADVICE pattern); no
+# re-pin padding needed at the r8 flip.
 WINDOW_R8_CANDIDATES: list[str] = [
     "flagship_enrich",
     # surface10: native session windows, local clustering, volume
@@ -535,7 +540,36 @@ WINDOW_R8_CANDIDATES: list[str] = [
     "dedup_lsh_s_curve_design",
     "text_stopword_signal_matrix",
     "er_blocking_strategy_eval",
+    # surface13: SLA, window batteries, DQ money audit, gap buckets,
+    # forward asof, HHI, weekday profile, returns, lifecycle, cohort
+    "orders_fill_rate_sla",
+    "window_first_last_value_battery",
+    "window_ratio_to_report",
+    "window_lead_lag_battery",
+    "dq_money_precision_audit",
+    "events_gap_time_buckets",
+    "asof_join_forward",
+    "revenue_concentration_hhi",
+    "orders_weekday_profile",
+    "lineitem_return_rate_by_nation",
+    "customers_monthly_lifecycle",
+    "cohort_time_to_first_purchase",
+    # llm22: curriculum, winnow sensitivity, margins, exact emb dedup,
+    # KMV merge proof, truncation curve, source TVD, layout planning,
+    # word lengths, hapax, length percentiles, radius ladder
+    "corpus_curriculum_phases",
+    "dedup_winnow_window_sensitivity",
+    "ann_topk_margin_eval",
+    "dedup_embedding_exact",
+    "sketch_kmv_merge_eval",
+    "pack_truncation_loss_curve",
+    "corpus_source_token_tvd",
+    "layout_partition_size_planning",
+    "text_word_length_histogram",
+    "text_hapax_ratio_by_source",
+    "corpus_length_percentiles_by_lang",
+    "ann_radius_sensitivity",
 ]
 _missing_r8 = [n for n in WINDOW_R8_CANDIDATES if n not in QUERIES]
 assert not _missing_r8, f"WINDOW_R8 names not registered: {_missing_r8}"
-assert len(WINDOW_R8_CANDIDATES) == len(set(WINDOW_R8_CANDIDATES)) <= 50
+assert len(WINDOW_R8_CANDIDATES) == len(set(WINDOW_R8_CANDIDATES)) == 50
