@@ -465,11 +465,16 @@ def corpus_source_token_tvd(spark: SparkSession, sf_dir: str) -> DataFrame:
     tvd_ppm spikes is the one whose text stopped looking like the
     corpus -- the per-source drift monitor a mixture owner reads.
     Grid = (sources x vocab) built from AGGREGATES (never raw rows);
-    absent cells contribute |0 - c_v*n_s| via the left join. Magnitude
-    bound: sum|...| <= 2*n*n_s, so the *1e6 numerator stays inside
-    int64 through ~sf1 token volumes; at corpora where n*n_s nears
-    2^63/1e6, switch the cells to pre-normalized integer ppm (the
-    floor costs at most 1 ppm per cell, documented tradeoff)."""
+    absent cells contribute |0 - c_v*n_s| via the left join; the
+    handful-of-rows st side is broadcast-hinted so the grid build is
+    a BroadcastNestedLoopJoin at any scale (VERDICT r5 #6, AQE can't
+    pick a shuffle). Magnitude bound: sum|...| <= 2*n*n_s, so the
+    *1e6 numerator stays inside int64 only while n*n_s < 2^63/2e6
+    ~= 4.6e12 (holds through ~sf1 token volumes); past it the ENGINE
+    RAISES (raise_error branch below, ADVICE r5) instead of silently
+    wrapping in non-ANSI mode while the HUGEINT oracle keeps going --
+    the documented escape is pre-normalizing cells to integer ppm
+    (costs at most 1 ppm per cell)."""
     docs = load_table(spark, sf_dir, "documents")
     from ..operators._cache import track_persist
 
@@ -482,18 +487,26 @@ def corpus_source_token_tvd(spark: SparkSession, sf_dir: str) -> DataFrame:
     vc = sc.groupBy("token").agg(F.sum("c").alias("c_v"))
     tot = sc.agg(F.sum("c").alias("n"))
     grid = (
-        st.crossJoin(vc)
+        F.broadcast(st)
+        .crossJoin(vc)
         .crossJoin(F.broadcast(tot))
         .join(sc, ["source", "token"], "left")
         .withColumn("c_sv", F.coalesce("c", F.lit(0)))
     )
+    # 4611686018427 = floor(2^63 / 2e6): past this n*n_s the *1e6
+    # numerator can exceed int64 -- fail loudly, don't wrap
     return (
         grid.groupBy("source")
         .agg(
             F.any_value("n_s").cast("long").alias("n_tokens"),
             F.expr(
-                "CAST(sum(abs(c_sv * n - c_v * n_s)) * 1000000 "
-                "DIV (2 * any_value(n_s) * any_value(n)) AS BIGINT)"
+                "CAST(CASE WHEN any_value(n_s) * any_value(n) > "
+                "4611686018427L THEN raise_error("
+                "'corpus_source_token_tvd: n*n_s exceeds the "
+                "int64-safe ppm bound (2^63/2e6); pre-normalize "
+                "cells to integer ppm') "
+                "ELSE sum(abs(c_sv * n - c_v * n_s)) * 1000000 "
+                "DIV (2 * any_value(n_s) * any_value(n)) END AS BIGINT)"
             ).alias("tvd_ppm"),
         )
         .orderBy("source")

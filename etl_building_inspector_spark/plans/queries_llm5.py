@@ -158,17 +158,42 @@ enc AS (
   FROM best GROUP BY vec_id)"""
 
 
-@_q("emb_pq_encode", f"WITH {_pq_cte()}\nSELECT vec_id, codes, recon FROM enc")
+@_q(
+    "emb_pq_encode",
+    f"""WITH {_pq_cte()}
+SELECT CAST(vec_id AS BIGINT) AS vec_id,
+       CAST(sub_id AS BIGINT) AS sub_id,
+       CAST(code AS BIGINT) AS code
+FROM best""",
+)
 def emb_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ encode: 64-dim float32 -> 8 subspace codes (the canonical
-    32x compression for billion-scale ANN) + the ADC reconstruction
-    vector. Codebooks are one md5-sampled training set sliced per
-    subspace, so encode is exactly reproducible in SQL."""
+    32x compression for billion-scale ANN). Codebooks are one
+    md5-sampled training set sliced per subspace, so encode is exactly
+    reproducible in SQL.
+
+    Output shape is scalar rows (vec_id, sub_id, code) -- the exploded
+    form of the code table, all exact BIGINTs. The array-valued
+    operator output (codes array<int> + recon array<double>) is NOT
+    registered directly: the driver's canonicalizer hashes scalar
+    cells only (CORRECTNESS_r05: list cells crash pandas sort_values),
+    and the plans/contract.py schema guard now rejects non-scalar
+    registrations outright. Reconstruction-vector VALUES are already
+    driver-checked through ann_cosine_pq_adc, which consumes recon."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return pq_encode_sampled(
+    enc = pq_encode_sampled(
         emb, "embedding", "vec_id",
         n_sub=PQ_NSUB, codes_per_sub=PQ_CODES, dim=PQ_DIM,
-    ).select(F.col("vec_id").cast("long").alias("vec_id"), "codes", "recon")
+    )
+    # codes is array_sort'ed by sub_id, so posexplode's pos IS sub_id
+    return enc.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.posexplode("codes").alias("sub_id", "code"),
+    ).select(
+        "vec_id",
+        F.col("sub_id").cast("long").alias("sub_id"),
+        F.col("code").cast("long").alias("code"),
+    )
 
 
 def _pq_adc_sql(k: int = 5, n_queries: int = 10) -> str:

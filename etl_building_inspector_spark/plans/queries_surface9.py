@@ -139,7 +139,12 @@ def timeseries_downsample_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     max rows -- extremes survive, which is the property plotting and
     anomaly triage need. ONE aggregation over a composite integer
     order key, cents*1e12 + event_id (event_id < 1e12 and the encoded
-    key < 2^63 by orders of magnitude at every fixture SF), so
+    key < 2^63 by orders of magnitude at every fixture SF; cents must
+    also be NON-NEGATIVE -- fixture min is 0.01 -- because the %/DIV
+    decode assumes a non-negative key: with negative cents DuckDB's
+    floor-based // and Spark's truncating DIV disagree and event_id
+    would decode negative; a signed-value fixture would need the key
+    offset by a fixture-max constant, ADVICE r5), so
     min/max ARE the lexicographic extremes -- tiebreak: the smaller
     event_id among equal-cents rows wins the min slot, the LARGER
     wins the max slot -- and both engines compare one BIGINT: no

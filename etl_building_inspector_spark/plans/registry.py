@@ -336,26 +336,27 @@ WINDOW_R5: list[str] = [
     "tpch_q20_dominant_suppliers",
 ]
 
-# Reorder so the curated window is the dict head (insertion order is
-# the driver's iteration order); everything else keeps module order.
+# Historical windows stay assert-validated (a rename/removal of a
+# pinned query would silently invalidate the rotation ledger); the
+# head reorder itself is done once, below, by the CURRENT window
+# (WINDOW_R6 -- insertion order is the driver's iteration order).
 _missing = [n for n in WINDOW_R5 if n not in QUERIES]
 assert not _missing, f"WINDOW_R5 names not registered: {_missing}"
 assert len(WINDOW_R5) == len(set(WINDOW_R5)) == 50, "window must be exactly 50 unique slots"
 _missing_r4 = [n for n in WINDOW_R4 if n not in QUERIES]
 assert not _missing_r4, f"WINDOW_R4 names not registered: {_missing_r4}"
 assert len(WINDOW_R4) == len(set(WINDOW_R4)) == 50
-QUERIES = {
-    **{n: QUERIES[n] for n in WINDOW_R5},
-    **{n: q for n, q in QUERIES.items() if n not in set(WINDOW_R5)},
-}
 
-# Round-6 window, pre-staged (NOT yet the head -- flip at the start of
-# round 6). The r5 window is full, so every query ADDED in round 5
-# goes here; it grows as the round adds queries and is padded with
-# re-pins at flip time if short of 50. COVERAGE.md's rotation ledger
+# Round-6 window (the head this round, flipped per VERDICT r5 #4).
+# Composition: the flagship anchor re-pin, the emb_pq_encode REPAIR
+# re-pin (r5's one red driver row -- output reshaped to scalar
+# (vec_id, sub_id, code) rows per VERDICT r5 #1; the displaced
+# first-time slot corpus_temperature_mixture moved to WINDOW_R7), and
+# 48 first-time round-5 additions. COVERAGE.md's rotation ledger
 # tracks the never-checked set.
-WINDOW_R6_CANDIDATES: list[str] = [
+WINDOW_R6: list[str] = [
     "flagship_enrich",
+    "emb_pq_encode",
     "spatial_pip_holes_join_grid",
     # surface7: DQ audits, exact timeseries, sampling, pivot, percentiles
     "dq_referential_integrity",
@@ -411,26 +412,29 @@ WINDOW_R6_CANDIDATES: list[str] = [
     "spatial_geohash_density",
     "spatial_dbscan_core",
     # surface8 (cont.): bitemporal read, TVD drift monitor, LTV
-    # curve, Benford audit -- window now exactly 50, all first-time
+    # curve, Benford audit -- window exactly 50: the flagship anchor
+    # + the emb_pq_encode repair re-pin + 48 first-time
     "bitemporal_as_of_join",
     "dq_distribution_drift",
     "cohort_ltv_curve",
     "dq_benford_first_digit",
-    "corpus_temperature_mixture",
 ]
-_missing_r6 = [n for n in WINDOW_R6_CANDIDATES if n not in QUERIES]
+_missing_r6 = [n for n in WINDOW_R6 if n not in QUERIES]
 assert not _missing_r6, f"WINDOW_R6 names not registered: {_missing_r6}"
-# complete at exactly 50 unique first-time slots (per the r4 ADVICE on
-# the r5 staging: assert == once the list is final, so an accidental
-# removal cannot ship a short window)
-assert len(WINDOW_R6_CANDIDATES) == len(set(WINDOW_R6_CANDIDATES)) == 50
+assert len(WINDOW_R6) == len(set(WINDOW_R6)) == 50, "window must be exactly 50 unique slots"
+QUERIES = {
+    **{n: QUERIES[n] for n in WINDOW_R6},
+    **{n: q for n, q in QUERIES.items() if n not in set(WINDOW_R6)},
+}
 
 # Round-7 staging: queries added AFTER the r6 window filled (the same
-# pattern r5 used for the r6 staging). Complete at exactly 50 slots
-# as of the llm17/surface9 batch; queries added beyond this point go
-# to WINDOW_R8_CANDIDATES below.
+# pattern r5 used for the r6 staging). Exactly 50 unique slots, ALL
+# first-time: the flagship anchor re-pin moved out when the r6
+# emb_pq_encode repair displaced corpus_temperature_mixture here
+# (flagship stays anchored in WINDOW_R6 and WINDOW_R8_CANDIDATES,
+# and entry() smoke-checks it every round regardless).
 WINDOW_R7_CANDIDATES: list[str] = [
-    "flagship_enrich",
+    "corpus_temperature_mixture",
     "ann_truncated_dim_recall_eval",
     "multimodal_image_ahash_pairs",
     "pack_length_bucket_waste",
@@ -500,9 +504,10 @@ assert not _missing_r7, f"WINDOW_R7 names not registered: {_missing_r7}"
 assert len(WINDOW_R7_CANDIDATES) == len(set(WINDOW_R7_CANDIDATES)) == 50
 
 # Round-8 staging: queries added after the r7 window filled --
-# COMPLETE at exactly 50 unique first-time slots as of the
-# surface13/llm22 batch (assert ==50 per the r4-ADVICE pattern); no
-# re-pin padding needed at the r8 flip.
+# COMPLETE at exactly 50 unique slots as of the surface13/llm22 batch
+# (assert ==50 per the r4-ADVICE pattern): 49 first-time + the
+# flagship anchor re-pin (ADVICE r5: flagship is a re-pin, not a
+# first-time slot).
 WINDOW_R8_CANDIDATES: list[str] = [
     "flagship_enrich",
     # surface10: native session windows, local clustering, volume

@@ -209,3 +209,39 @@ def test_gapfill_locf_synthetic(spark, tmp_path):
     assert (a3.n_events, a3.observed, a3.locf_n_events, a3.days_since_obs) == (
         1, True, 1, 0,
     )
+
+
+def test_pq_encode_query_is_exploded_scalar_form(spark, sf_dir, emb):
+    """The REGISTERED emb_pq_encode query is the posexploded scalar
+    form of the operator output -- (vec_id, sub_id, code) BIGINT rows,
+    no Array/Map/Struct columns (the driver's canonicalizer hashes
+    scalar cells only; its r5 row was the one red in CORRECTNESS_r05
+    precisely because the array form crashed it). Pin: row-for-row
+    equal to the operator's code arrays, and schema all-scalar."""
+    from etl_building_inspector_spark.plans.registry import QUERIES
+    from etl_building_inspector_spark.plans.contract import (
+        nested_output_fields,
+    )
+
+    q = QUERIES["emb_pq_encode"](spark, sf_dir)
+    assert q.columns == ["vec_id", "sub_id", "code"]
+    assert nested_output_fields(q.schema) == []
+    assert [f.dataType.simpleString() for f in q.schema.fields] == [
+        "bigint", "bigint", "bigint"
+    ]
+    from etl_building_inspector_spark.plans.queries_llm5 import (
+        PQ_CODES, PQ_DIM, PQ_NSUB,
+    )
+
+    op = {
+        r.vec_id: r.codes
+        for r in pq_encode_sampled(
+            emb, n_sub=PQ_NSUB, codes_per_sub=PQ_CODES, dim=PQ_DIM
+        ).collect()
+    }
+    got: dict = {}
+    for r in q.collect():
+        got.setdefault(r.vec_id, {})[r.sub_id] = r.code
+    assert set(got) == set(op)
+    for vid, codes in op.items():
+        assert [got[vid][j] for j in range(len(codes))] == list(codes)

@@ -16,13 +16,20 @@ sys.path.insert(0, "/root/repo")
 
 
 def canon(val):
-    """Canonicalize a cell for multiset comparison."""
+    """Canonicalize a cell for multiset comparison.
+
+    Deliberately NO list->tuple conversion: the driver's comparator
+    hashes raw pandas cells and crashes on list values, so this
+    replica must be exactly as strict (the old tuple fallback is how
+    emb_pq_encode passed locally while dying at the driver --
+    CORRECTNESS_r05). The schema guard below rejects nested output
+    before any row is fetched; if a list ever reaches here anyway it
+    raises unhashable just like the driver would.
+    """
     if isinstance(val, float):
         if math.isnan(val):
             return "NaN"
         return repr(val)  # full precision repr: bit-exact comparison
-    if isinstance(val, list):
-        return tuple(canon(v) for v in val)
     return val
 
 
@@ -46,6 +53,9 @@ def main() -> int:
     import duckdb
 
     import __spark_entry__ as entrymod
+    from etl_building_inspector_spark.plans.contract import (
+        assert_scalar_output_schema,
+    )
     from etl_building_inspector_spark.session import get_spark
 
     spark = get_spark("oracle-check")
@@ -69,6 +79,10 @@ def main() -> int:
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)
+            # driver-shape guard BEFORE any rows move: nested output
+            # types crash the driver's canonicalizer even when every
+            # value is right (plans/contract.py)
+            assert_scalar_output_schema(sdf.schema, name)
             spark_cols = sdf.columns
             # collect() is sanctioned here: the gate runs at sf<=0.01
             # (<=60k-row fixtures). Stream + cap so a future fixture

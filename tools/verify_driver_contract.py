@@ -22,6 +22,9 @@ def main() -> int:
     from pyspark.sql import SparkSession
 
     import __spark_entry__ as entrymod
+    from etl_building_inspector_spark.plans.contract import (
+        assert_scalar_output_schema,
+    )
 
     spark = (
         SparkSession.builder.master("local[16]")
@@ -42,7 +45,11 @@ def main() -> int:
     failures = []
     for name, fn in sorted(queries.items()):
         try:
-            n = len(fn(spark, sf_dir).collect())
+            df = fn(spark, sf_dir)
+            # driver-shape guard: nested result types crash the
+            # driver's canonicalizer (plans/contract.py)
+            assert_scalar_output_schema(df.schema, name)
+            n = len(df.collect())
             print(f"OK   {name}: {n} rows")
         except Exception as e:  # noqa: BLE001
             failures.append(name)
