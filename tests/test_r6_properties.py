@@ -1,0 +1,221 @@
+"""Independent property tests for staged driver-window queries
+(round-6 consolidation, VERDICT r5 #5: "deepen tests for the r5
+additions" instead of growing the surface).
+
+These queries were previously pinned ONLY by their DuckDB twins. The
+twin is a strong cross-engine check, but both sides are written from
+the same reasoning and can share a conceptual mistake; each test here
+recomputes the CLAIMED PROPERTY from the raw parquet with plain
+pandas/numpy/hashlib -- no Spark expressions, no DuckDB SQL -- so a
+shared-twin bug cannot hide.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import re
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from etl_building_inspector_spark.plans.registry import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def _run(spark, name):
+    return QUERIES[name](spark, SF).toPandas()
+
+
+def _half_up_cents(x: pd.Series) -> pd.Series:
+    # Spark F.round = HALF_UP (away from zero); numpy round is
+    # half-even, so spell it out
+    v = x * 100.0
+    return (np.sign(v) * np.floor(np.abs(v) + 0.5)).astype("int64")
+
+
+def test_k_anonymity_violations_match_pandas_recount(spark):
+    from etl_building_inspector_spark.plans.queries_llm11 import KANON_K
+
+    got = _run(spark, "privacy_k_anonymity")
+    cust = pd.read_parquet(f"{SF}/customer.parquet")
+    band = (_half_up_cents(cust["c_acctbal"]) + 100000) // 100000
+    sizes = (
+        cust.assign(bal_band=band)
+        .groupby(["c_nationkey", "c_mktsegment", "bal_band"])
+        .size()
+    )
+    want = {
+        (int(n), s, int(b)): int(c)
+        for (n, s, b), c in sizes.items()
+        if c < KANON_K
+    }
+    have = {
+        (int(r.c_nationkey), r.c_mktsegment, int(r.bal_band)): int(r.group_size)
+        for r in got.itertuples()
+    }
+    assert have == want  # exact violation set, not just subset
+
+
+def test_whitening_output_is_zero_mean_unit_variance(spark):
+    """The whole point of whitening: per-dimension population mean 0,
+    population std 1 (checked from the OUTPUT, not the formula)."""
+    got = _run(spark, "emb_whitening_apply")
+    # the query's mean/std come from 2^20-quantized integer atoms
+    # (cross-engine exactness) applied to the raw doubles, so the
+    # output stats sit within ~2^-20 quantization of ideal, not at
+    # machine epsilon
+    for dim, g in got.groupby("dim"):
+        w = g["w"].to_numpy()
+        assert abs(w.mean()) < 1e-4, f"dim {dim} mean {w.mean()}"
+        assert abs(w.std(ddof=0) - 1.0) < 1e-4, f"dim {dim} std {w.std(ddof=0)}"
+    # every (vec, dim) cell exactly once
+    assert len(got) == got["vec_id"].nunique() * got["dim"].nunique()
+
+
+def test_equi_depth_histogram_invariants(spark):
+    from etl_building_inspector_spark.plans.queries_surface8 import (
+        EQUI_DEPTH_BUCKETS,
+    )
+
+    got = _run(spark, "histogram_equi_depth").sort_values("bucket")
+    orders = pd.read_parquet(f"{SF}/orders.parquet")
+    assert list(got["bucket"]) == list(range(1, EQUI_DEPTH_BUCKETS + 1))
+    assert got["n"].sum() == len(orders)  # every row in exactly one bucket
+    assert got["n"].max() - got["n"].min() <= 1  # equi-DEPTH
+    # ntile assigns the larger buckets first
+    assert list(got["n"]) == sorted(got["n"], reverse=True)
+    # value ranges are ordered and non-overlapping (ties at the seam
+    # can share a value, but never invert)
+    for prev, nxt in zip(got.itertuples(), list(got.itertuples())[1:]):
+        assert prev.min_cents <= prev.max_cents
+        assert prev.max_cents <= nxt.min_cents
+    # bucket sums reconcile against the raw data
+    assert got["sum_cents"].sum() == _half_up_cents(orders["o_totalprice"]).sum()
+
+
+def test_zscore_anomaly_flags_match_pandas_recompute(spark):
+    from etl_building_inspector_spark.plans.queries_surface8 import (
+        ZSCORE_BASELINE,
+        ZSCORE_K,
+    )
+
+    got = _run(spark, "timeseries_zscore_anomaly")
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    daily = (
+        ev.assign(
+            day=ev["ts"].dt.normalize(), cents=_half_up_cents(ev["value"])
+        )
+        .groupby(["event_type", "day"], as_index=False)["cents"]
+        .sum()
+        .sort_values(["event_type", "day"])
+    )
+    want = {}
+    n, k2 = ZSCORE_BASELINE, ZSCORE_K * ZSCORE_K
+    for et, g in daily.groupby("event_type"):
+        c = g["cents"].to_numpy()
+        days = g["day"].dt.date.to_numpy()
+        for i in range(n, len(c)):
+            base = c[i - n : i]
+            s, q = int(base.sum()), int((base.astype(object) ** 2).sum())
+            dev = n * int(c[i]) - s
+            want[(et, days[i])] = (
+                dev * dev,
+                k2 * (n * q - s * s),
+            )
+    have = {
+        (r.event_type, r.day): (int(r.lhs), int(r.rhs))
+        for r in got.itertuples()
+    }
+    assert have == want
+    for r in got.itertuples():
+        assert bool(r.is_anomaly) == (r.lhs > r.rhs)
+
+
+def test_benford_digit_audit_recount(spark):
+    got = _run(spark, "dq_benford_first_digit").set_index("digit")
+    orders = pd.read_parquet(f"{SF}/orders.parquet")
+    first = (
+        _half_up_cents(orders["o_totalprice"]).astype(str).str.lstrip("-").str[0]
+    ).astype(int)
+    counts = first.value_counts()
+    total = int(counts.sum())
+    assert total == len(orders)
+    for d in got.index:
+        n = int(counts.get(d, 0))
+        assert int(got.loc[d, "n"]) == n
+        assert int(got.loc[d, "observed_ppm"]) == (1_000_000 * n) // total
+        exp = math.floor(1e6 * math.log10(1 + 1 / d))
+        assert int(got.loc[d, "expected_ppm"]) == exp
+        assert int(got.loc[d, "dev_ppm"]) == abs((1_000_000 * n) // total - exp)
+
+
+def test_systematic_sample_is_every_kth_in_md5_order(spark):
+    from etl_building_inspector_spark.plans.queries_surface7 import (
+        _SYSTEMATIC_K as K,
+    )
+
+    got = set(_run(spark, "sample_systematic")["o_orderkey"])
+    orders = pd.read_parquet(f"{SF}/orders.parquet")
+    keys = sorted(
+        orders["o_orderkey"],
+        key=lambda k: (hashlib.md5(str(k).encode()).hexdigest(), k),
+    )
+    want = set(keys[::K])
+    assert got == want
+    assert len(got) == math.ceil(len(orders) / K)  # exact 1/k size
+
+
+def test_url_canonicalize_collapses_each_page_group(spark):
+    got = _run(spark, "dedup_url_canonicalize")
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+
+    def canon(doc_id, source):
+        m = doc_id % 3
+        page = doc_id // 3
+        if m == 0:
+            url = f"https://www.Example-{source}.com/docs/{page}"
+        elif m == 1:
+            url = f"HTTPS://EXAMPLE-{source}.COM/docs/{page}/"
+        else:
+            url = f"https://example-{source}.com/docs/{page}?utm_source=feed&utm_medium=rss"
+        url = url.lower()
+        url = re.sub(r"^https://www\.", "https://", url)
+        url = re.sub(r"\?utm[a-z_=&]*$", "", url)
+        return re.sub(r"/$", "", url)
+
+    docs = docs.assign(
+        cu=[canon(int(d), s) for d, s in zip(docs["doc_id"], docs["source"])]
+    )
+    want = (
+        docs.groupby("cu")
+        .agg(kept=("doc_id", "min"), n=("doc_id", "size"))
+        .reset_index()
+    )
+    have = {r.canonical_url: (r.kept_doc_id, r.n_variants) for r in got.itertuples()}
+    assert have == {r.cu: (r.kept, r.n) for r in want.itertuples()}
+    # canonical forms carry no scheme noise, tracking params, or
+    # trailing slash
+    for u in have:
+        assert not u.startswith("https://www.")
+        assert "utm" not in u and not u.endswith("/")
+        assert u == u.lower()
+
+
+def test_assortativity_matches_numpy_pearson(spark):
+    got = _run(spark, "graph_degree_assortativity").iloc[0]
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")[["l_orderkey", "l_partkey"]]
+    pairs = li.merge(li, on="l_orderkey")
+    pairs = pairs[pairs["l_partkey_x"] != pairs["l_partkey_y"]]
+    u = np.minimum(pairs["l_partkey_x"], pairs["l_partkey_y"])
+    v = np.maximum(pairs["l_partkey_x"], pairs["l_partkey_y"])
+    e0 = pd.DataFrame({"u": u, "v": v}).drop_duplicates()
+    s = pd.concat([e0["u"], e0["v"]]).to_numpy()
+    d = pd.concat([e0["v"], e0["u"]]).to_numpy()
+    deg = pd.Series(s).value_counts()
+    x, y = deg[s].to_numpy(dtype=float), deg[d].to_numpy(dtype=float)
+    assert int(got["n"]) == len(x) == 2 * len(e0)
+    r = np.corrcoef(x, y)[0, 1]
+    assert got["assortativity"] == pytest.approx(r, abs=1e-9)
