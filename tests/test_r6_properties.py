@@ -219,3 +219,166 @@ def test_assortativity_matches_numpy_pearson(spark):
     assert int(got["n"]) == len(x) == 2 * len(e0)
     r = np.corrcoef(x, y)[0, 1]
     assert got["assortativity"] == pytest.approx(r, abs=1e-9)
+
+
+def test_referential_and_uniqueness_audits_recount(spark):
+    got_ri = _run(spark, "dq_referential_integrity").set_index("relation")
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    orders = pd.read_parquet(f"{SF}/orders.parquet")
+    cust = pd.read_parquet(f"{SF}/customer.parquet")
+    nation = pd.read_parquet(f"{SF}/nation.parquet")
+    part = pd.read_parquet(f"{SF}/part.parquet")
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    want_ri = {
+        "lineitem->orders": (~li["l_orderkey"].isin(orders["o_orderkey"])).sum(),
+        "lineitem->part": (~li["l_partkey"].isin(part["p_partkey"])).sum(),
+        "orders->customer": (~orders["o_custkey"].isin(cust["c_custkey"])).sum(),
+        "customer->nation": (~cust["c_nationkey"].isin(nation["n_nationkey"])).sum(),
+    }
+    assert {k: int(got_ri.loc[k, "orphans"]) for k in want_ri} == {
+        k: int(v) for k, v in want_ri.items()
+    }
+    got_u = _run(spark, "dq_uniqueness_violations").set_index("constraint_name")
+    want_u = {
+        "lineitem_pk": (li.groupby(["l_orderkey", "l_linenumber"]).size() > 1).sum(),
+        "orders_pk": (orders.groupby("o_orderkey").size() > 1).sum(),
+        "events_pk": (ev.groupby("event_id").size() > 1).sum(),
+        "documents_pk": (docs.groupby("doc_id").size() > 1).sum(),
+    }
+    assert {k: int(got_u.loc[k, "violating_keys"]) for k in want_u} == {
+        k: int(v) for k, v in want_u.items()
+    }
+
+
+def test_ohlc_daily_matches_pandas_resample(spark):
+    got = _run(spark, "timeseries_ohlc_daily")
+    ev = pd.read_parquet(f"{SF}/events.parquet").sort_values(["ts", "event_id"])
+    ev = ev.assign(day=ev["ts"].dt.date)
+    want = ev.groupby("day").agg(
+        open=("value", "first"),
+        high=("value", "max"),
+        low=("value", "min"),
+        close=("value", "last"),
+        volume=("value", "size"),
+    )
+    assert len(got) == len(want)
+    for r in got.itertuples():
+        w = want.loc[r.day]
+        assert (r.open, r.high, r.low, r.close, r.volume) == (
+            w["open"], w["high"], w["low"], w["close"], w["volume"],
+        )
+
+
+def test_seasonal_naive_error_is_lag7(spark):
+    got = _run(spark, "timeseries_seasonal_naive_error")
+    orders = pd.read_parquet(f"{SF}/orders.parquet")
+    daily = (
+        orders.assign(cents=_half_up_cents(orders["o_totalprice"]))
+        .groupby("o_orderdate")["cents"]
+        .sum()
+        .sort_index()
+    )
+    fc = daily.shift(7)
+    want = {
+        d: (int(c), int(f), abs(int(c) - int(f)))
+        for (d, c), f in zip(daily.items(), fc)
+        if not pd.isna(f)
+    }
+    have = {
+        r.day: (int(r.cents), int(r.forecast_cents), int(r.abs_err_cents))
+        for r in got.itertuples()
+    }
+    assert have == want
+
+
+def test_percentiles_battery_matches_numpy_linear(spark):
+    got = _run(spark, "percentiles_exact_battery")
+    cust = pd.read_parquet(f"{SF}/customer.parquet")
+    cents = cust.assign(c=_half_up_cents(cust["c_acctbal"]))
+    for r in got.itertuples():
+        vals = cents.loc[cents["c_nationkey"] == r.nation, "c"].to_numpy()
+        assert r.val == pytest.approx(
+            np.percentile(vals, 100 * r.p, method="linear"), abs=1e-6
+        )
+
+
+def test_mode_exact_deterministic_tiebreak(spark):
+    got = _run(spark, "agg_mode_exact")
+    orders = pd.read_parquet(f"{SF}/orders.parquet")
+    counts = (
+        orders.groupby(["o_orderpriority", "o_orderstatus"])
+        .size()
+        .reset_index(name="n")
+    )
+    want = {}
+    for grp, g in counts.groupby("o_orderpriority"):
+        top = g.sort_values(["n", "o_orderstatus"], ascending=[False, True]).iloc[0]
+        want[grp] = (top["o_orderstatus"], int(top["n"]))
+    assert {
+        r.priority: (r.mode_status, int(r.n)) for r in got.itertuples()
+    } == want
+
+
+def test_sequence_pattern_matches_python_regex(spark):
+    got = _run(spark, "events_sequence_pattern")
+    ev = pd.read_parquet(f"{SF}/events.parquet").sort_values(["ts", "event_id"])
+    want = {}
+    for uid, g in ev.groupby("user_id"):
+        path = "".join(t[0] for t in g["event_type"])
+        want[int(uid)] = (len(path), len(re.findall(r"v[cs]*p", path)))
+    assert {
+        int(r.user_id): (int(r.path_len), int(r.n_conversions))
+        for r in got.itertuples()
+    } == want
+
+
+def test_intervals_intersection_brute_force(spark):
+    got = {
+        int(r.user_id): int(r.overlap_seconds)
+        for r in _run(spark, "intervals_intersection_total").itertuples()
+    }
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    epoch = pd.Timestamp("1970-01-01")
+    ev = ev.assign(s=((ev["ts"] - epoch).dt.total_seconds()).astype("int64"))
+
+    def merged(g, dur):
+        iv = sorted((int(s), int(s) + dur) for s in g)
+        out = []
+        for s, e in iv:
+            if out and s <= out[-1][1]:
+                out[-1] = (out[-1][0], max(out[-1][1], e))
+            else:
+                out.append((s, e))
+        return out
+
+    want = {}
+    for uid, g in ev.groupby("user_id"):
+        a = merged(g.loc[g["event_type"] == "view", "s"], 1800)
+        b = merged(g.loc[g["event_type"] == "purchase", "s"], 3600)
+        tot = sum(
+            max(0, min(ae, be) - max(as_, bs))
+            for as_, ae in a
+            for bs, be in b
+        )
+        if tot > 0:
+            want[int(uid)] = tot
+    assert got == want
+
+
+def test_temperature_mixture_allocates_exact_budget(spark):
+    from etl_building_inspector_spark.plans.queries_llm9 import MIX_BUDGET
+
+    got = _run(spark, "corpus_temperature_mixture")
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    n = docs.groupby("source").size()
+    assert set(got["source"]) == set(n.index)
+    # largest-remainder: the allocation sums EXACTLY to the budget
+    assert int(got["alloc"].sum()) == MIX_BUDGET
+    # each source's allocation is within 1 of its exact proportional
+    # share of n^2 weights
+    w = (n**2).astype("int64")
+    for r in got.itertuples():
+        exact = MIX_BUDGET * int(w[r.source]) / int(w.sum())
+        assert exact - 1 <= r.alloc <= exact + 1
+        assert int(r.n_docs) == int(n[r.source])
