@@ -382,3 +382,205 @@ def test_temperature_mixture_allocates_exact_budget(spark):
         exact = MIX_BUDGET * int(w[r.source]) / int(w.sum())
         assert exact - 1 <= r.alloc <= exact + 1
         assert int(r.n_docs) == int(n[r.source])
+
+
+def test_bitemporal_as_of_matches_python_rebuild(spark):
+    """Rebuild 'value at V as known at T' naively in python: restrict
+    to txn-visible versions FIRST, then chain valid intervals per
+    customer. (The classic-bug formulation -- chain before the txn
+    filter -- happens to coincide on this fixture's V/T, so the bug
+    class is pinned by the pipeline goldens instead; this test pins
+    exact row-level equality with an independent rebuild.)"""
+    from etl_building_inspector_spark.plans.queries_surface8 import (
+        BT_TXN_AS_OF,
+        BT_TXN_LAG_MOD,
+        BT_VALID_AS_OF,
+    )
+
+    got = _run(spark, "bitemporal_as_of_join")
+    orders = pd.read_parquet(f"{SF}/orders.parquet")
+    V = pd.Timestamp(BT_VALID_AS_OF).date()
+    T = pd.Timestamp(BT_TXN_AS_OF).date()
+
+    def rebuild(filter_first: bool):
+        rows = []
+        for r in orders.itertuples():
+            vf = r.o_orderdate if hasattr(r.o_orderdate, "year") else r.o_orderdate
+            vf = pd.Timestamp(vf).date()
+            txn = vf + pd.Timedelta(days=int(r.o_orderkey % BT_TXN_LAG_MOD))
+            rows.append((int(r.o_custkey), vf, txn.date() if hasattr(txn, "date") else txn, int(r.o_orderkey), int(_half_up_cents(pd.Series([r.o_totalprice])).iloc[0])))
+        out = {}
+        for cust in {r[0] for r in rows}:
+            versions = sorted(
+                (r for r in rows if r[0] == cust), key=lambda r: (r[1], r[3])
+            )
+            if filter_first:
+                versions = [r for r in versions if r[2] <= T]
+            chained = [
+                (*v, versions[i + 1][1] if i + 1 < len(versions) else None)
+                for i, v in enumerate(versions)
+            ]
+            if not filter_first:
+                chained = [c for c in chained if c[2] <= T]
+            for c in chained:
+                if c[1] <= V and (c[5] is None or c[5] > V):
+                    out[(c[0], c[1], c[2])] = c[4]
+        return out
+
+    want = rebuild(filter_first=True)
+    have = {
+        (int(r.custkey), r.valid_from, r.txn_date): int(r.price_cents)
+        for r in got.itertuples()
+    }
+    assert have == want
+
+
+def test_audience_overlap_set_arithmetic(spark):
+    got = _run(spark, "audience_overlap_daily")
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    du = ev.assign(day=ev["ts"].dt.date)[["day", "user_id"]].drop_duplicates()
+    by_day = {d: set(g["user_id"]) for d, g in du.groupby("day")}
+    want = {}
+    for d in by_day:
+        prev = d - pd.Timedelta(days=1)
+        if prev in by_day:
+            t, y = by_day[d], by_day[prev]
+            want[d] = (len(t), len(t & y), len(t - y))
+    have = {
+        r.day: (int(r.n_active), int(r.n_retained), int(r.n_new))
+        for r in got.itertuples()
+    }
+    assert have == want
+    for a, r, n in have.values():
+        assert a == r + n  # growth accounting conserves
+
+
+def test_event_order_inversions_recount(spark):
+    got = _run(spark, "dq_event_order_inversions")
+    ev = pd.read_parquet(f"{SF}/events.parquet")[["user_id", "event_id", "ts"]]
+    late = ev[ev["event_id"] % 50 == 0].assign(
+        event_id=lambda d: d["event_id"] + 10_000_000,
+        ts=lambda d: d["ts"] - pd.Timedelta(hours=2),
+    )
+    feed = pd.concat([ev, late]).sort_values(["user_id", "event_id"])
+    epoch = pd.Timestamp("1970-01-01")
+    # unix_timestamp()/epoch() floor EACH timestamp to whole seconds
+    # before subtracting (not the difference)
+    feed = feed.assign(
+        es=((feed["ts"] - epoch).dt.total_seconds()).apply(math.floor)
+    )
+    want = {}
+    for uid, g in feed.groupby("user_id"):
+        prev_ts = g["ts"].shift(1)
+        inv = g["ts"] < prev_ts
+        if inv.sum() > 0:
+            back = (g["es"].shift(1) - g["es"])[inv].max()
+            want[int(uid)] = (len(g), int(inv.sum()), int(back))
+    have = {
+        int(r.user_id): (int(r.n_events), int(r.n_inversions), int(r.max_backstep_seconds))
+        for r in got.itertuples()
+    }
+    assert have == want
+
+
+def test_lead_lag_battery_matches_pandas_shift(spark):
+    got = _run(spark, "window_lead_lag_battery")
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    li = li[li["l_suppkey"] < 5]
+    d = pd.to_datetime(li["l_shipdate"])
+    monthly = (
+        li.assign(
+            ym=d.dt.year * 100 + d.dt.month,
+            cents=_half_up_cents(li["l_extendedprice"]),
+        )
+        .groupby(["l_suppkey", "ym"], as_index=False)["cents"]
+        .sum()
+        .sort_values(["l_suppkey", "ym"])
+    )
+    want = {}
+    for sk, g in monthly.groupby("l_suppkey"):
+        c = g["cents"]
+        for ym, cents, p1, p2, n1, pd1 in zip(
+            g["ym"], c,
+            c.shift(1, fill_value=0), c.shift(2, fill_value=-1),
+            c.shift(-1, fill_value=0), c.shift(1),
+        ):
+            delta = 0 if pd.isna(pd1) else int(cents) - int(pd1)
+            want[(int(sk), int(ym))] = (
+                int(cents), int(p1), int(p2), int(n1), delta,
+            )
+    have = {
+        (int(r.suppkey), int(r.ym)): (
+            int(r.cents), int(r.prev1), int(r.prev2), int(r.next1), int(r.delta)
+        )
+        for r in got.itertuples()
+    }
+    assert have == want
+
+
+def test_money_precision_audit_recount(spark):
+    got = _run(spark, "dq_money_precision_audit").set_index("col")
+    tables = {
+        "o_totalprice": pd.read_parquet(f"{SF}/orders.parquet")["o_totalprice"],
+        "l_extendedprice": pd.read_parquet(f"{SF}/lineitem.parquet")["l_extendedprice"],
+        "c_acctbal": pd.read_parquet(f"{SF}/customer.parquet")["c_acctbal"],
+    }
+    for col, v in tables.items():
+        v100 = v * 100.0
+        subcent = v100 != (np.sign(v100) * np.floor(np.abs(v100) + 0.5))
+        r = got.loc[col]
+        assert int(r["n_rows"]) == len(v)
+        assert int(r["n_negative"]) == int((v < 0).sum())
+        assert int(r["n_zero"]) == int((v == 0).sum())
+        assert int(r["n_subcent"]) == int(subcent.sum())
+
+
+def _py_tokens(text: str) -> list[str]:
+    return re.sub(r"[^a-z0-9]+", " ", text.lower()).strip().split(" ")
+
+
+def test_word_length_histogram_recount(spark):
+    got = {
+        int(r.token_len): int(r.n_tokens)
+        for r in _run(spark, "text_word_length_histogram").itertuples()
+    }
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    from collections import Counter
+
+    c = Counter(
+        min(len(t), 15) for txt in docs["text"] for t in _py_tokens(txt)
+    )
+    assert got == dict(c)
+
+
+def test_cohort_ltv_curve_recompute(spark):
+    got = _run(spark, "cohort_ltv_curve")
+    orders = pd.read_parquet(f"{SF}/orders.parquet")
+    d = pd.to_datetime(orders["o_orderdate"])
+    o = orders.assign(
+        midx=d.dt.year * 12 + d.dt.month - 1,
+        cents=_half_up_cents(orders["o_totalprice"]),
+    )
+    cohort = o.groupby("o_custkey")["midx"].min().rename("cohort")
+    a = o.join(cohort, on="o_custkey")
+    a = a.assign(age=a["midx"] - a["cohort"])
+    m = (
+        a.groupby(["cohort", "age"])
+        .agg(n_active=("o_custkey", "nunique"), cents=("cents", "sum"))
+        .reset_index()
+        .sort_values(["cohort", "age"])
+    )
+    m = m.assign(cum=m.groupby("cohort")["cents"].cumsum())
+    want = {
+        (int((r.cohort // 12) * 100 + r.cohort % 12 + 1), int(r.age)): (
+            int(r.n_active), int(r.cents), int(r.cum)
+        )
+        for r in m.itertuples()
+    }
+    have = {
+        (int(r.cohort_ym), int(r.age_months)): (
+            int(r.n_active), int(r.cents), int(r.cum_cents)
+        )
+        for r in got.itertuples()
+    }
+    assert have == want
