@@ -584,3 +584,176 @@ def test_cohort_ltv_curve_recompute(spark):
         for r in got.itertuples()
     }
     assert have == want
+
+
+def test_local_clustering_matches_bruteforce_triangles(spark):
+    """Brute-force the co-purchase graph in python sets: triangle
+    count per vertex, degree, wedges -- then compare the query's
+    top-K rows (same deterministic ordering)."""
+    from etl_building_inspector_spark.plans.queries_surface10 import (
+        CLUSTERING_TOP_K,
+    )
+
+    got = _run(spark, "graph_local_clustering")
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")[["l_orderkey", "l_partkey"]]
+    adj: dict[int, set[int]] = {}
+    for _, g in li.groupby("l_orderkey"):
+        parts = sorted(set(g["l_partkey"]))
+        for i, u in enumerate(parts):
+            for v in parts[i + 1 :]:
+                adj.setdefault(u, set()).add(v)
+                adj.setdefault(v, set()).add(u)
+    tri = {u: 0 for u in adj}
+    for u in adj:
+        for v in adj[u]:
+            if v > u:
+                for w in adj[u] & adj[v]:
+                    if w > v:
+                        tri[u] += 1
+                        tri[v] += 1
+                        tri[w] += 1
+    rows = sorted(
+        (
+            (u, len(adj[u]), len(adj[u]) * (len(adj[u]) - 1) // 2, tri[u])
+            for u in adj
+        ),
+        key=lambda r: (-r[3], r[0]),
+    )[:CLUSTERING_TOP_K]
+    have = [
+        (int(r.vertex), int(r.degree), int(r.n_wedges), int(r.n_triangles))
+        for r in got.itertuples()
+    ]
+    assert have == rows
+
+
+def test_hll_eval_matches_python_reimplementation(spark):
+    """Full independent HLL: same md5 bit layout re-derived with
+    hashlib + int arithmetic, plus exact distinct via pandas."""
+    from etl_building_inspector_spark.plans.queries_llm9 import (
+        HLL_M,
+        _HLL_NUM,
+    )
+
+    got = _run(spark, "sketch_hll_distinct_eval")
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    want = {}
+    for et, g in ev.groupby("event_type"):
+        regs: dict[int, int] = {}
+        for uid in g["user_id"]:
+            h = hashlib.md5(str(int(uid)).encode()).hexdigest()
+            reg = int(h[:2], 16) % HLL_M
+            v = int(h[2:14], 16)
+            rho = 49 - v.bit_length() if v else 49
+            regs[reg] = max(regs.get(reg, 0), rho)
+        z_int = sum(1 << (49 - m) for m in regs.values()) + (
+            HLL_M - len(regs)
+        ) * 2**49
+        est = _HLL_NUM / z_int
+        n_exact = g["user_id"].nunique()
+        want[et] = (
+            n_exact,
+            len(regs),
+            est,
+            math.floor(abs(est - n_exact) * 1e6 / n_exact),
+        )
+    for r in got.itertuples():
+        ne, nr, est, err = want[r.event_type]
+        assert (int(r.n_exact), int(r.n_regs)) == (ne, nr)
+        assert r.hll_est == pytest.approx(est, rel=1e-12)
+        assert int(r.err_ppm) == err
+
+
+def test_scd2_as_of_read_reconstructs_preupdate_state(spark):
+    got = _run(spark, "scd2_as_of_read")
+    cust = pd.read_parquet(f"{SF}/customer.parquet")
+    # pivot 2022-06-01 predates every 2024 update: every key appears
+    # exactly once with its ORIGINAL value, including the %7 keys
+    assert sorted(got["cust_key"]) == sorted(cust["c_custkey"])
+    orig = cust.set_index("c_custkey")
+    for r in got.itertuples():
+        assert r.acctbal == orig.loc[r.cust_key, "c_acctbal"]
+        assert r.segment == orig.loc[r.cust_key, "c_mktsegment"]
+        assert r.segment != "UPDATED"
+
+
+def test_interpurchase_stats_recompute(spark):
+    from etl_building_inspector_spark.plans.queries_surface8 import (
+        INTERPURCHASE_MIN_ORDERS,
+    )
+
+    got = _run(spark, "customer_interpurchase_stats")
+    orders = pd.read_parquet(f"{SF}/orders.parquet")
+    o = orders.assign(d=pd.to_datetime(orders["o_orderdate"])).sort_values(
+        ["o_custkey", "d", "o_orderkey"]
+    )
+    want = {}
+    for ck, g in o.groupby("o_custkey"):
+        if len(g) < INTERPURCHASE_MIN_ORDERS:
+            continue
+        gaps = g["d"].diff().dt.days.dropna().astype(int)
+        want[int(ck)] = (
+            len(g), int(gaps.min()), int(gaps.max()),
+            int(gaps.sum()) // len(gaps),
+        )
+    have = {
+        int(r.custkey): (
+            int(r.n_orders), int(r.min_gap_days), int(r.max_gap_days),
+            int(r.avg_gap_days),
+        )
+        for r in got.itertuples()
+    }
+    assert have == want
+
+
+def test_volume_anomaly_median_recompute(spark):
+    got = _run(spark, "dq_volume_anomaly_daily")
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    daily = (
+        ev.assign(day=ev["ts"].dt.date)
+        .groupby(["event_type", "day"])
+        .size()
+        .reset_index(name="n")
+        .sort_values(["event_type", "day"])
+    )
+    want = {}
+    for et, g in daily.groupby("event_type"):
+        n = g["n"].tolist()
+        days = g["day"].tolist()
+        for i in range(7, len(n)):
+            med = sorted(n[i - 7 : i])[3]  # exact middle of 7
+            want[(et, days[i])] = (
+                n[i], med, n[i] > 2 * med or 2 * n[i] < med,
+            )
+    have = {
+        (r.event_type, r.day): (int(r.n_events), int(r.med7), bool(r.is_anomaly))
+        for r in got.itertuples()
+    }
+    assert have == want
+
+
+def test_gap_time_buckets_recount(spark):
+    from etl_building_inspector_spark.plans.queries_surface13 import (
+        GAP_BUCKETS,
+    )
+
+    got = {
+        r.bucket: int(r.n_gaps)
+        for r in _run(spark, "events_gap_time_buckets").itertuples()
+    }
+    ev = pd.read_parquet(f"{SF}/events.parquet").sort_values(
+        ["user_id", "ts", "event_id"]
+    )
+    from collections import Counter
+
+    c: Counter = Counter()
+    epoch = pd.Timestamp("1970-01-01")
+    ev = ev.assign(us=((ev["ts"] - epoch) // pd.Timedelta(microseconds=1)))
+    for _, g in ev.groupby("user_id"):
+        for gap in g["us"].diff().dropna():
+            for name, hi in GAP_BUCKETS:
+                if gap <= hi:
+                    c[name] += 1
+                    break
+            else:
+                c["gt_1h"] += 1
+    assert got == dict(c)
