@@ -757,3 +757,136 @@ def test_gap_time_buckets_recount(spark):
             else:
                 c["gt_1h"] += 1
     assert got == dict(c)
+
+
+def test_emb_dimension_stats_recompute(spark):
+    from etl_building_inspector_spark.plans.queries_llm7 import _EMB_SCALE
+
+    got = _run(spark, "emb_dimension_stats")
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet")
+    mat = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    n = mat.shape[0]
+    for r in got.itertuples():
+        col = mat[:, int(r.dim) - 1]
+        ssum = int(np.floor(col * _EMB_SCALE).astype("int64").sum())
+        assert int(r.n) == n
+        assert int(r.sum_scaled) == ssum
+        assert r.min_v == col.min() and r.max_v == col.max()
+        assert r.mean_v == pytest.approx(ssum / n / _EMB_SCALE, rel=1e-12)
+
+
+def test_ratio_to_report_shares_recompute(spark):
+    got = _run(spark, "window_ratio_to_report")
+    orders = pd.read_parquet(f"{SF}/orders.parquet")
+    cust = pd.read_parquet(f"{SF}/customer.parquet")
+    j = orders.merge(cust, left_on="o_custkey", right_on="c_custkey")
+    j = j.assign(cents=_half_up_cents(j["o_totalprice"]))
+    rev = (
+        j.groupby(["c_nationkey", "c_mktsegment"])["cents"].sum().reset_index()
+    )
+    tot = rev.groupby("c_nationkey")["cents"].transform("sum")
+    rev = rev.assign(share=(rev["cents"] * 1_000_000) // tot)
+    want = {
+        (int(r.c_nationkey), r.c_mktsegment): (int(r.cents), int(r.share))
+        for r in rev.itertuples()
+    }
+    have = {
+        (int(r.nationkey), r.segment): (int(r.cents), int(r.share_ppm))
+        for r in got.itertuples()
+    }
+    assert have == want
+    # shares within each nation sum to <= 1e6 and within rounding of it
+    for nk, g in got.groupby("nationkey"):
+        s = g["share_ppm"].sum()
+        assert 1_000_000 - len(g) < s <= 1_000_000
+
+
+def test_first_last_battery_under_total_order(spark):
+    got = _run(spark, "window_first_last_value_battery")
+    cust = pd.read_parquet(f"{SF}/customer.parquet")
+    cust = cust.assign(cents=_half_up_cents(cust["c_acctbal"]))
+    want = {}
+    for nk, g in cust.groupby("c_nationkey"):
+        o = g.sort_values(["cents", "c_custkey"])["c_custkey"].tolist()
+        want[int(nk)] = (o[0], o[1] if len(o) > 1 else None, o[-1])
+    have = {
+        int(r.nationkey): (
+            int(r.first_cust),
+            None if pd.isna(r.second_cust) else int(r.second_cust),
+            int(r.last_cust),
+        )
+        for r in got.itertuples()
+    }
+    assert have == want
+
+
+def test_acf_lag1_sufficient_stats_recompute(spark):
+    got = _run(spark, "timeseries_acf_lag1")
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    v = ev["value"]
+    units = (np.sign(v) * np.floor(np.abs(v) + 0.5)).astype("int64")
+    daily = (
+        ev.assign(day=ev["ts"].dt.date, units=units)
+        .groupby(["event_type", "day"])["units"]
+        .sum()
+        .reset_index()
+        .sort_values(["event_type", "day"])
+    )
+    want = {}
+    for et, g in daily.groupby("event_type"):
+        u = g["units"].to_numpy()
+        x, y = u[:-1].astype(object), u[1:].astype(object)
+        n = len(x)
+        want[et] = (
+            n,
+            n * sum(a * b for a, b in zip(x, y)) - sum(x) * sum(y),
+            n * sum(a * a for a in x) - sum(x) * sum(x),
+            n * sum(b * b for b in y) - sum(y) * sum(y),
+        )
+    have = {
+        r.event_type: (
+            int(r.n_pairs), int(r.corr_num), int(r.corr_den_x), int(r.corr_den_y)
+        )
+        for r in got.itertuples()
+    }
+    assert have == want
+
+
+def test_rake_keywords_python_reimplementation(spark):
+    from etl_building_inspector_spark.plans.queries_llm9 import (
+        RAKE_STOPWORDS,
+        RAKE_TOPK,
+    )
+
+    got = _run(spark, "text_rake_keywords")
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    freq: dict[str, int] = {}
+    degree: dict[str, int] = {}
+    for txt in docs["text"]:
+        phrase: list[str] = []
+        phrases: list[list[str]] = []
+        for t in _py_tokens(txt):
+            if t in RAKE_STOPWORDS:
+                if phrase:
+                    phrases.append(phrase)
+                phrase = []
+            else:
+                phrase.append(t)
+        if phrase:
+            phrases.append(phrase)
+        for ph in phrases:
+            for w in ph:
+                freq[w] = freq.get(w, 0) + 1
+                degree[w] = degree.get(w, 0) + len(ph)
+    rows = sorted(
+        (
+            (w, freq[w], degree[w], (1_000_000 * degree[w]) // freq[w])
+            for w in freq
+        ),
+        key=lambda r: (-r[3], r[0]),
+    )[:RAKE_TOPK]
+    have = [
+        (r.word, int(r.freq), int(r.degree), int(r.score_ppm))
+        for r in got.itertuples()
+    ]
+    assert have == rows
