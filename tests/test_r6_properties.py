@@ -890,3 +890,151 @@ def test_rake_keywords_python_reimplementation(spark):
         for r in got.itertuples()
     ]
     assert have == rows
+
+
+def test_pivot_event_counts_crosstab(spark):
+    got = _run(spark, "pivot_event_counts").set_index("day")
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    ct = pd.crosstab(ev["ts"].dt.date, ev["event_type"])
+    assert len(got) == len(ct)
+    for day, row in ct.iterrows():
+        for t in ("click", "error", "purchase", "signup", "view"):
+            assert int(got.loc[day, t]) == int(row.get(t, 0))
+
+
+def test_privacy_release_gate_composition(spark):
+    from etl_building_inspector_spark.plans.queries_llm16 import GATE_K, GATE_L
+
+    got = _run(spark, "privacy_release_gate")
+    cust = pd.read_parquet(f"{SF}/customer.parquet")
+    band = (_half_up_cents(cust["c_acctbal"]) + 100000) // 100000
+    g = (
+        cust.assign(bal_band=band)
+        .groupby(["c_nationkey", "bal_band"])
+        .agg(size=("c_custkey", "size"), ldiv=("c_mktsegment", "nunique"))
+    )
+    want = {
+        (int(n), int(b)): (
+            int(r["size"]), int(r["ldiv"]),
+            int(r["size"] >= GATE_K), int(r["ldiv"] >= GATE_L),
+            int(r["size"] >= GATE_K and r["ldiv"] >= GATE_L),
+        )
+        for (n, b), r in g.iterrows()
+    }
+    have = {
+        (int(r.c_nationkey), int(r.bal_band)): (
+            int(r.group_size), int(r.n_distinct_sensitive),
+            int(r.k_ok), int(r.l_ok), int(r.released),
+        )
+        for r in got.itertuples()
+    }
+    assert have == want
+
+
+def test_distribution_drift_tvd_recompute(spark):
+    from etl_building_inspector_spark.plans.queries_surface8 import (
+        DRIFT_BUCKET_CENTS,
+        DRIFT_SPLIT_DAY,
+    )
+
+    got = _run(spark, "dq_distribution_drift")
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    split = pd.Timestamp(DRIFT_SPLIT_DAY).date()
+    cents = _half_up_cents(ev["value"])
+    e = ev.assign(
+        half=(ev["ts"].dt.date > split).astype(int),
+        bucket=cents // DRIFT_BUCKET_CENTS,
+    )
+    want = {}
+    for et, g in e.groupby("event_type"):
+        b = g.groupby(["bucket", "half"]).size().unstack(fill_value=0)
+        n1 = b.get(0, pd.Series(0, index=b.index))
+        n2 = b.get(1, pd.Series(0, index=b.index))
+        t1, t2 = int(n1.sum()), int(n2.sum())
+        num = int(sum(abs(int(a) * t2 - int(c) * t1) for a, c in zip(n1, n2)))
+        want[et] = (t1, t2, len(b), (1_000_000 * num) // (2 * t1 * t2))
+    have = {
+        r.event_type: (int(r.n_early), int(r.n_late), int(r.n_buckets), int(r.tvd_ppm))
+        for r in got.itertuples()
+    }
+    assert have == want
+
+
+def test_range_frames_trailing_hour_recompute(spark):
+    got = _run(spark, "window_range_frames")
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    epoch = pd.Timestamp("1970-01-01")
+    e = ev.assign(
+        sec=((ev["ts"] - epoch).dt.total_seconds()).apply(math.floor),
+        v4=(np.sign(ev["value"] * 10000.0)
+            * np.floor(np.abs(ev["value"] * 10000.0) + 0.5)).astype("int64"),
+    )
+    want = {}
+    for uid, g in e.groupby("user_id"):
+        secs = g["sec"].to_numpy()
+        v4 = g["v4"].to_numpy()
+        for eid, s in zip(g["event_id"], secs):
+            mask = (secs >= s - 3599) & (secs <= s)
+            want[(int(uid), int(eid))] = (int(s), int(v4[mask].sum()), int(mask.sum()))
+    have = {
+        (int(r.user_id), int(r.event_id)): (int(r.sec), int(r.v4_1h), int(r.n_1h))
+        for r in got.itertuples()
+    }
+    assert have == want
+
+
+def test_hopping_window_two_windows_per_event(spark):
+    got = _run(spark, "streaming_hopping_window_agg")
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    epoch = pd.Timestamp("1970-01-01")
+    secs = ((ev["ts"] - epoch).dt.total_seconds()).apply(math.floor)
+    v4 = (
+        np.sign(ev["value"] * 10000.0)
+        * np.floor(np.abs(ev["value"] * 10000.0) + 0.5)
+    ).astype("int64")
+    from collections import defaultdict
+
+    agg = defaultdict(lambda: [0, 0])
+    for s, v in zip(secs, v4):
+        base = (s // 1800) * 1800
+        for start in (base, base - 1800):
+            if start <= s < start + 3600:
+                agg[start][0] += 1
+                agg[start][1] += int(v)
+    want = {
+        pd.Timestamp(s, unit="s"): tuple(v) for s, v in agg.items()
+    }
+    have = {
+        r.window_start: (int(r.n_events), int(r.value_e4))
+        for r in got.itertuples()
+    }
+    assert have == want
+
+
+def test_truncation_prefix_dedup_recompute(spark):
+    from etl_building_inspector_spark.plans.queries_llm7 import _PREFIX_CHARS
+
+    got = _run(spark, "dedup_truncation_prefix")
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+
+    def norm(t: str) -> str:
+        return re.sub(r"[^a-z0-9]+", " ", t.lower()).strip()
+
+    corpus = [(int(d), norm(t)) for d, t in zip(docs["doc_id"], docs["text"])]
+    corpus += [(-d - 1, t[:100]) for d, t in corpus[: len(docs)]]
+    groups: dict[str, list[tuple[int, int]]] = {}
+    for did, t in corpus:
+        pk = hashlib.md5(t[:_PREFIX_CHARS].encode()).hexdigest()
+        groups.setdefault(pk, []).append((did, len(t)))
+    want = {}
+    for pk, members in groups.items():
+        if len(members) > 1:
+            kept = min(
+                members, key=lambda m: (-m[1], 1 if m[0] < 0 else 0, m[0])
+            )[0]
+            want[pk] = (kept, len(members))
+    have = {
+        r.prefix_key: (int(r.kept_doc_id), int(r.n_members))
+        for r in got.itertuples()
+    }
+    assert have == want
