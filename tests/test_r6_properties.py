@@ -1038,3 +1038,104 @@ def test_truncation_prefix_dedup_recompute(spark):
         for r in got.itertuples()
     }
     assert have == want
+
+
+def test_countmin_error_eval_python_reimplementation(spark):
+    """Full independent Count-Min: same md5 key, same (a*k+b)%P%W hash
+    rows, sketch and readout rebuilt in plain python dicts. Also
+    re-proves the structural CM guarantee: estimate >= exact."""
+    from etl_building_inspector_spark.plans.queries_llm7 import (
+        _CM_P,
+        _CM_ROWS,
+        _CM_W,
+    )
+    from etl_building_inspector_spark.plans.queries_llm10 import CM_EVAL_TOPK
+
+    got = _run(spark, "sketch_countmin_error_eval")
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    from collections import Counter
+
+    exact: Counter = Counter()
+    for txt in docs["text"]:
+        t = _py_tokens(txt)
+        for a, b in zip(t, t[1:]):
+            exact[f"{a} {b}"] += 1
+    sketch = [Counter() for _ in _CM_ROWS]
+    keyof = {
+        bg: int(hashlib.md5(bg.encode()).hexdigest()[:8], 16) for bg in exact
+    }
+    for bg, n in exact.items():
+        for d, (a, b) in enumerate(_CM_ROWS):
+            sketch[d][(a * keyof[bg] + b) % _CM_P % _CM_W] += n
+    topk = sorted(exact.items(), key=lambda kv: (-kv[1], kv[0]))[:CM_EVAL_TOPK]
+    want = []
+    for bg, n in topk:
+        est = min(
+            sketch[d][(a * keyof[bg] + b) % _CM_P % _CM_W]
+            for d, (a, b) in enumerate(_CM_ROWS)
+        )
+        want.append((bg, n, est, est - n, (1_000_000 * (est - n)) // n))
+    have = [
+        (r.bigram, int(r.n_exact), int(r.estimate), int(r.overestimate), int(r.err_ppm))
+        for r in got.itertuples()
+    ]
+    assert have == want
+    assert all(r[3] >= 0 for r in have)  # CM never underestimates
+
+
+def test_int8_fidelity_recompute(spark):
+    got = _run(spark, "emb_int8_fidelity_eval")
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet").set_index("vec_id")
+    assert len(got) == len(emb)
+    for r in got.itertuples():
+        x = [float(v) for v in emb.loc[r.vec_id, "embedding"]]
+        maxabs = max(abs(v) for v in x)
+        ql = [math.copysign(math.floor(abs(v) * 127 / maxabs), v) for v in x]
+        # same sequential left-fold order as the engines
+        dot = sum(a * b for a, b in zip(x, ql))
+        nx = math.sqrt(sum(a * a for a in x))
+        nq = math.sqrt(sum(b * b for b in ql))
+        cos = dot / (nx * nq)
+        assert r.cos_fidelity == pytest.approx(cos, rel=1e-9)
+        assert int(r.loss_ppb) in (
+            math.floor((1.0 - cos) * 1e9) - 1,
+            math.floor((1.0 - cos) * 1e9),
+            math.floor((1.0 - cos) * 1e9) + 1,
+        )  # floor is ULP-sensitive at the boundary; +-1 ppb tolerance
+        assert r.cos_fidelity > 0.99  # int8 keeps cosine essentially intact
+
+
+def test_geohash_density_recompute(spark):
+    got = _run(spark, "spatial_geohash_density")
+    cust = pd.read_parquet(f"{SF}/customer.parquet")
+    ck = cust["c_custkey"].astype("int64")
+    x = (ck % 40) * 10 + (ck % 7) - 3
+    y = ((ck // 40) % 25) * 10 + (ck % 5) - 2
+    ix = (x + 16) // 16
+    iy = (y + 16) // 16
+
+    def interleave(a: int, b: int) -> int:
+        cell = 0
+        for bit in range(5):
+            cell += ((a >> bit) & 1) * (1 << (2 * bit + 1))
+            cell += ((b >> bit) & 1) * (1 << (2 * bit))
+        return cell
+
+    df = pd.DataFrame({
+        "cell": [interleave(int(a), int(b)) for a, b in zip(ix, iy)],
+        "x": x.astype("int64"),
+        "y": y.astype("int64"),
+    })
+    alpha = "0123456789bcdefghjkmnpqrstuvwxyz"
+    g = df.groupby("cell").agg(
+        n=("x", "size"), sum_x=("x", "sum"), sum_y=("y", "sum")
+    )
+    assert len(got) == len(g)
+    for r in got.itertuples():
+        w = g.loc[int(r.cell)]
+        assert r.gh == alpha[int(r.cell) // 32] + alpha[int(r.cell) % 32]
+        assert (int(r.n), int(r.sum_x), int(r.sum_y)) == (
+            int(w["n"]), int(w["sum_x"]), int(w["sum_y"])
+        )
+        assert r.avg_x == pytest.approx(w["sum_x"] / w["n"], rel=1e-12)
+        assert r.avg_y == pytest.approx(w["sum_y"] / w["n"], rel=1e-12)
