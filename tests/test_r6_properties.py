@@ -1139,3 +1139,108 @@ def test_geohash_density_recompute(spark):
         )
         assert r.avg_x == pytest.approx(w["sum_x"] / w["n"], rel=1e-12)
         assert r.avg_y == pytest.approx(w["sum_y"] / w["n"], rel=1e-12)
+
+
+def test_decompose_weekly_recompute(spark):
+    got = _run(spark, "timeseries_decompose_weekly")
+    orders = pd.read_parquet(f"{SF}/orders.parquet")
+    daily = (
+        orders.assign(cents=_half_up_cents(orders["o_totalprice"]))
+        .groupby("o_orderdate")["cents"]
+        .sum()
+        .sort_index()
+    )
+    days = list(daily.index)
+    cents = daily.to_list()
+    rows = []
+    for i in range(3, len(days) - 3):
+        tsum = sum(cents[i - 3 : i + 4])
+        wd = pd.Timestamp(days[i]).weekday()  # 0 = Monday, same as Spark
+        rows.append((days[i], cents[i], tsum, cents[i] * 7 - tsum, wd))
+    seas = {}
+    for _, _, _, detr7, wd in rows:
+        s, n = seas.get(wd, (0, 0))
+        seas[wd] = (s + detr7, n + 1)
+    want = {
+        d: (c, tsum / 7, wd, seas[wd][0] / seas[wd][1] / 7)
+        for d, c, tsum, _, wd in rows
+    }
+    have = {
+        r.day: (int(r.cents), r.trend_cents, int(r.wd), r.seasonal_cents)
+        for r in got.itertuples()
+    }
+    assert set(have) == set(want)
+    for d in want:
+        assert have[d][0] == want[d][0] and have[d][2] == want[d][2]
+        assert have[d][1] == pytest.approx(want[d][1], rel=1e-12)
+        assert have[d][3] == pytest.approx(want[d][3], rel=1e-12)
+
+
+def test_code_switch_detect_python_reimplementation(spark):
+    from etl_building_inspector_spark.functions.text import LANG_STOPWORDS
+    from etl_building_inspector_spark.plans.queries_llm10 import CSW_WINDOW
+
+    got = _run(spark, "text_code_switch_detect")
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    langs = sorted(LANG_STOPWORDS)
+    sw = {lang: set(ws) for lang, ws in LANG_STOPWORDS.items()}
+    want = {}
+    for did, txt in zip(docs["doc_id"], docs["text"]):
+        toks = _py_tokens(txt)
+        wins: dict[int, list[str]] = {}
+        for i, t in enumerate(toks):
+            wins.setdefault(i // CSW_WINDOW, []).append(t)
+        wlangs = []
+        for ws in wins.values():
+            scores = {
+                lang: sum(1 for t in ws if t in sw[lang]) for lang in langs
+            }
+            if all(v == 0 for v in scores.values()):
+                wlangs.append("und")
+                continue
+            # the generated CASE: first lang (sorted) whose score >=
+            # every LATER lang's score
+            for i, lang in enumerate(langs):
+                if all(scores[lang] >= scores[o] for o in langs[i + 1 :]):
+                    wlangs.append(lang)
+                    break
+        ident = [w for w in wlangs if w != "und"]
+        want[int(did)] = (
+            len(wlangs), len(ident), len(set(ident)), len(set(ident)) >= 2
+        )
+    have = {
+        int(r.doc_id): (
+            int(r.n_windows), int(r.n_identified), int(r.n_langs),
+            bool(r.code_switched),
+        )
+        for r in got.itertuples()
+    }
+    assert have == want
+
+
+def test_pack_length_bucket_waste_recompute(spark):
+    got = _run(spark, "pack_length_bucket_waste")
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    from collections import defaultdict
+
+    agg = defaultdict(lambda: [0, 0, 0])
+    for txt in docs["text"]:
+        n = len(_py_tokens(txt))
+        bucket = 1 if n <= 1 else 1 << (n - 1).bit_length()
+        agg[bucket][0] += 1
+        agg[bucket][1] += n
+        agg[bucket][2] += bucket - n
+    want = {
+        b: (v[0], v[1], v[2], (1_000_000 * v[2]) // (v[0] * b))
+        for b, v in agg.items()
+    }
+    have = {
+        int(r.bucket): (
+            int(r.n_docs), int(r.sum_tokens), int(r.pad_tokens), int(r.pad_ppm)
+        )
+        for r in got.itertuples()
+    }
+    assert have == want
+    # buckets are powers of two and capacity >= content
+    for b, (nd, st, ptk, _) in have.items():
+        assert b & (b - 1) == 0 and st + ptk == nd * b
