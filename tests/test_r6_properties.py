@@ -1244,3 +1244,90 @@ def test_pack_length_bucket_waste_recompute(spark):
     # buckets are powers of two and capacity >= content
     for b, (nd, st, ptk, _) in have.items():
         assert b & (b - 1) == 0 and st + ptk == nd * b
+
+
+def _lev(a: str, b: str) -> int:
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def _er_python_pipeline():
+    """The whole ER lifecycle reimplemented flat in python: block ->
+    levenshtein match -> union-find merge -> survivorship."""
+    from etl_building_inspector_spark.plans.queries_llm5 import ER_LEV_MAX
+
+    part = pd.read_parquet(f"{SF}/part.parquet")
+    names = part.groupby("p_name")["p_partkey"].min()  # name -> rep key
+    blocks: dict[str, list[str]] = {}
+    for n in names.index:
+        blocks.setdefault(n.split(" ")[0], []).append(n)
+    pairs = []
+    for blk in blocks.values():
+        for i, a in enumerate(sorted(blk)):
+            for b in sorted(blk)[i + 1 :]:
+                d = _lev(a, b)
+                if d <= ER_LEV_MAX:
+                    pairs.append((a, b, int(names[a]), int(names[b]), d))
+    # union-find, min-label canonical
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for _, _, ka, kb, _ in pairs:
+        ra, rb = find(ka), find(kb)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp = {k: find(k) for k in parent}
+    return names, pairs, comp
+
+
+def test_er_fuzzy_pairs_match_python_levenshtein(spark):
+    got = _run(spark, "er_blocked_fuzzy_match")
+    _, pairs, _ = _er_python_pipeline()
+    want = {(a, b): (ka, kb, d) for a, b, ka, kb, d in pairs}
+    have = {
+        (r.name_a, r.name_b): (int(r.key_a), int(r.key_b), int(r.dist))
+        for r in got.itertuples()
+    }
+    assert have == want
+
+
+def test_er_resolution_clusters_match_union_find(spark):
+    got = _run(spark, "er_resolution_clusters")
+    _, _, comp = _er_python_pipeline()
+    have = {
+        int(r.entity_key): int(r.canonical_key) for r in got.itertuples()
+    }
+    assert have == comp
+
+
+def test_er_survivorship_golden_rules(spark):
+    got = _run(spark, "er_survivorship_golden")
+    names, _, comp = _er_python_pipeline()
+    key_to_name = {int(k): n for n, k in names.items()}
+    clusters: dict[int, list[int]] = {}
+    for k, c in comp.items():
+        clusters.setdefault(c, []).append(k)
+    want = {}
+    for c, members in clusters.items():
+        golden = min(
+            members,
+            key=lambda k: (-len(key_to_name[k]), key_to_name[k], k),
+        )
+        want[c] = (len(members), golden, key_to_name[golden])
+    have = {
+        int(r.canonical_key): (int(r.n_members), int(r.golden_key), r.golden_name)
+        for r in got.itertuples()
+    }
+    assert have == want
