@@ -1331,3 +1331,100 @@ def test_er_survivorship_golden_rules(spark):
         for r in got.itertuples()
     }
     assert have == want
+
+
+def test_cross_table_reconciliation_recount(spark):
+    got = _run(spark, "dq_cross_table_reconciliation")
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    orders = pd.read_parquet(f"{SF}/orders.parquet")
+    ep = _half_up_cents(li["l_extendedprice"])
+    disc = _half_up_cents(li["l_discount"])
+    tax = _half_up_cents(li["l_tax"])
+    rollup = (
+        pd.DataFrame({
+            "k": li["l_orderkey"],
+            "e4c": ep * (100 - disc) * (100 + tax),
+        })
+        .groupby("k")["e4c"]
+        .sum()
+    )
+    from collections import defaultdict
+
+    agg = defaultdict(list)
+    for ok, tp in zip(orders["o_orderkey"], orders["o_totalprice"]):
+        o_e4c = int(_half_up_cents(pd.Series([tp])).iloc[0]) * 10000
+        if ok in rollup.index:
+            ad = abs(o_e4c - int(rollup[ok]))
+            agg[len(str(ad))].append(ad)
+        else:
+            agg[-1].append(None)
+    want = {
+        d: (
+            len(v),
+            None if d == -1 else min(v),
+            None if d == -1 else max(v),
+        )
+        for d, v in agg.items()
+    }
+    have = {
+        int(r.diff_digits): (
+            int(r.n_orders),
+            None if pd.isna(r.min_diff_e4c) else int(r.min_diff_e4c),
+            None if pd.isna(r.max_diff_e4c) else int(r.max_diff_e4c),
+        )
+        for r in got.itertuples()
+    }
+    assert have == want
+
+
+def test_hierarchy_rollup_closed_form_recompute(spark):
+    got = _run(spark, "hierarchy_rollup_cost")
+    part = pd.read_parquet(f"{SF}/part.parquet")
+    cents = _half_up_cents(part["p_retailprice"])
+    from collections import defaultdict
+
+    agg = defaultdict(lambda: [0, 0])
+    for k, c in zip(part["p_partkey"], cents):
+        anc = int(k)
+        while True:
+            agg[anc][0] += 1
+            agg[anc][1] += int(c)
+            if anc < 10:
+                break
+            anc //= 10
+    want = {a: (v[0], v[1]) for a, v in agg.items()}
+    have = {
+        int(r.node): (int(r.n_subtree), int(r.subtree_cents))
+        for r in got.itertuples()
+    }
+    assert have == want
+
+
+def test_centroid_drift_recompute(spark):
+    from etl_building_inspector_spark.plans.queries_llm import EMB_DIM
+    from etl_building_inspector_spark.plans.queries_llm10 import _DRIFT_SCALE
+
+    got = _run(spark, "emb_centroid_drift_eval")
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet")
+    want = {}
+    for label, g in emb.groupby("label"):
+        ref = g[g["vec_id"] % 2 == 0]
+        cur = g[g["vec_id"] % 2 == 1]
+        n0, n1 = len(ref), len(cur)
+        m0 = np.floor(np.stack(ref["embedding"]).astype(np.float64) * _DRIFT_SCALE).astype("int64") if n0 else None
+        m1 = np.floor(np.stack(cur["embedding"]).astype(np.float64) * _DRIFT_SCALE).astype("int64") if n1 else None
+        s0 = m0.sum(axis=0).astype(object) if n0 else np.zeros(EMB_DIM, dtype=object)
+        s1 = m1.sum(axis=0).astype(object) if n1 else np.zeros(EMB_DIM, dtype=object)
+        num = int(sum(abs(a * n1 - b * n0) for a, b in zip(s0, s1)))
+        mean = (
+            None if n0 == 0 or n1 == 0
+            else num / (float(n0) * n1 * _DRIFT_SCALE * EMB_DIM)
+        )
+        want[int(label)] = (n0, n1, num, mean)
+    for r in got.itertuples():
+        n0, n1, num, mean = want[int(r.label)]
+        assert (int(r.n_ref), int(r.n_cur), int(r.drift_num)) == (n0, n1, num)
+        if mean is None:
+            assert pd.isna(r.drift_l1_mean)
+        else:
+            assert r.drift_l1_mean == pytest.approx(mean, rel=1e-12)
