@@ -1428,3 +1428,44 @@ def test_centroid_drift_recompute(spark):
             assert pd.isna(r.drift_l1_mean)
         else:
             assert r.drift_l1_mean == pytest.approx(mean, rel=1e-12)
+
+
+def test_augment_swap_md5_recompute(spark):
+    got = _run(spark, "corpus_augment_swap")
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    want = {}
+    for did, txt in zip(docs["doc_id"], docs["text"]):
+        t = _py_tokens(txt)
+        n = len(t)
+        if n < 1:
+            continue
+        p1, p2 = int(did) % n, (int(did) * 7) % n
+        a = list(t)
+        a[p1], a[p2] = t[p2], t[p1]
+        want[int(did)] = (
+            n, p1 != p2, hashlib.md5(" ".join(a).encode()).hexdigest()
+        )
+    have = {
+        int(r.doc_id): (int(r.n_toks), bool(r.swapped), r.aug_md5)
+        for r in got.itertuples()
+    }
+    assert have == want
+
+
+def test_schema_evolution_union_null_accounting(spark):
+    got = _run(spark, "schema_evolution_union").set_index("src_version")
+    orders = pd.read_parquet(f"{SF}/orders.parquet")
+    even = orders[orders["o_orderkey"] % 2 == 0]
+    odd = orders[orders["o_orderkey"] % 2 == 1]
+    assert int(got.loc["v1", "n_rows"]) == len(even)
+    assert int(got.loc["v2", "n_rows"]) == len(odd)
+    # v1 predates status -> every v1 row has NULL status, no NULL price
+    assert int(got.loc["v1", "n_null_price"]) == 0
+    assert int(got.loc["v1", "n_null_status"]) == len(even)
+    # v2 dropped price -> every v2 row has NULL price, real status
+    assert int(got.loc["v2", "n_null_price"]) == len(odd)
+    assert int(got.loc["v2", "n_null_status"]) == 0
+    assert int(got.loc["v1", "price_cents_sum"]) == int(
+        _half_up_cents(even["o_totalprice"]).sum()
+    )
+    assert int(got.loc["v2", "price_cents_sum"]) == 0
