@@ -1469,3 +1469,95 @@ def test_schema_evolution_union_null_accounting(spark):
         _half_up_cents(even["o_totalprice"]).sum()
     )
     assert int(got.loc["v2", "price_cents_sum"]) == 0
+
+
+def _audio_payloads():
+    sup = pd.read_parquet(f"{SF}/supplier.parquet")
+    out = {}
+    for k in sup["s_suppkey"]:
+        k = int(k)
+        h = hashlib.md5(str(k).encode()).hexdigest()
+        out[k] = h * (k % 3 + 2) + h[: k % 7]
+    return out
+
+
+def _audio_windows_python():
+    from etl_building_inspector_spark.plans.queries_llm9 import AUDIO_WIN
+
+    rows = []
+    for k, payload in _audio_payloads().items():
+        nw = (len(payload) + AUDIO_WIN - 1) // AUDIO_WIN
+        for wi in range(nw):
+            seg = payload[wi * AUDIO_WIN : (wi + 1) * AUDIO_WIN]
+            rows.append((k, wi, len(seg), sum(ord(c) ** 2 for c in seg)))
+    return rows
+
+
+def test_audio_energy_windows_kernel_recompute(spark):
+    """The mapInPandas audio kernel AND the blob synthesis, both
+    recomputed in pure python (md5 strings, ord^2 sums)."""
+    got = _run(spark, "multimodal_audio_energy_windows")
+    want = {
+        (k, wi): (nb, en) for k, wi, nb, en in _audio_windows_python()
+    }
+    have = {
+        (int(r.key), int(r.win_idx)): (int(r.n_bytes), int(r.energy))
+        for r in got.itertuples()
+    }
+    assert have == want
+
+
+def test_audio_silence_segments_islands_recompute(spark):
+    got = _run(spark, "multimodal_audio_silence_segments")
+    wins = _audio_windows_python()
+    from collections import defaultdict
+
+    per_key = defaultdict(list)
+    for k, wi, _, en in wins:
+        per_key[k].append((wi, en))
+    want = []
+    for k, ws in per_key.items():
+        tot = sum(e for _, e in ws)
+        n = len(ws)
+        sil = sorted(wi for wi, e in ws if e * n < tot)
+        run: list[int] = []
+        for wi in sil:
+            if run and wi == run[-1] + 1:
+                run.append(wi)
+            else:
+                if run:
+                    want.append((k, run[0], run[-1], len(run)))
+                run = [wi]
+        if run:
+            want.append((k, run[0], run[-1], len(run)))
+    want.sort()
+    have = sorted(
+        (int(r.key), int(r.seg_start), int(r.seg_end), int(r.n_windows))
+        for r in got.itertuples()
+    )
+    assert have == want
+
+
+def test_frame_fanout_kernel_recompute(spark):
+    from etl_building_inspector_spark.plans.queries_llm8 import (
+        _FRAME_EVERY_MS,
+    )
+
+    got = _run(spark, "multimodal_frame_sample_fanout")
+    sup = pd.read_parquet(f"{SF}/supplier.parquet")
+    want = {}
+    for k in sup["s_suppkey"]:
+        k = int(k)
+        payload = hashlib.md5(str(k).encode()).hexdigest() * 4
+        duration = (k % 5 + 1) * 3000
+        for fi in range(duration // _FRAME_EVERY_MS):
+            ts = fi * _FRAME_EVERY_MS
+            want[(k, fi)] = (
+                ts,
+                hashlib.md5(f"{payload}@{ts}".encode()).hexdigest().upper(),
+            )
+    have = {
+        (int(r.key), int(r.frame_idx)): (int(r.ts_ms), r.frame_hex)
+        for r in got.itertuples()
+    }
+    assert have == want
