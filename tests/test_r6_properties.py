@@ -1561,3 +1561,39 @@ def test_frame_fanout_kernel_recompute(spark):
         for r in got.itertuples()
     }
     assert have == want
+
+
+def test_ngram_lm_score_python_reimplementation(spark):
+    """The self-trained char-trigram LM rebuilt in python Counters:
+    same normalization, same corpus-wide n3/n2 tables, same
+    floor(1e6*n3/n2) per position, same integer-DIV doc mean."""
+    got = _run(spark, "quality_ngram_lm_score")
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    from collections import Counter
+
+    norm = {
+        int(d): re.sub(r"[^a-z0-9]+", " ", t.lower()).strip()
+        for d, t in zip(docs["doc_id"], docs["text"])
+    }
+    c3: Counter = Counter()
+    c2: Counter = Counter()
+    for t in norm.values():
+        if len(t) < 3:
+            continue
+        for i in range(len(t) - 2):
+            c3[t[i : i + 3]] += 1
+            c2[t[i : i + 2]] += 1
+    want = {}
+    for d, t in norm.items():
+        if len(t) < 3:
+            continue
+        ppms = [
+            math.floor(1e6 * c3[t[i : i + 3]] / c2[t[i : i + 2]])
+            for i in range(len(t) - 2)
+        ]
+        want[d] = (len(ppms), sum(ppms) // len(ppms))
+    have = {
+        int(r.doc_id): (int(r.n_positions), int(r.lm_score_ppm))
+        for r in got.itertuples()
+    }
+    assert have == want
