@@ -422,6 +422,9 @@ WINDOW_R6: list[str] = [
 _missing_r6 = [n for n in WINDOW_R6 if n not in QUERIES]
 assert not _missing_r6, f"WINDOW_R6 names not registered: {_missing_r6}"
 assert len(WINDOW_R6) == len(set(WINDOW_R6)) == 50, "window must be exactly 50 unique slots"
+# THE head reorder (insertion order is the driver's iteration order).
+# r7 flip procedure: rename WINDOW_R7_CANDIDATES -> WINDOW_R7 and
+# swap it into this block (same for r8 the round after).
 QUERIES = {
     **{n: QUERIES[n] for n in WINDOW_R6},
     **{n: q for n, q in QUERIES.items() if n not in set(WINDOW_R6)},
