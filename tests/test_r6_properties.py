@@ -1597,3 +1597,127 @@ def test_ngram_lm_score_python_reimplementation(spark):
         for r in got.itertuples()
     }
     assert have == want
+
+
+def test_weighted_median_recompute(spark):
+    got = _run(spark, "weighted_median_exact")
+    part = pd.read_parquet(f"{SF}/part.parquet")
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    j = part.merge(li, left_on="p_partkey", right_on="l_partkey")
+    j = j.assign(cents=_half_up_cents(j["p_retailprice"]))
+    want = {}
+    for brand, g in j.groupby("p_brand"):
+        wts = g.groupby("cents")["l_quantity"].sum().sort_index()
+        total = int(wts.sum())
+        cum = 0
+        for price, wt in wts.items():
+            cum += int(wt)
+            if 2 * cum >= total:
+                want[brand] = (int(price), total)
+                break
+    have = {
+        r.brand: (int(r.weighted_median_cents), int(r.total_weight))
+        for r in got.itertuples()
+    }
+    assert have == want
+
+
+def test_median_exact_groups_recompute(spark):
+    got = _run(spark, "median_exact_groups")
+    orders = pd.read_parquet(f"{SF}/orders.parquet")
+    o = orders.assign(cents=_half_up_cents(orders["o_totalprice"])).sort_values(
+        ["cents", "o_orderkey"]
+    )
+    want = {}
+    for pri, g in o.groupby("o_orderpriority"):
+        c = g.sort_values(["cents", "o_orderkey"])["cents"].tolist()
+        n = len(c)
+        want[pri] = (c[(n + 1) // 2 - 1] + c[n // 2], n)
+    have = {
+        r.priority: (int(r.median_cents_x2), int(r.n)) for r in got.itertuples()
+    }
+    assert have == want
+    # x2 median halves to the true statistical median
+    for pri, (x2, n) in want.items():
+        c = sorted(
+            o.loc[o["o_orderpriority"] == pri, "cents"]
+        )
+        assert x2 / 2 == float(np.median(c))
+
+
+def test_regression_slope_sufficient_stats(spark):
+    got = _run(spark, "regression_slope_by_nation")
+    orders = pd.read_parquet(f"{SF}/orders.parquet")
+    cust = pd.read_parquet(f"{SF}/customer.parquet")
+    d = pd.to_datetime(orders["o_orderdate"])
+    j = orders.assign(
+        x=d.dt.year * 12 + d.dt.month,
+        cents=_half_up_cents(orders["o_totalprice"]),
+    ).merge(cust, left_on="o_custkey", right_on="c_custkey")
+    monthly = (
+        j.groupby(["c_nationkey", "x"])["cents"].sum().reset_index()
+    )
+    xmin = int(monthly["x"].min())
+    want = {}
+    for nk, g in monthly.groupby("c_nationkey"):
+        xr = (g["x"] - xmin).astype(object)
+        y = g["cents"].astype(object)
+        n = len(g)
+        want[int(nk)] = (
+            n,
+            n * (xr * y).sum() - xr.sum() * y.sum(),
+            n * (xr * xr).sum() - xr.sum() * xr.sum(),
+        )
+    have = {
+        int(r.nationkey): (int(r.n_months), int(r.slope_num), int(r.slope_den))
+        for r in got.itertuples()
+    }
+    assert have == want
+    # slope sign sanity: den is nonnegative by Cauchy-Schwarz
+    assert all(den >= 0 for _, _, den in want.values())
+
+
+def test_mom_growth_recompute(spark):
+    got = _run(spark, "mom_revenue_growth")
+    orders = pd.read_parquet(f"{SF}/orders.parquet")
+    d = pd.to_datetime(orders["o_orderdate"])
+    monthly = (
+        orders.assign(
+            month=d.dt.strftime("%Y-%m"),
+            cents=_half_up_cents(orders["o_totalprice"]),
+        )
+        .groupby("month")["cents"]
+        .sum()
+        .sort_index()
+    )
+    prev = monthly.shift(1)
+    want = {
+        m: (
+            int(c),
+            None if pd.isna(p) else int(p),
+            None if pd.isna(p) else int(c) - int(p),
+        )
+        for (m, c), p in zip(monthly.items(), prev)
+    }
+    have = {
+        r.month: (
+            int(r.revenue_cents),
+            None if pd.isna(r.prev_cents) else int(r.prev_cents),
+            None if pd.isna(r.delta_cents) else int(r.delta_cents),
+        )
+        for r in got.itertuples()
+    }
+    assert have == want
+
+
+def test_cumulative_unique_users_recompute(spark):
+    got = _run(spark, "cumulative_unique_users").sort_values("day")
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    first = ev.assign(day=ev["ts"].dt.date).groupby("user_id")["day"].min()
+    per_day = first.value_counts().sort_index()
+    cum = per_day.cumsum()
+    assert list(got["day"]) == list(per_day.index)
+    assert list(got["new_users"]) == per_day.tolist()
+    assert list(got["cumulative_users"]) == cum.tolist()
+    # the final cumulative count is the total distinct-user count
+    assert int(got["cumulative_users"].iloc[-1]) == ev["user_id"].nunique()
