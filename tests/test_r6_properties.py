@@ -1721,3 +1721,104 @@ def test_cumulative_unique_users_recompute(spark):
     assert list(got["cumulative_users"]) == cum.tolist()
     # the final cumulative count is the total distinct-user count
     assert int(got["cumulative_users"].iloc[-1]) == ev["user_id"].nunique()
+
+
+def test_streaks_gaps_islands_recompute(spark):
+    got = _run(spark, "streaks_gaps_islands")
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    du = ev.assign(d=ev["ts"].dt.date)[["user_id", "d"]].drop_duplicates()
+    want = {}
+    for uid, g in du.groupby("user_id"):
+        days = sorted(g["d"])
+        runs, cur = [], 1
+        for a, b in zip(days, days[1:]):
+            if (b - a).days == 1:
+                cur += 1
+            else:
+                runs.append(cur)
+                cur = 1
+        runs.append(cur)
+        want[int(uid)] = (max(runs), len(runs))
+    have = {
+        int(r.user_id): (int(r.longest_streak), int(r.n_islands))
+        for r in got.itertuples()
+    }
+    assert have == want
+
+
+def test_max_concurrent_sweep_recompute(spark):
+    got = _run(spark, "max_concurrent_intervals")
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    want = {}
+    for sk, g in li.groupby("l_suppkey"):
+        bounds = []
+        for d in pd.to_datetime(g["l_shipdate"]):
+            bounds.append((d, 1))
+            bounds.append((d + pd.Timedelta(days=7), -1))
+        # (-1 before +1) at ties? the query orders by (ts, delta):
+        # delta -1 sorts before +1 at the same ts
+        bounds.sort(key=lambda b: (b[0], b[1]))
+        live = peak = 0
+        for _, delta in bounds:
+            live += delta
+            peak = max(peak, live)
+        want[int(sk)] = peak
+    have = {int(r.suppkey): int(r.peak_concurrent) for r in got.itertuples()}
+    assert have == want
+
+
+def test_status_transition_matrix_recount(spark):
+    got = _run(spark, "status_transition_matrix")
+    orders = pd.read_parquet(f"{SF}/orders.parquet").sort_values(
+        ["o_custkey", "o_orderdate", "o_orderkey"]
+    )
+    from collections import Counter
+
+    c: Counter = Counter()
+    for _, g in orders.groupby("o_custkey"):
+        st = g["o_orderstatus"].tolist()
+        for a, b in zip(st, st[1:]):
+            c[(a, b)] += 1
+    have = {
+        (r.from_status, r.to_status): int(r.transitions)
+        for r in got.itertuples()
+    }
+    assert have == dict(c)
+
+
+def test_id_gap_ranges_recompute(spark):
+    got = _run(spark, "id_gap_ranges")
+    orders = pd.read_parquet(f"{SF}/orders.parquet")
+    ids = sorted(set(int(k) for k in orders["o_orderkey"] if k % 7 != 0))
+    want = {
+        (a + 1, b - 1, b - a - 1)
+        for a, b in zip(ids, ids[1:])
+        if b - a > 1
+    }
+    have = {
+        (int(r.gap_start), int(r.gap_end), int(r.missing))
+        for r in got.itertuples()
+    }
+    assert have == want
+    # every reported gap contains no surviving id
+    surviving = set(ids)
+    for s, e, _ in have:
+        assert not any(i in surviving for i in range(s, e + 1))
+
+
+def test_relational_division_recompute(spark):
+    got = _run(spark, "relational_division")
+    orders = pd.read_parquet(f"{SF}/orders.parquet")
+    universe = orders["o_orderpriority"].nunique()
+    per = orders.groupby("o_custkey").agg(
+        nc=("o_orderpriority", "nunique"), no=("o_orderkey", "size")
+    )
+    want = {
+        int(k): int(r["no"]) for k, r in per.iterrows() if r["nc"] == universe
+    }
+    have = {int(r.custkey): int(r.n_orders) for r in got.itertuples()}
+    assert have == want
+    # "for all" semantics: every selected customer covers the universe
+    cov = orders.groupby("o_custkey")["o_orderpriority"].nunique()
+    for k in have:
+        assert cov[k] == universe
