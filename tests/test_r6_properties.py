@@ -1822,3 +1822,112 @@ def test_relational_division_recompute(spark):
     cov = orders.groupby("o_custkey")["o_orderpriority"].nunique()
     for k in have:
         assert cov[k] == universe
+
+
+def test_twap_recompute(spark):
+    got = _run(spark, "time_weighted_value")
+    ev = pd.read_parquet(f"{SF}/events.parquet").sort_values(
+        ["user_id", "ts", "event_id"]
+    )
+    epoch = pd.Timestamp("1970-01-01")
+    ev = ev.assign(
+        t=((ev["ts"] - epoch) // pd.Timedelta(microseconds=1)),
+        cents=_half_up_cents(ev["value"]),
+    )
+    want = {}
+    for uid, g in ev.groupby("user_id"):
+        t = g["t"].tolist()
+        c = g["cents"].tolist()
+        num = sum(cv * (t2 - t1) for cv, t1, t2 in zip(c, t, t[1:]))
+        den = t[-1] - t[0]
+        if len(t) > 1:
+            want[int(uid)] = (num, den, len(t) - 1)
+    have = {
+        int(r.user_id): (int(r.twap_num), int(r.twap_den), int(r.n_intervals))
+        for r in got.itertuples()
+    }
+    assert have == want
+
+
+def test_degree_distribution_recompute(spark):
+    got = _run(spark, "graph_degree_distribution")
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")[["l_orderkey", "l_partkey"]]
+    adj: dict[int, set[int]] = {}
+    for _, g in li.groupby("l_orderkey"):
+        parts = sorted(set(g["l_partkey"]))
+        for i, u in enumerate(parts):
+            for v in parts[i + 1 :]:
+                adj.setdefault(u, set()).add(v)
+                adj.setdefault(v, set()).add(u)
+    from collections import Counter
+
+    hist = Counter(len(vs) for vs in adj.values())
+    have = {int(r.degree): int(r.n_nodes) for r in got.itertuples()}
+    assert have == dict(hist)
+    # conservation: node count and total degree mass
+    assert sum(have.values()) == len(adj)
+    assert sum(d * n for d, n in have.items()) == sum(
+        len(v) for v in adj.values()
+    )
+
+
+def test_funnel_stages_sequential_semantics(spark):
+    got = {r.stage: int(r.users) for r in _run(spark, "funnel_stages").itertuples()}
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    u1 = u2 = u3 = u4 = 0
+    for _, g in ev.groupby("user_id"):
+        def first_after(et, after):
+            sel = g[(g["event_type"] == et)]
+            if after is not None:
+                sel = sel[sel["ts"] > after]
+            return sel["ts"].min() if len(sel) else None
+
+        t1 = first_after("signup", None)
+        if t1 is None or pd.isna(t1):
+            continue
+        u1 += 1
+        t2 = first_after("view", t1)
+        if t2 is None or pd.isna(t2):
+            continue
+        u2 += 1
+        t3 = first_after("click", t2)
+        if t3 is None or pd.isna(t3):
+            continue
+        u3 += 1
+        t4 = first_after("purchase", t3)
+        if t4 is None or pd.isna(t4):
+            continue
+        u4 += 1
+    assert got == {"signup": u1, "view": u2, "click": u3, "purchase": u4}
+    # funnel is monotone by construction
+    assert u1 >= u2 >= u3 >= u4
+
+
+def test_text_fingerprint_and_lang_id_recompute(spark):
+    from etl_building_inspector_spark.functions.text import LANG_STOPWORDS
+
+    got_fp = _run(spark, "text_fingerprint")
+    got_ld = _run(spark, "text_lang_id")
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    fp_want, ld_want = {}, {}
+    for did, txt in zip(docs["doc_id"], docs["text"]):
+        nrm = re.sub(r"[^a-z0-9]+", " ", txt.lower()).strip()
+        fp_want[int(did)] = hashlib.md5(nrm.encode()).hexdigest()
+        toks = nrm.split(" ")
+        scores = {
+            lang: sum(1 for t in toks if t in set(ws))
+            for lang, ws in LANG_STOPWORDS.items()
+        }
+        if max(scores.values()) == 0:
+            ld_want[int(did)] = "und"
+        else:
+            # argmax with alphabetical tiebreak: min over (-score, lang)
+            ld_want[int(did)] = min(
+                ((-s, lang) for lang, s in scores.items())
+            )[1]
+    assert {
+        int(r.doc_id): r.fingerprint for r in got_fp.itertuples()
+    } == fp_want
+    assert {
+        int(r.doc_id): r.lang_pred for r in got_ld.itertuples()
+    } == ld_want
