@@ -1931,3 +1931,113 @@ def test_text_fingerprint_and_lang_id_recompute(spark):
     assert {
         int(r.doc_id): r.lang_pred for r in got_ld.itertuples()
     } == ld_want
+
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    """The union+carry-forward as-of join vs pandas.merge_asof -- an
+    entirely independent implementation of the same semantics."""
+    got = _run(spark, "asof_join_click_purchase")
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    purchases = (
+        ev[ev["event_type"] == "purchase"]
+        .groupby(["user_id", "ts"], as_index=False)["value"]
+        .max()
+        .rename(columns={"value": "purchase_value"})
+        .sort_values("ts")
+    )
+    clicks = ev[ev["event_type"] == "click"][
+        ["user_id", "ts", "event_id"]
+    ].sort_values("ts")
+    m = pd.merge_asof(
+        clicks, purchases, on="ts", by="user_id", direction="backward"
+    )
+    want = {
+        int(r.event_id): r.purchase_value
+        for r in m.itertuples()
+        if not pd.isna(r.purchase_value)
+    }
+    cols = set(got.columns)
+    id_col = "event_id" if "event_id" in cols else "click_id"
+    val_col = (
+        "purchase_value" if "purchase_value" in cols else "last_purchase_value"
+    )
+    have = {
+        int(getattr(r, id_col)): getattr(r, val_col)
+        for r in got.itertuples()
+        if not pd.isna(getattr(r, val_col))
+    }
+    assert have == want
+
+
+def test_range_join_brute_force(spark):
+    got = {
+        (int(r.id_a), int(r.id_b))
+        for r in _run(spark, "range_join_events").itertuples()
+    }
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    epoch = pd.Timestamp("1970-01-01")
+    ev = ev.assign(s=(ev["ts"] - epoch).dt.total_seconds())
+    want = set()
+    for _, g in ev.groupby("event_type"):
+        rows = list(zip(g["event_id"], g["s"]))
+        for i, (ia, sa) in enumerate(rows):
+            for ib, sb in rows:
+                if ia < ib and abs(sa - sb) <= 60.0:
+                    want.add((int(ia), int(ib)))
+    assert got == want
+
+
+def test_global_topk_and_per_group_topk(spark):
+    got = _run(spark, "sort_global_topk")
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    want = li.sort_values(
+        ["l_extendedprice", "l_orderkey", "l_linenumber"],
+        ascending=[False, True, True],
+    ).head(100)
+    assert [
+        (int(r.order_key), int(r.line_number), r.price)
+        for r in got.itertuples()
+    ] == [
+        (int(r.l_orderkey), int(r.l_linenumber), r.l_extendedprice)
+        for r in want.itertuples()
+    ]
+    got2 = _run(spark, "window_topk_per_group")
+    orders = pd.read_parquet(f"{SF}/orders.parquet")
+    want2 = set()
+    for ck, g in orders.groupby("o_custkey"):
+        top = g.sort_values(
+            ["o_totalprice", "o_orderkey"], ascending=[False, True]
+        ).head(3)
+        for rank, r in enumerate(top.itertuples(), 1):
+            want2.add((int(ck), int(r.o_orderkey), r.o_totalprice, rank))
+    have2 = {
+        (int(r.cust_key), int(r.order_key), r.total_price, int(r.rank))
+        for r in got2.itertuples()
+    }
+    assert have2 == want2
+
+
+def test_cohort_retention_recount(spark):
+    got = _run(spark, "cohort_retention")
+    orders = pd.read_parquet(f"{SF}/orders.parquet")
+    d = pd.to_datetime(orders["o_orderdate"])
+    o = orders.assign(m=d.dt.year * 12 + d.dt.month)
+    first = o.groupby("o_custkey")["m"].min().rename("cm")
+    o = o.join(first, on="o_custkey")
+    o = o.assign(
+        label=[
+            f"{(cm - 1) // 12:04d}-{(cm - 1) % 12 + 1:02d}" for cm in o["cm"]
+        ],
+        off=o["m"] - o["cm"],
+    )
+    want = {
+        (lab, int(off)): int(n)
+        for (lab, off), n in o.groupby(["label", "off"])["o_custkey"]
+        .nunique()
+        .items()
+    }
+    have = {
+        (r.cohort_month, int(r.month_offset)): int(r.customers)
+        for r in got.itertuples()
+    }
+    assert have == want
