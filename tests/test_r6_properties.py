@@ -2041,3 +2041,97 @@ def test_cohort_retention_recount(spark):
         for r in got.itertuples()
     }
     assert have == want
+
+
+def test_agg_histogram_recount(spark):
+    got = _run(spark, "agg_histogram")
+    orders = pd.read_parquet(f"{SF}/orders.parquet")
+    buckets = (_half_up_cents(orders["o_totalprice"]) // 50000).value_counts()
+    have = {int(r.bucket): int(r.n) for r in got.itertuples()}
+    assert have == {int(b): int(n) for b, n in buckets.items()}
+    for r in got.itertuples():
+        assert int(r.lo_dollars) == int(r.bucket) * 500
+        assert int(r.hi_dollars) == (int(r.bucket) + 1) * 500
+
+
+def test_stratified_sample_hash_bernoulli_recompute(spark):
+    from etl_building_inspector_spark.plans.queries_llm2 import (
+        SAMPLE_DEFAULT_RATE,
+        SAMPLE_RATES,
+        SAMPLE_SALT,
+    )
+
+    got = set(_run(spark, "sample_stratified")["doc_id"])
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    want = set()
+    for did, lang in zip(docs["doc_id"], docs["lang"]):
+        u32 = int(
+            hashlib.md5(f"{SAMPLE_SALT}:{int(did)}".encode()).hexdigest()[:8],
+            16,
+        )
+        rate = SAMPLE_RATES.get(lang, SAMPLE_DEFAULT_RATE)
+        if u32 < int(rate * 2**32):
+            want.add(int(did))
+    assert got == want
+
+
+def test_pack_greedy_first_fit_sequential_recompute(spark):
+    from etl_building_inspector_spark.plans.queries_llm3 import PACK_BUDGET
+
+    got = _run(spark, "pack_greedy_bins")
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    # replay first-fit-sequential per source in doc_id order:
+    # (grp, doc_id, n_tokens, bin, bin_fill) -- bin_fill is the
+    # RUNNING fill after placing this doc
+    want = {}
+    for src, g in docs.sort_values("doc_id").groupby("source"):
+        bin_id, fill, first = 0, 0, True
+        for did, txt in zip(g["doc_id"], g["text"]):
+            n = len(_py_tokens(txt))
+            if first:
+                fill, first = n, False
+            elif fill + n <= PACK_BUDGET:
+                fill += n
+            else:
+                bin_id += 1
+                fill = n
+            want[int(did)] = (src, n, bin_id, fill)
+    have = {
+        int(r.doc_id): (r.grp, int(r.n_tokens), int(r.bin), int(r.bin_fill))
+        for r in got.itertuples()
+    }
+    assert have == want
+
+
+def test_pagerank_integer_python_reimplementation(spark):
+    from etl_building_inspector_spark.plans.queries_surface4 import (
+        _PR_ITER,
+        _PR_SCALE,
+    )
+
+    got = _run(spark, "graph_pagerank")
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")[["l_orderkey", "l_partkey"]]
+    edges = set()
+    for _, g in li.groupby("l_orderkey"):
+        parts = sorted(set(g["l_partkey"]))
+        for i, u in enumerate(parts):
+            for v in parts[i + 1 :]:
+                edges.add((u, v))
+                edges.add((v, u))
+    nodes = sorted({u for u, _ in edges})
+    out: dict[int, list[int]] = {}
+    for u, v in edges:
+        out.setdefault(u, []).append(v)
+    n = len(nodes)
+    r = {u: _PR_SCALE // n for u in nodes}
+    base = (15 * (_PR_SCALE // n)) // 100
+    for _ in range(_PR_ITER):
+        contrib = {u: 0 for u in nodes}
+        for u in nodes:
+            deg = len(out[u])
+            c = (85 * r[u]) // (100 * deg)
+            for v in out[u]:
+                contrib[v] += c
+        r = {u: base + contrib[u] for u in nodes}
+    have = {int(x.node): int(x.rank_scaled) for x in got.itertuples()}
+    assert have == r
