@@ -2135,3 +2135,81 @@ def test_pagerank_integer_python_reimplementation(spark):
         r = {u: base + contrib[u] for u in nodes}
     have = {int(x.node): int(x.rank_scaled) for x in got.itertuples()}
     assert have == r
+
+
+def test_event_path_topk_recount(spark):
+    got = _run(spark, "event_path_topk")
+    ev = pd.read_parquet(f"{SF}/events.parquet").sort_values(
+        ["user_id", "ts", "event_id"]
+    )
+    from collections import Counter
+
+    c: Counter = Counter()
+    for _, g in ev.groupby("user_id"):
+        et = g["event_type"].tolist()
+        for a, b2, c3 in zip(et, et[1:], et[2:]):
+            c[f"{a}>{b2}>{c3}"] += 1
+    want = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    have = [(r.path, int(r.occurrences)) for r in got.itertuples()]
+    assert have == want
+
+
+def test_session_entry_exit_recount(spark):
+    from etl_building_inspector_spark.plans.queries_surface5 import (
+        SESSION_GAP_US,
+    )
+
+    got = _run(spark, "session_entry_exit")
+    ev = pd.read_parquet(f"{SF}/events.parquet").sort_values(
+        ["user_id", "ts", "event_id"]
+    )
+    epoch = pd.Timestamp("1970-01-01")
+    ev = ev.assign(t=((ev["ts"] - epoch) // pd.Timedelta(microseconds=1)))
+    from collections import Counter
+
+    c: Counter = Counter()
+    for _, g in ev.groupby("user_id"):
+        rows = list(zip(g["t"], g["event_id"], g["event_type"]))
+        sessions, cur = [], [rows[0]]
+        for prev, nxt in zip(rows, rows[1:]):
+            if nxt[0] - prev[0] > SESSION_GAP_US:
+                sessions.append(cur)
+                cur = []
+            cur.append(nxt)
+        sessions.append(cur)
+        for s in sessions:
+            c[(s[0][2], s[-1][2])] += 1
+    have = {(r.entry, r.exit): int(r.sessions) for r in got.itertuples()}
+    assert have == dict(c)
+
+
+def test_sample_weighted_hash_rule_recompute(spark):
+    got = set(_run(spark, "sample_weighted")["doc_id"])
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    want = set()
+    for did, nc in zip(docs["doc_id"], docs["n_chars"]):
+        u32 = int(
+            hashlib.md5(f"wsam:{int(did)}".encode()).hexdigest()[:8], 16
+        )
+        if u32 * 600 < int(nc) * 4294967296:
+            want.add(int(did))
+    assert got == want
+
+
+def test_budget_fill_by_quality_recompute(spark):
+    got = _run(spark, "budget_fill_by_quality")
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    want = {}
+    for src, g in docs.groupby("source"):
+        g = g.sort_values(["n_chars", "doc_id"], ascending=[False, True])
+        cum = 0
+        for did, nc in zip(g["doc_id"], g["n_chars"]):
+            est = (int(nc) + 3) // 4
+            cum += est
+            if cum <= 1500:
+                want[int(did)] = (src, est, cum)
+    have = {
+        int(r.doc_id): (r.source, int(r.est_tokens), int(r.cum_tokens))
+        for r in got.itertuples()
+    }
+    assert have == want
