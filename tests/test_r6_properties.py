@@ -2213,3 +2213,101 @@ def test_budget_fill_by_quality_recompute(spark):
         for r in got.itertuples()
     }
     assert have == want
+
+
+def test_agg_cube_all_grouping_sets(spark):
+    got = _run(spark, "agg_cube")
+    orders = pd.read_parquet(f"{SF}/orders.parquet")
+    o = orders.assign(cents=_half_up_cents(orders["o_totalprice"]))
+
+    def agg(keys):
+        if keys:
+            g = o.groupby(keys).agg(n=("cents", "size"), s=("cents", "sum"))
+            return {
+                (k if isinstance(k, tuple) else (k,)): (int(r["n"]), int(r["s"]))
+                for k, r in g.iterrows()
+            }
+        return {(): (len(o), int(o["cents"].sum()))}
+
+    full = agg(["o_orderstatus", "o_orderpriority"])
+    by_status = agg(["o_orderstatus"])
+    by_pri = agg(["o_orderpriority"])
+    total = agg([])
+    want = {}
+    for (s, p), v in full.items():
+        want[(s, p)] = v
+    for (s,), v in by_status.items():
+        want[(s, None)] = v
+    for (p,), v in by_pri.items():
+        want[(None, p)] = v
+    want[(None, None)] = total[()]
+    have = {
+        (r.o_orderstatus, r.o_orderpriority): (int(r.n), int(r.sum_cents))
+        for r in got.itertuples()
+    }
+    assert have == want
+
+
+def test_count_distinct_recount(spark):
+    got = _run(spark, "agg_count_distinct")
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    g = li.groupby("l_returnflag").agg(
+        no=("l_orderkey", "nunique"),
+        np=("l_partkey", "nunique"),
+        nr=("l_orderkey", "size"),
+    )
+    have = {
+        r.l_returnflag: (int(r.n_orders), int(r.n_parts), int(r.n_rows))
+        for r in got.itertuples()
+    }
+    assert have == {
+        k: (int(r["no"]), int(r["np"]), int(r["nr"])) for k, r in g.iterrows()
+    }
+
+
+def test_rolling_7d_active_users_recompute(spark):
+    got = _run(spark, "rolling_7d_active_users")
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    du = ev.assign(d=ev["ts"].dt.date)[["d", "user_id"]].drop_duplicates()
+    lo, hi = du["d"].min(), du["d"].max()
+    want = {}
+    days = sorted({lo + pd.Timedelta(days=i) for i in range((hi - lo).days + 1)})
+    for day in days:
+        day = day if not hasattr(day, "date") else day.date()
+        active = du[
+            (du["d"] > day - pd.Timedelta(days=7)) & (du["d"] <= day)
+        ]["user_id"].nunique()
+        if active:
+            want[day] = active
+    have = {r.day: int(r.active_7d) for r in got.itertuples()}
+    assert have == want
+
+
+def test_first_touch_attribution_recompute(spark):
+    got = _run(spark, "attribution_first_touch")
+    ev = pd.read_parquet(f"{SF}/events.parquet").sort_values(
+        ["user_id", "ts", "event_id"]
+    )
+    from collections import defaultdict
+
+    cents_by_channel = defaultdict(int)
+    n_by_channel = defaultdict(int)
+    for _, g in ev.groupby("user_id"):
+        first_mkt = None
+        for r in g.itertuples():
+            if r.event_type in ("click", "view") and first_mkt is None:
+                first_mkt = r.event_type
+            if r.event_type == "purchase":
+                ch = first_mkt if first_mkt is not None else "unattributed"
+                cents_by_channel[ch] += int(
+                    _half_up_cents(pd.Series([r.value])).iloc[0]
+                )
+                n_by_channel[ch] += 1
+                first_mkt = None  # new journey starts after a purchase
+    have = {
+        r.channel: (int(r.journeys), int(r.revenue_cents))
+        for r in got.itertuples()
+    }
+    assert have == {
+        ch: (n_by_channel[ch], cents_by_channel[ch]) for ch in cents_by_channel
+    }
