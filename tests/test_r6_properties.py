@@ -2311,3 +2311,88 @@ def test_first_touch_attribution_recompute(spark):
     assert have == {
         ch: (n_by_channel[ch], cents_by_channel[ch]) for ch in cents_by_channel
     }
+
+
+def test_snapshot_diff_recount(spark):
+    got = {r.change_type: int(r.n) for r in _run(spark, "snapshot_diff").itertuples()}
+    orders = pd.read_parquet(f"{SF}/orders.parquet")
+    o = orders.assign(
+        cents=_half_up_cents(orders["o_totalprice"]),
+        d=pd.to_datetime(orders["o_orderdate"]),
+    )
+    v1 = {
+        int(r.o_orderkey): (r.o_orderstatus, int(r.cents))
+        for r in o[o["d"] < "1996-01-01"].itertuples()
+    }
+    v2 = {
+        int(r.o_orderkey): (
+            "X" if r.o_orderkey % 97 == 0 else r.o_orderstatus,
+            int(r.cents),
+        )
+        for r in o[o["d"] < "1997-01-01"].itertuples()
+    }
+    from collections import Counter
+
+    c: Counter = Counter()
+    for k in set(v1) | set(v2):
+        if k not in v1:
+            c["added"] += 1
+        elif k not in v2:
+            c["removed"] += 1
+        elif v1[k] != v2[k]:
+            c["changed"] += 1
+        else:
+            c["unchanged"] += 1
+    assert got == dict(c)
+
+
+def test_setop_semi_anti_partition(spark):
+    got = _run(spark, "setop_semi_anti")
+    cust = pd.read_parquet(f"{SF}/customer.parquet")
+    orders = pd.read_parquet(f"{SF}/orders.parquet")
+    with_orders = set(orders["o_custkey"]) & set(cust["c_custkey"])
+    have_semi = {
+        int(r.cust_key) for r in got.itertuples() if r.bucket == "has_orders"
+    }
+    have_anti = {
+        int(r.cust_key) for r in got.itertuples() if r.bucket == "no_orders"
+    }
+    assert have_semi == with_orders
+    assert have_anti == set(cust["c_custkey"]) - with_orders
+    # exact partition of the customer universe
+    assert not (have_semi & have_anti)
+    assert have_semi | have_anti == set(cust["c_custkey"])
+
+
+def test_decontaminate_ngram_recount(spark):
+    from etl_building_inspector_spark.plans.queries_llm2 import (
+        DECON_BENCH_MOD,
+        DECON_N,
+    )
+
+    got = _run(spark, "decontaminate_ngram")
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+
+    def grams(txt):
+        t = _py_tokens(txt)
+        return {
+            " ".join(t[i : i + DECON_N]) for i in range(len(t) - DECON_N + 1)
+        }
+
+    bench: set = set()
+    train = {}
+    for did, txt in zip(docs["doc_id"], docs["text"]):
+        g = grams(txt)
+        if did % DECON_BENCH_MOD == 0:
+            bench |= g
+        else:
+            train[int(did)] = g
+    cols = set(got.columns)
+    have = {
+        int(r.doc_id): (int(r.n_shingles), int(r.n_contaminated))
+        for r in got.itertuples()
+    }
+    want = {
+        did: (len(g), len(g & bench)) for did, g in train.items()
+    }
+    assert have == want
