@@ -2396,3 +2396,65 @@ def test_decontaminate_ngram_recount(spark):
         did: (len(g), len(g & bench)) for did, g in train.items()
     }
     assert have == want
+
+
+def test_merge_upsert_semantics(spark):
+    got = _run(spark, "merge_upsert")
+    cust = pd.read_parquet(f"{SF}/customer.parquet")
+    want = {}
+    for r in cust.itertuples():
+        k = int(r.c_custkey)
+        if k % 7 == 0:
+            want[k] = (r.c_acctbal * 2, "UPDATED")
+        else:
+            want[k] = (r.c_acctbal, r.c_mktsegment)
+        if k % 97 == 0:
+            want[k + 1000000] = (1.0, "NEW")
+    have = {
+        int(r.cust_key): (r.acctbal, r.segment) for r in got.itertuples()
+    }
+    assert have == want
+
+
+def test_incremental_agg_merge_equals_direct(spark):
+    got = _run(spark, "incremental_agg_merge")
+    orders = pd.read_parquet(f"{SF}/orders.parquet")
+    o = orders.assign(cents=_half_up_cents(orders["o_totalprice"]))
+    g = o.groupby("o_orderpriority").agg(
+        n=("cents", "size"), s=("cents", "sum")
+    )
+    have = {
+        r.priority: (int(r.n_orders), int(r.revenue_cents))
+        for r in got.itertuples()
+    }
+    assert have == {k: (int(r["n"]), int(r["s"])) for k, r in g.iterrows()}
+
+
+def test_ngram_novelty_first_seen_recount(spark):
+    from etl_building_inspector_spark.plans.queries_llm4 import NOVELTY_N
+
+    got = _run(spark, "text_ngram_novelty")
+    docs = pd.read_parquet(f"{SF}/documents.parquet").sort_values("doc_id")
+    first_seen: dict[str, int] = {}
+    per_doc = {}
+    for did, txt in zip(docs["doc_id"], docs["text"]):
+        t = _py_tokens(txt)
+        g = {
+            " ".join(t[i : i + NOVELTY_N])
+            for i in range(len(t) - NOVELTY_N + 1)
+        }
+        per_doc[int(did)] = g
+        for x in g:
+            first_seen.setdefault(x, int(did))
+    want = {
+        did: (len(g), sum(1 for x in g if first_seen[x] == did))
+        for did, g in per_doc.items()
+        if g
+    }
+    have = {
+        int(r.doc_id): (int(r.n_shingles), int(r.n_novel))
+        for r in got.itertuples()
+    }
+    assert have == want
+    # novelty is conserved: every gram is novel in exactly one doc
+    assert sum(n for _, n in want.values()) == len(first_seen)
