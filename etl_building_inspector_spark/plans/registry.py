@@ -422,21 +422,15 @@ WINDOW_R6: list[str] = [
 _missing_r6 = [n for n in WINDOW_R6 if n not in QUERIES]
 assert not _missing_r6, f"WINDOW_R6 names not registered: {_missing_r6}"
 assert len(WINDOW_R6) == len(set(WINDOW_R6)) == 50, "window must be exactly 50 unique slots"
-# THE head reorder (insertion order is the driver's iteration order).
-# r7 flip procedure: rename WINDOW_R7_CANDIDATES -> WINDOW_R7 and
-# swap it into this block (same for r8 the round after).
-QUERIES = {
-    **{n: QUERIES[n] for n in WINDOW_R6},
-    **{n: q for n, q in QUERIES.items() if n not in set(WINDOW_R6)},
-}
 
-# Round-7 staging: queries added AFTER the r6 window filled (the same
-# pattern r5 used for the r6 staging). Exactly 50 unique slots, ALL
-# first-time: the flagship anchor re-pin moved out when the r6
-# emb_pq_encode repair displaced corpus_temperature_mixture here
-# (flagship stays anchored in WINDOW_R6 and WINDOW_R8_CANDIDATES,
-# and entry() smoke-checks it every round regardless).
-WINDOW_R7_CANDIDATES: list[str] = [
+# Round-7 window (the head this round, flipped per VERDICT r6 #1 --
+# the documented rename of WINDOW_R7_CANDIDATES). Exactly 50 unique
+# slots, ALL first-time: the flagship anchor re-pin moved out when the
+# r6 emb_pq_encode repair displaced corpus_temperature_mixture here
+# (flagship stays anchored in WINDOW_R6 and WINDOW_R8_CANDIDATES, and
+# entry() smoke-checks it every round regardless; the one-round anchor
+# gap is recorded in COVERAGE.md's rotation ledger per ADVICE r6).
+WINDOW_R7: list[str] = [
     "corpus_temperature_mixture",
     "ann_truncated_dim_recall_eval",
     "multimodal_image_ahash_pairs",
@@ -501,10 +495,17 @@ WINDOW_R7_CANDIDATES: list[str] = [
     "privacy_t_closeness",
     "sessionization_gap_sensitivity",
 ]
-_missing_r7 = [n for n in WINDOW_R7_CANDIDATES if n not in QUERIES]
+_missing_r7 = [n for n in WINDOW_R7 if n not in QUERIES]
 assert not _missing_r7, f"WINDOW_R7 names not registered: {_missing_r7}"
 # complete at exactly 50 unique slots (the r4-ADVICE ==50 pattern)
-assert len(WINDOW_R7_CANDIDATES) == len(set(WINDOW_R7_CANDIDATES)) == 50
+assert len(WINDOW_R7) == len(set(WINDOW_R7)) == 50
+# THE head reorder (insertion order is the driver's iteration order).
+# r8 flip procedure: rename WINDOW_R8_CANDIDATES -> WINDOW_R8 and
+# swap it into this block (that flip completes 355/355 coverage).
+QUERIES = {
+    **{n: QUERIES[n] for n in WINDOW_R7},
+    **{n: q for n, q in QUERIES.items() if n not in set(WINDOW_R7)},
+}
 
 # Round-8 staging: queries added after the r7 window filled --
 # COMPLETE at exactly 50 unique slots as of the surface13/llm22 batch
