@@ -65,34 +65,46 @@ def point_in_polygon(px: Column, py: Column, ring: Column) -> Column:
 def point_in_polygon_with_holes(px: Column, py: Column, polygon: Column) -> Column:
     """Even-odd test over ALL rings of a GeoJSON polygon (outer ring +
     holes): total crossing parity flips inside a hole, which is exactly
-    even-odd semantics. `polygon` is array<array<array<double>>>."""
-    crossings_per_ring = F.transform(
-        polygon,
-        lambda ring: F.size(
-            F.filter(
-                F.zip_with(
-                    F.slice(ring, 1, F.size(ring) - 1),
-                    F.slice(ring, 2, F.size(ring) - 1),
-                    lambda a, b: F.struct(
-                        a.getItem(0).alias("ax"),
-                        a.getItem(1).alias("ay"),
-                        b.getItem(0).alias("bx"),
-                        b.getItem(1).alias("by"),
-                    ),
+    even-odd semantics. `polygon` is array<array<array<double>>>.
+
+    Expression SHAPE matters here (VERDICT r6 #2): the obvious form --
+    transform(polygon, ring -> size(filter(zip_with(...), crosses)))
+    then aggregate -- nests a crosses-lambda that captures the OUTER
+    px/py inside a transform lambda, a shape Janino rejects
+    ('Expression "project_isNull_N" is not an rvalue'), silently
+    demoting the reference's hardest operator to interpreted mode on
+    its hot path. Instead, flatten every ring's edge list into ONE
+    array first (edges are built per ring BEFORE flattening, so no
+    spurious cross-ring edges), then run a single-level filter: parity
+    of crossings over the concatenated edge list == summed per-ring
+    parity. The inner zip_with lambda touches only its own `ring`
+    variable; only the single outer filter captures px/py -- the exact
+    two-level shape of point_in_polygon, which whole-stage-codegens.
+    See SCALING.md 'Janino-safe HOF shapes'."""
+    edges = F.flatten(
+        F.transform(
+            polygon,
+            lambda ring: F.zip_with(
+                F.slice(ring, 1, F.size(ring) - 1),
+                F.slice(ring, 2, F.size(ring) - 1),
+                lambda a, b: F.struct(
+                    a.getItem(0).alias("ax"),
+                    a.getItem(1).alias("ay"),
+                    b.getItem(0).alias("bx"),
+                    b.getItem(1).alias("by"),
                 ),
-                lambda e: F.when(
-                    (e.getField("ay") > py) != (e.getField("by") > py),
-                    px
-                    < e.getField("ax")
-                    + (py - e.getField("ay"))
-                    * (e.getField("bx") - e.getField("ax"))
-                    / (e.getField("by") - e.getField("ay")),
-                ).otherwise(F.lit(False)),
-            )
-        ),
+            ),
+        )
     )
-    total = F.aggregate(crossings_per_ring, F.lit(0), lambda acc, n: acc + n)
-    return total % 2 == 1
+
+    def crosses(e: Column) -> Column:
+        straddles = (e.getField("ay") > py) != (e.getField("by") > py)
+        x_at_y = e.getField("ax") + (py - e.getField("ay")) * (
+            e.getField("bx") - e.getField("ax")
+        ) / (e.getField("by") - e.getField("ay"))
+        return F.when(straddles, px < x_at_y).otherwise(F.lit(False))
+
+    return F.size(F.filter(edges, crosses)) % 2 == 1
 
 
 def _bbox(ring: Column) -> tuple[Column, Column, Column, Column]:
@@ -132,7 +144,14 @@ def spatial_join_broadcast(
     px = F.col(f"{point_col}")[0]
     py = F.col(f"{point_col}")[1]
     if polygon_col is not None:
-        bbox_ring = F.try_element_at(polygons[polygon_col], F.lit(1))
+        # F.get (0-based, NULL out-of-bounds) rather than
+        # try_element_at: ElementAt's null-check codegen emits a
+        # forward reference when its child is a wide inline expression
+        # that Catalyst splits across generated functions -- Janino
+        # rejects it ('not an rvalue') and the whole projection falls
+        # back to interpreted mode. GetArrayItem codegen is
+        # split-safe. See SCALING.md 'Janino-safe HOF shapes'.
+        bbox_ring = F.get(polygons[polygon_col], F.lit(0))
         exact = lambda staged: point_in_polygon_with_holes(  # noqa: E731
             px, py, staged[polygon_col]
         )
@@ -209,8 +228,10 @@ def spatial_join_grid(
     parity on the 100 TB no-broadcast path (VERDICT r4 #7).
     """
     if polygon_col is not None:
+        # F.get, not try_element_at -- same Janino split-safety note
+        # as in spatial_join_broadcast above.
         polygons = polygons.withColumn(
-            "__outer_ring", F.try_element_at(F.col(polygon_col), F.lit(1))
+            "__outer_ring", F.get(F.col(polygon_col), F.lit(0))
         )
         bbox_source_col = "__outer_ring"
     else:
