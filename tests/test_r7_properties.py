@@ -1,0 +1,415 @@
+"""Independent property tests for the WINDOW_R8-staged queries
+(round 7, VERDICT r6 #5: extend the r6 recompute layer one window
+ahead, so the r8 cohort's values are pinned by something other than
+the twin pair before their driver window opens).
+
+Same discipline as tests/test_r6_properties.py: each test recomputes
+the CLAIMED PROPERTY from the raw parquet with plain pandas/numpy/
+hashlib -- no Spark expressions, no DuckDB SQL -- so a conceptual
+mistake shared by both twins cannot hide. The Spark query under test
+is executed once through the registry (the driver's path) and its
+output compared against the recompute.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import re
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from etl_building_inspector_spark.plans.registry import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def _run(spark, name):
+    return QUERIES[name](spark, SF).toPandas()
+
+
+def _half_up_cents(x: pd.Series) -> pd.Series:
+    # Spark F.round = HALF_UP (away from zero); numpy round is
+    # half-even, so spell it out
+    v = x * 100.0
+    return (np.sign(v) * np.floor(np.abs(v) + 0.5)).astype("int64")
+
+
+def _py_tokens(text: str) -> list[str]:
+    # the engine-wide tokenization contract (functions/text.py):
+    # lowercase, non-alphanumeric runs -> space, trim, split. An
+    # all-punctuation doc normalizes to "" and split(" ") keeps the
+    # one empty token -- same as Spark's F.split on empty string.
+    return re.sub(r"[^a-z0-9]+", " ", text.lower()).strip().split(" ")
+
+
+def _u32(salt: str, key) -> int:
+    return int(hashlib.md5(f"{salt}:{key}".encode()).hexdigest()[:8], 16)
+
+
+# ---------------------------------------------------------------------------
+# flagship_enrich: full pandas merge-chain recompute of the anchor
+# ---------------------------------------------------------------------------
+
+
+def test_flagship_enrich_recomputed_with_pandas_merges(spark):
+    """The anchor query, recomputed end-to-end: filter lineitem,
+    merge orders/customer/nation/region, rebuild every output column.
+    revenue is the same IEEE double product of the same raw parquet
+    doubles, so it compares EXACTLY, not approximately."""
+    got = _run(spark, "flagship_enrich").sort_values(
+        ["order_key", "line_number"]
+    )
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    orders = pd.read_parquet(f"{SF}/orders.parquet")
+    cust = pd.read_parquet(f"{SF}/customer.parquet")
+    nation = pd.read_parquet(f"{SF}/nation.parquet")
+    region = pd.read_parquet(f"{SF}/region.parquet")
+    li = li[
+        (li["l_shipdate"] >= pd.Timestamp("1995-01-01"))
+        & (li["l_quantity"] > 30)
+    ]
+    j = (
+        li.merge(orders, left_on="l_orderkey", right_on="o_orderkey")
+        .merge(cust, left_on="o_custkey", right_on="c_custkey")
+        .merge(nation, left_on="c_nationkey", right_on="n_nationkey")
+        .merge(region, left_on="n_regionkey", right_on="r_regionkey")
+    )
+    want = pd.DataFrame(
+        {
+            "order_key": j["l_orderkey"].astype("int64"),
+            "line_number": j["l_linenumber"].astype("int64"),
+            "record_id": "order/"
+            + j["l_orderkey"].astype(str)
+            + "-"
+            + j["l_linenumber"].astype(str),
+            "customer_name": j["c_name"],
+            "nation": j["n_name"],
+            "region": j["r_name"],
+            "valid_since": pd.to_datetime(j["o_orderdate"]).dt.year.astype(
+                "int64"
+            ),
+            "revenue": j["l_extendedprice"] * (1 - j["l_discount"]),
+            "qty_band": np.where(j["l_quantity"] > 45, "high", "low"),
+        }
+    ).sort_values(["order_key", "line_number"])
+    assert len(got) == len(want)
+    for col in want.columns:
+        g, w = got[col].to_numpy(), want[col].to_numpy()
+        assert (g == w).all(), f"column {col} diverges"
+
+
+# ---------------------------------------------------------------------------
+# surface10: native session windows, nearest as-of
+# ---------------------------------------------------------------------------
+
+
+def test_session_window_native_matches_manual_gap_split(spark):
+    """Recompute sessions by walking each user's (ts, event_id)-sorted
+    events and splitting where the gap is STRICTLY greater than 30
+    minutes (the probed boundary semantics: exactly-at-gap merges)."""
+    from etl_building_inspector_spark.plans.queries_surface10 import (
+        SESSION_GAP_MIN,
+    )
+
+    got = _run(spark, "events_session_window_native")
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    gap = pd.Timedelta(minutes=SESSION_GAP_MIN)
+    want = {}
+    for uid, g in ev.sort_values(["ts", "event_id"]).groupby("user_id"):
+        ts = list(g["ts"])
+        cents = list(_half_up_cents(g["value"]))
+        start = 0
+        for i in range(1, len(ts) + 1):
+            if i == len(ts) or ts[i] - ts[i - 1] > gap:
+                want[(int(uid), ts[start])] = (
+                    ts[i - 1] + gap,
+                    i - start,
+                    int(sum(cents[start:i])),
+                )
+                start = i
+    have = {
+        (int(r.user_id), r.session_start): (
+            r.session_end,
+            int(r.n_events),
+            int(r.sum_cents),
+        )
+        for r in got.itertuples()
+    }
+    assert have == want
+
+
+def test_asof_nearest_matches_per_purchase_scan(spark):
+    """For every purchase, scan ALL the user's clicks and take the
+    true nearest in either direction (earlier click wins ties) -- the
+    O(n^2) definition the one-pass window implementation must equal."""
+    got = _run(spark, "asof_join_nearest")
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    ev = ev[ev["event_type"].isin(["click", "purchase"])]
+    want = {}
+    for uid, g in ev.groupby("user_id"):
+        clicks = g[g["event_type"] == "click"]
+        purchases = g[g["event_type"] == "purchase"]
+        if clicks.empty:
+            continue
+        cts = clicks["ts"].astype("int64").to_numpy()  # micros
+        cid = clicks["event_id"].to_numpy()
+        for p in purchases.itertuples():
+            pts = int(pd.Timestamp(p.ts).value // 1000)  # ns -> us
+            d = np.abs(cts - pts)
+            best = d.min()
+            cand = cid[d == best]
+            # tie -> the EARLIER click; distinct event ids share a ts
+            # only via equal distance both sides, and the earlier one
+            # is the one with ts < pts, i.e. the smaller event_id in
+            # this data -- resolve exactly as the query does: earlier
+            # timestamp wins, so pick the candidate whose ts <= pts
+            # if present, else min event_id
+            before = [
+                c
+                for c, t in zip(cid, cts)
+                if abs(t - pts) == best and t <= pts
+            ]
+            pick = int(before[0]) if before else int(cand[0])
+            want[int(p.event_id)] = (int(best), pick)
+    have = {
+        int(r.purchase_id): (int(r.dist_us), int(r.click_id))
+        for r in got.itertuples()
+    }
+    assert set(have) == set(want)
+    for k, (d, c) in want.items():
+        assert have[k][0] == d, f"purchase {k}: dist {have[k][0]} != {d}"
+        assert have[k][1] == c, f"purchase {k}: click {have[k][1]} != {c}"
+
+
+# ---------------------------------------------------------------------------
+# llm18: Heaps growth, radius search, shingle sensitivity, DP audit
+# ---------------------------------------------------------------------------
+
+
+def test_heaps_growth_recounted_from_raw_tokens(spark):
+    from etl_building_inspector_spark.plans.queries_llm18 import (
+        HEAPS_BUCKETS,
+    )
+
+    got = _run(spark, "text_vocab_growth_heaps").sort_values("bucket")
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    n = int(docs["doc_id"].max()) + 1
+    vol = [0] * HEAPS_BUCKETS
+    first_seen: dict[str, int] = {}
+    for r in docs.itertuples():
+        b = min(int(r.doc_id) * HEAPS_BUCKETS // n, HEAPS_BUCKETS - 1)
+        for t in _py_tokens(r.text):
+            vol[b] += 1
+            if t not in first_seen or first_seen[t] > b:
+                first_seen[t] = b
+    new = [0] * HEAPS_BUCKETS
+    for b in first_seen.values():
+        new[b] += 1
+    tok_cum = np.cumsum(vol)
+    voc_cum = np.cumsum(new)
+    assert list(got["bucket"]) == list(range(HEAPS_BUCKETS))
+    assert list(got["tokens_cum"]) == list(tok_cum)
+    assert list(got["vocab_cum"]) == list(voc_cum)
+    # Heaps sanity: vocab growth is monotone and <= token growth
+    assert (np.diff(voc_cum) >= 0).all()
+    assert voc_cum[-1] <= tok_cum[-1]
+
+
+def test_range_search_matches_numpy_bruteforce(spark):
+    from etl_building_inspector_spark.plans.queries_llm18 import (
+        RANGE_SEARCH_QUERIES,
+        RANGE_SEARCH_THRESHOLD,
+    )
+
+    got = _run(spark, "ann_range_search")
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet")
+    M = np.stack(emb["embedding"].to_numpy()).astype("float64")
+    ids = emb["vec_id"].to_numpy()
+    norms = np.linalg.norm(M, axis=1)
+    want = {}
+    for qi in range(RANGE_SEARCH_QUERIES):
+        qrow = np.where(ids == qi)[0][0]
+        cos = (M @ M[qrow]) / (norms * norms[qrow])
+        for j in np.where(cos >= RANGE_SEARCH_THRESHOLD)[0]:
+            if ids[j] != qi:
+                want[(qi, int(ids[j]))] = cos[j]
+    have = {
+        (int(r.q_id), int(r.vec_id)): float(r.cosine)
+        for r in got.itertuples()
+    }
+    # numpy's dot order differs from the query's sequential fold only
+    # in the last ulps -- far from the 0.25 threshold for this data
+    assert set(have) == set(want)
+    for k in want:
+        assert abs(have[k] - want[k]) < 1e-9
+
+
+def test_shingle_sensitivity_recounted(spark):
+    from etl_building_inspector_spark.plans.queries_llm18 import (
+        SHINGLE_SIZES,
+    )
+
+    got = {
+        int(r.shingle_n): (int(r.total_shingles), int(r.distinct_shingles))
+        for r in _run(spark, "dedup_shingle_size_sensitivity").itertuples()
+    }
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    tok_lists = [_py_tokens(t) for t in docs["text"]]
+    for n in SHINGLE_SIZES:
+        total, distinct = 0, set()
+        for toks in tok_lists:
+            if len(toks) < n:
+                continue
+            total += len(toks) - n + 1
+            for i in range(len(toks) - n + 1):
+                distinct.add(" ".join(toks[i : i + n]))
+        assert got[n] == (total, len(distinct)), f"n={n}"
+    # monotonicity across n: larger shingles -> fewer total, and the
+    # distinct/total collision headroom can only grow
+    ns = sorted(got)
+    for a, b in zip(ns, ns[1:]):
+        assert got[a][0] >= got[b][0]
+
+
+def test_histogram_sensitivity_is_max_user_contribution(spark):
+    got = _run(spark, "privacy_histogram_sensitivity")
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    per = ev.groupby(["event_type", "user_id"]).size()
+    for r in got.itertuples():
+        g = per[r.event_type]
+        assert int(r.n_rows) == int(g.sum())
+        assert int(r.n_users) == len(g)
+        assert int(r.max_user_contribution) == int(g.max())
+    assert set(got["event_type"]) == set(ev["event_type"].unique())
+
+
+# ---------------------------------------------------------------------------
+# llm19: mixture diversity, waterfill, fingerprint eval, KMV
+# ---------------------------------------------------------------------------
+
+
+def test_mixture_diversity_simpson_and_shannon(spark):
+    got = _run(spark, "corpus_mixture_diversity").set_index("scope")
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    n = len(docs)
+    for scope in ("source", "lang"):
+        cnt = docs.groupby(scope).size()
+        r = got.loc[scope]
+        assert int(r["n_groups"]) == len(cnt)
+        assert int(r["simpson_num"]) == int((cnt * (cnt - 1)).sum())
+        assert int(r["simpson_den"]) == n * (n - 1)
+        # entropy: recompute in the SAME pinned order (cnt, group) to
+        # match the fold, then also sanity-check against math.fsum
+        ordered = sorted(zip(cnt.to_numpy(), cnt.index))
+        acc = 0.0
+        for c, _ in ordered:
+            p = float(c) / n
+            acc += -p * math.log(p)
+        assert abs(float(r["shannon_nats"]) - acc) < 1e-12
+        assert 0.0 <= acc <= math.log(len(cnt)) + 1e-12
+
+
+def test_waterfill_allocation_properties(spark):
+    """Recompute the waterline by brute force: try every candidate
+    line position and verify the query's allocation equals the exact
+    waterfill (uncapped sources keep everything, capped sources share
+    the remaining budget equally via floor division)."""
+    from etl_building_inspector_spark.plans.queries_llm19 import (
+        WATERFILL_BUDGET_FRACTION_INV,
+    )
+
+    got = _run(spark, "corpus_token_budget_waterfill").sort_values("source")
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    avail = {
+        src: sum(len(_py_tokens(t)) for t in g["text"])
+        for src, g in docs.groupby("source")
+    }
+    assert {
+        r.source: int(r.avail_tokens) for r in got.itertuples()
+    } == avail
+    total = sum(avail.values())
+    budget = total // WATERFILL_BUDGET_FRACTION_INV
+    ranked = sorted(avail.items(), key=lambda kv: (kv[1], kv[0]))
+    n_src = len(ranked)
+    # walk ascending availability; the first source whose availability
+    # exceeds the equal share of the remaining budget marks the line
+    istar, prefix_before = None, 0
+    prefix = 0
+    for i, (src, a) in enumerate(ranked, start=1):
+        if a * (n_src - i + 1) > budget - prefix:
+            istar, prefix_before = i, prefix
+            break
+        prefix += a
+    alloc = {}
+    for i, (src, a) in enumerate(ranked, start=1):
+        if istar is None or i < istar:
+            alloc[src] = (a, False)
+        else:
+            alloc[src] = (
+                (budget - prefix_before) // (n_src - istar + 1),
+                True,
+            )
+    have = {
+        r.source: (int(r.alloc_tokens), bool(r.capped))
+        for r in got.itertuples()
+    }
+    assert have == alloc
+    # conservation: allocation never exceeds budget, uncapped keep all
+    assert sum(a for a, _ in alloc.values()) <= budget
+    for src, (a, capped) in alloc.items():
+        assert a <= avail[src]
+        if not capped:
+            assert a == avail[src]
+
+
+def test_bytes_vs_norm_dedup_eval_recounted(spark):
+    got = _run(spark, "dedup_exact_bytes_vs_norm_eval").iloc[0]
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    texts = list(docs["text"])
+    # the planted-duplicate corpus: every doc_id % 5 == 0 re-appears
+    # with its last token dropped (queries_llm.py::_docs_with_dups)
+    for r in docs.itertuples():
+        if r.doc_id % 5 == 0:
+            toks = _py_tokens(r.text)
+            texts.append(" ".join(toks[:-1]))
+    raw = {hashlib.md5(t.encode()).hexdigest() for t in texts}
+    norm = {
+        hashlib.md5(
+            re.sub(r"[^a-z0-9]+", " ", t.lower()).strip().encode()
+        ).hexdigest()
+        for t in texts
+    }
+    assert int(got["n_docs"]) == len(texts)
+    assert int(got["groups_raw"]) == len(raw)
+    assert int(got["groups_norm"]) == len(norm)
+    assert int(got["dup_docs_raw"]) == len(texts) - len(raw)
+    assert int(got["dup_docs_norm"]) == len(texts) - len(norm)
+    assert int(got["missed_by_raw"]) == len(raw) - len(norm)
+    # raw-equal implies norm-equal: the normalized partition is coarser
+    assert len(norm) <= len(raw)
+
+
+def test_kmv_estimate_bit_exact_python_reimplementation(spark):
+    """Full KMV reimplementation: u32(md5('kmv:'||key)) over the
+    distinct keys, k-th smallest, est = (k-1)*2^32 // h_k."""
+    from etl_building_inspector_spark.plans.queries_llm19 import (
+        KMV_K,
+        KMV_U32,
+    )
+
+    got = _run(spark, "sketch_bottomk_theta_eval").iloc[0]
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    keys = li["l_orderkey"].unique()
+    hv = sorted({_u32("kmv", int(k)) for k in keys})
+    bottom = hv[:KMV_K]
+    h_k = max(bottom[-1], 1)
+    k = len(bottom)
+    est = (k - 1) * KMV_U32 // h_k
+    n = len(keys)
+    assert int(got["exact_distinct"]) == n
+    assert int(got["k"]) == k
+    assert int(got["kmv_estimate"]) == est
+    assert int(got["err_ppm"]) == abs(est - n) * 1_000_000 // n
