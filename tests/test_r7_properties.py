@@ -413,3 +413,254 @@ def test_kmv_estimate_bit_exact_python_reimplementation(spark):
     assert int(got["k"]) == k
     assert int(got["kmv_estimate"]) == est
     assert int(got["err_ppm"]) == abs(est - n) * 1_000_000 // n
+
+
+# ---------------------------------------------------------------------------
+# llm20: coverage, dup census, fertility, cosine histogram
+# ---------------------------------------------------------------------------
+
+
+def test_ngram_coverage_recounted_from_md5_split(spark):
+    from etl_building_inspector_spark.plans.queries_llm20 import (
+        COVERAGE_SHINGLE_N,
+    )
+
+    got = _run(spark, "text_ngram_coverage_vs_reference").iloc[0]
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    train, heldout = set(), set()
+    for r in docs.itertuples():
+        toks = _py_tokens(r.text)
+        sh = {
+            " ".join(toks[i : i + COVERAGE_SHINGLE_N])
+            for i in range(len(toks) - COVERAGE_SHINGLE_N + 1)
+        }
+        if _u32("split", int(r.doc_id)) % 100 < 80:
+            train |= sh
+        else:
+            heldout |= sh
+    covered = len(heldout & train)
+    assert int(got["heldout_ngrams"]) == len(heldout)
+    assert int(got["covered_ngrams"]) == covered
+    assert int(got["coverage_ppm"]) == covered * 1_000_000 // len(heldout)
+
+
+def test_dup_group_size_census_recounted(spark):
+    got = {
+        int(r.group_size): (int(r.n_groups), int(r.n_docs))
+        for r in _run(spark, "dedup_group_size_histogram").itertuples()
+    }
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    texts = list(docs["text"]) + [
+        " ".join(_py_tokens(r.text)[:-1])
+        for r in docs.itertuples()
+        if r.doc_id % 5 == 0
+    ]
+    from collections import Counter
+
+    fp = Counter(
+        hashlib.md5(
+            re.sub(r"[^a-z0-9]+", " ", t.lower()).strip().encode()
+        ).hexdigest()
+        for t in texts
+    )
+    sizes = Counter(fp.values())
+    want = {sz: (n, sz * n) for sz, n in sizes.items()}
+    assert got == want
+    # census covers every doc exactly once
+    assert sum(v[1] for v in got.values()) == len(texts)
+
+
+def test_tokenizer_fertility_recomputed_per_lang(spark):
+    from etl_building_inspector_spark.functions.text import BPE_PIECE_RE
+
+    got = _run(spark, "text_tokenizer_fertility_by_lang").set_index("lang")
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+
+    def bpe_est(text: str) -> int:
+        pieces = re.findall(BPE_PIECE_RE, text.lower())
+        return sum(
+            (len(p) + 3) // 4 if "a" <= p[0] <= "z" else 1 for p in pieces
+        )
+
+    for lang, g in docs.groupby("lang"):
+        bpe = sum(bpe_est(t) for t in g["text"])
+        words = sum(len(_py_tokens(t)) for t in g["text"])
+        r = got.loc[lang]
+        assert int(r["n_docs"]) == len(g)
+        assert int(r["bpe_tokens"]) == bpe
+        assert int(r["ws_words"]) == words
+        assert int(r["fertility_ppm"]) == bpe * 1_000_000 // words
+
+
+def test_cosine_histogram_bitexact_sequential_fold(spark):
+    """Recompute each sampled pair's cosine with the SAME left-to-
+    right IEEE fold as the engine's F.aggregate (a plain python loop),
+    so the floor(cos*10) bucket assignment is bit-identical even at
+    bucket boundaries."""
+    from etl_building_inspector_spark.plans.queries_llm20 import (
+        COSINE_HIST_MOD,
+    )
+
+    got = {
+        int(r.bucket): int(r.n_pairs)
+        for r in _run(spark, "emb_cosine_histogram_sampled").itertuples()
+    }
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet").sort_values("vec_id")
+    vecs = {int(r.vec_id): list(r.embedding) for r in emb.itertuples()}
+
+    def fold_dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += float(x) * float(y)
+        return acc
+
+    def fold_norm(a):
+        acc = 0.0
+        for x in a:
+            acc += float(x) * float(x)
+        return math.sqrt(acc)
+
+    from collections import Counter
+
+    want: Counter = Counter()
+    ids = sorted(vecs)
+    for a in ids:
+        if a % COSINE_HIST_MOD != 0:
+            continue
+        for b in ids:
+            if b <= a or (a + b) % COSINE_HIST_MOD != 0:
+                continue
+            cos = fold_dot(vecs[a], vecs[b]) / (
+                fold_norm(vecs[a]) * fold_norm(vecs[b])
+            )
+            want[max(min(math.floor(cos * 10), 9), -10)] += 1
+    assert got == dict(want)
+
+
+# ---------------------------------------------------------------------------
+# surface11: repeat-order audit, xcorr ladder, k-anon ladder, latency
+# ---------------------------------------------------------------------------
+
+
+def test_rapid_repeat_orders_matches_n2_scan(spark):
+    from etl_building_inspector_spark.plans.queries_surface11 import (
+        REPEAT_TOLERANCE_INV,
+        REPEAT_WINDOW_DAYS,
+    )
+
+    got = {
+        (int(r.custkey), int(r.order_a), int(r.order_b)): (
+            int(r.cents_a),
+            int(r.cents_b),
+            int(r.day_gap),
+        )
+        for r in _run(spark, "dq_rapid_repeat_orders").itertuples()
+    }
+    orders = pd.read_parquet(f"{SF}/orders.parquet")
+    orders["cents"] = _half_up_cents(orders["o_totalprice"])
+    orders["day"] = pd.to_datetime(orders["o_orderdate"]).dt.normalize()
+    want = {}
+    for ck, g in orders.groupby("o_custkey"):
+        rows = list(g.itertuples())
+        for i, a in enumerate(rows):
+            for b in rows:
+                if a.o_orderkey >= b.o_orderkey:
+                    continue
+                gap = abs((b.day - a.day).days)
+                if gap > REPEAT_WINDOW_DAYS:
+                    continue
+                if abs(a.cents - b.cents) * REPEAT_TOLERANCE_INV > a.cents:
+                    continue
+                want[(int(ck), int(a.o_orderkey), int(b.o_orderkey))] = (
+                    int(a.cents),
+                    int(b.cents),
+                    gap,
+                )
+    assert got == want
+    assert want, "fixture should plant at least one repeat pair"
+
+
+def test_xcorr_sufficient_stats_recounted(spark):
+    from etl_building_inspector_spark.plans.queries_surface11 import (
+        XCORR_MAX_LAG,
+    )
+
+    got = _run(spark, "timeseries_xcorr_lags").set_index("lag")
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    ev = ev[ev["event_type"].isin(["click", "purchase"])]
+    units = np.sign(ev["value"]) * np.floor(np.abs(ev["value"]) + 0.5)
+    daily = (
+        ev.assign(day=ev["ts"].dt.normalize(), u=units.astype("int64"))
+        .groupby(["event_type", "day"])["u"]
+        .sum()
+    )
+    p = daily["purchase"]
+    c = daily["click"]
+    for lag in range(XCORR_MAX_LAG + 1):
+        xs, ys = [], []
+        for day, y in p.items():
+            cday = day - pd.Timedelta(days=lag)
+            if cday in c.index:
+                xs.append(int(c[cday]))
+                ys.append(int(y))
+        n = len(xs)
+        r = got.loc[lag]
+        assert int(r["n_days"]) == n
+        sx, sy = sum(xs), sum(ys)
+        sxy = sum(a * b for a, b in zip(xs, ys))
+        sxx = sum(a * a for a in xs)
+        syy = sum(b * b for b in ys)
+        assert int(r["corr_num"]) == n * sxy - sx * sy
+        assert int(r["corr_den_x"]) == n * sxx - sx * sx
+        assert int(r["corr_den_y"]) == n * syy - sy * sy
+
+
+def test_generalization_ladder_recounted(spark):
+    from etl_building_inspector_spark.plans.queries_surface11 import (
+        KANON_K,
+    )
+
+    got = _run(spark, "privacy_generalization_ladder").set_index("level")
+    cust = pd.read_parquet(f"{SF}/customer.parquet")
+    nation = pd.read_parquet(f"{SF}/nation.parquet")
+    c = cust.merge(nation, left_on="c_nationkey", right_on="n_nationkey")
+    levels = {
+        "nation+segment": ["n_nationkey", "c_mktsegment"],
+        "nation": ["n_nationkey"],
+        "region": ["n_regionkey"],
+    }
+    for name, keys in levels.items():
+        sz = c.groupby(keys).size()
+        r = got.loc[name]
+        assert int(r["n_groups"]) == len(sz)
+        assert int(r["min_group_size"]) == int(sz.min())
+        assert int(r["n_violating_groups"]) == int((sz < KANON_K).sum())
+        assert int(r["n_exposed_rows"]) == int(sz[sz < KANON_K].sum())
+    # the ladder direction: coarsening never increases exposure
+    assert (
+        int(got.loc["region"]["n_exposed_rows"])
+        <= int(got.loc["nation"]["n_exposed_rows"])
+        <= int(got.loc["nation+segment"]["n_exposed_rows"])
+    )
+
+
+def test_ship_latency_percentiles_are_exact_elements(spark):
+    got = _run(spark, "orders_ship_latency_percentiles").set_index("ym")
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    o = pd.read_parquet(f"{SF}/orders.parquet")
+    j = li.merge(o, left_on="l_orderkey", right_on="o_orderkey")
+    od = pd.to_datetime(j["o_orderdate"]).dt.normalize()
+    sd = pd.to_datetime(j["l_shipdate"]).dt.normalize()
+    j = j.assign(
+        ym=od.dt.year * 100 + od.dt.month, days=(sd - od).dt.days
+    )
+    for ym, g in j.groupby("ym"):
+        vals = sorted(
+            zip(g["days"], g["l_orderkey"], g["l_linenumber"])
+        )
+        n = len(vals)
+        r = got.loc[ym]
+        assert int(r["n_lines"]) == n
+        assert int(r["p50_days"]) == vals[(n + 1) // 2 - 1][0]
+        assert int(r["p90_days"]) == vals[(9 * n + 9) // 10 - 1][0]
+        assert int(r["max_days"]) == vals[-1][0]
