@@ -664,3 +664,193 @@ def test_ship_latency_percentiles_are_exact_elements(spark):
         assert int(r["p50_days"]) == vals[(n + 1) // 2 - 1][0]
         assert int(r["p90_days"]) == vals[(9 * n + 9) // 10 - 1][0]
         assert int(r["max_days"]) == vals[-1][0]
+
+
+# ---------------------------------------------------------------------------
+# surface12: fixed-point decay, incremental distinct MV
+# ---------------------------------------------------------------------------
+
+
+def test_decayed_value_shift_arithmetic_recounted(spark):
+    from etl_building_inspector_spark.plans.queries_surface12 import (
+        DECAY_HALF_LIFE_DAYS,
+        DECAY_MAX_HALVINGS,
+    )
+
+    got = _run(spark, "customer_decayed_value_fixedpoint").set_index(
+        "custkey"
+    )
+    orders = pd.read_parquet(f"{SF}/orders.parquet")
+    orders["cents"] = _half_up_cents(orders["o_totalprice"])
+    day = pd.to_datetime(orders["o_orderdate"]).dt.normalize()
+    today = day.max()
+    age = (today - day).dt.days
+    shift = np.minimum(
+        age // DECAY_HALF_LIFE_DAYS, DECAY_MAX_HALVINGS
+    ).astype("int64")
+    orders["dec"] = [
+        int(c) // (1 << int(s)) for c, s in zip(orders["cents"], shift)
+    ]
+    for ck, g in orders.groupby("o_custkey"):
+        r = got.loc[int(ck)]
+        assert int(r["n_orders"]) == len(g)
+        assert int(r["raw_cents"]) == int(g["cents"].sum())
+        assert int(r["decayed_cents"]) == int(g["dec"].sum())
+    assert len(got) == orders["o_custkey"].nunique()
+    # decay never amplifies
+    assert (got["decayed_cents"] <= got["raw_cents"]).all()
+
+
+def test_mv_distinct_delta_base_plus_delta_identity(spark):
+    from etl_building_inspector_spark.plans.queries_surface12 import (
+        MV_DELTA_DAYS,
+    )
+
+    got = _run(spark, "mv_distinct_delta_maintenance").set_index(
+        "event_type"
+    )
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    day = ev["ts"].dt.normalize()
+    cutoff = day.max() - pd.Timedelta(days=MV_DELTA_DAYS)
+    first = (
+        ev.assign(day=day)
+        .groupby(["event_type", "user_id"])["day"]
+        .min()
+    )
+    for et in first.index.get_level_values(0).unique():
+        f = first[et]
+        r = got.loc[et]
+        assert int(r["mv_distinct_users"]) == len(f)
+        assert int(r["delta_new_users"]) == int((f > cutoff).sum())
+        assert int(r["base_distinct_users"]) == int((f <= cutoff).sum())
+        # the maintainability identity
+        assert (
+            r["mv_distinct_users"]
+            == r["base_distinct_users"] + r["delta_new_users"]
+        )
+
+
+# ---------------------------------------------------------------------------
+# llm21: S-curve design, stopword signal matrix, blocking eval
+# ---------------------------------------------------------------------------
+
+
+def test_lsh_s_curve_matches_float_formula(spark):
+    """The integer-ppm table must equal floor(1e6 * (1-(1-s^r)^b))
+    and band_match = floor(1e6 * s^r), recomputed in exact python
+    fractions (no float)."""
+    from fractions import Fraction
+
+    got = _run(spark, "dedup_lsh_s_curve_design").set_index("s_tenths")
+    for t in range(1, 10):
+        s = Fraction(t, 10)
+        r = got.loc[t]
+        assert int(r["band_match_ppm_b4r2"]) == int(1_000_000 * s**2)
+        assert int(r["p_candidate_ppm_b4r2"]) == math.floor(
+            1_000_000 * (1 - (1 - s**2) ** 4)
+        )
+        assert int(r["p_candidate_ppm_b2r4"]) == math.floor(
+            1_000_000 * (1 - (1 - s**4) ** 2)
+        )
+    # S-curve monotone in s, and b4r2 dominates b2r4 (more bands =>
+    # more candidate-aggressive) everywhere
+    p1 = list(got["p_candidate_ppm_b4r2"])
+    p2 = list(got["p_candidate_ppm_b2r4"])
+    assert p1 == sorted(p1) and p2 == sorted(p2)
+    assert all(a >= b for a, b in zip(p1, p2))
+
+
+def test_stopword_signal_matrix_recounted(spark):
+    from etl_building_inspector_spark.functions.text import LANG_STOPWORDS
+
+    got = {
+        (r.doc_lang, r.stopset_lang): (
+            int(r.n_docs),
+            int(r.stop_hits),
+            int(r.n_tokens),
+            int(r.hit_ppm),
+        )
+        for r in _run(spark, "text_stopword_signal_matrix").itertuples()
+    }
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    toks = {i: _py_tokens(t) for i, t in zip(docs.index, docs["text"])}
+    for sl, words in LANG_STOPWORDS.items():
+        ws = set(words)
+        for dl, g in docs.groupby("lang"):
+            hits = sum(
+                sum(1 for t in toks[i] if t in ws) for i in g.index
+            )
+            ntok = sum(len(toks[i]) for i in g.index)
+            assert got[(dl, sl)] == (
+                len(g),
+                hits,
+                ntok,
+                hits * 1_000_000 // ntok,
+            )
+    assert len(got) == docs["lang"].nunique() * len(LANG_STOPWORDS)
+
+
+def _py_phonetic(tok: str) -> str:
+    # python twin of queries_llm15._phonetic_sql (simplified Soundex)
+    code = tok.translate(
+        str.maketrans(
+            "abcdefghijklmnopqrstuvwxyz", "01230120022455012623010202"
+        )
+    )
+    for _ in range(3):
+        for d in "123456":
+            code = code.replace(d + d, d)
+    body = code[1:].replace("0", "")
+    return tok[:1] + (body + "000")[:3]
+
+
+def _py_typo(name: str) -> str:
+    # swap the 2nd and 3rd characters of the first token
+    t1 = name.split(" ")[0]
+    rest = name[len(t1):]
+    return t1[:1] + t1[2:3] + t1[1:2] + t1[3:] + rest
+
+
+def test_blocking_strategy_eval_recounted(spark):
+    got = {
+        r.strategy: (
+            int(r.n_truth),
+            int(r.n_found),
+            int(r.recall_ppm),
+            int(r.n_candidate_pairs),
+        )
+        for r in _run(spark, "er_blocking_strategy_eval").itertuples()
+    }
+    part = pd.read_parquet(f"{SF}/part.parquet")
+    base = part.groupby("p_name")["p_partkey"].min()
+    planted = [
+        (n, _py_typo(n))
+        for n, k in base.items()
+        if k % 7 == 0 and _py_typo(n) != n
+    ]
+    universe = list(base.index) + [t for _, t in planted]
+
+    def key(strategy, x):
+        t1 = x.split(" ")[0]
+        if strategy == "exact_token":
+            return t1
+        if strategy == "prefix2":
+            return t1[:2]
+        return _py_phonetic(t1)
+
+    from collections import Counter
+
+    for s in ("exact_token", "phonetic", "prefix2"):
+        n_truth = len(planted)
+        n_found = sum(1 for n, t in planted if key(s, n) == key(s, t))
+        widths = Counter(key(s, x) for x in universe)
+        pairs = sum(w * (w - 1) // 2 for w in widths.values())
+        assert got[s] == (
+            n_truth,
+            n_found,
+            n_found * 1_000_000 // n_truth,
+            pairs,
+        ), s
+    # the designed finding: the transposition typo defeats exact-token
+    # blocking entirely while the phonetic key survives it
+    assert got["phonetic"][1] > got["exact_token"][1]
