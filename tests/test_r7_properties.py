@@ -854,3 +854,156 @@ def test_blocking_strategy_eval_recounted(spark):
     # the designed finding: the transposition typo defeats exact-token
     # blocking entirely while the phonetic key survives it
     assert got["phonetic"][1] > got["exact_token"][1]
+
+
+# ---------------------------------------------------------------------------
+# surface13: SLA, forward as-of, HHI, weekday, returns, lifecycle,
+# conversion cohorts
+# ---------------------------------------------------------------------------
+
+
+def test_fill_rate_sla_recounted(spark):
+    from etl_building_inspector_spark.plans.queries_surface13 import (
+        SLA_DAYS,
+    )
+
+    got = _run(spark, "orders_fill_rate_sla").set_index("priority")
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    o = pd.read_parquet(f"{SF}/orders.parquet")
+    j = li.merge(o, left_on="l_orderkey", right_on="o_orderkey")
+    days = (
+        pd.to_datetime(j["l_shipdate"]).dt.normalize()
+        - pd.to_datetime(j["o_orderdate"]).dt.normalize()
+    ).dt.days
+    j = j.assign(ok=(days <= SLA_DAYS).astype(int))
+    for pr, g in j.groupby("o_orderpriority"):
+        r = got.loc[pr]
+        assert int(r["n_lines"]) == len(g)
+        assert int(r["n_within_sla"]) == int(g["ok"].sum())
+        assert int(r["sla_ppm"]) == int(g["ok"].sum()) * 1_000_000 // len(g)
+
+
+def test_asof_forward_matches_per_click_scan(spark):
+    got = {
+        int(r.click_id): (r.next_purchase_ts, int(r.next_purchase_cents))
+        for r in _run(spark, "asof_join_forward").itertuples()
+    }
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    ev = ev[ev["event_type"].isin(["click", "purchase"])]
+    want = {}
+    for uid, g in ev.groupby("user_id"):
+        purchases = g[g["event_type"] == "purchase"].sort_values(
+            ["ts", "event_id"]
+        )
+        for c in g[g["event_type"] == "click"].itertuples():
+            nxt = purchases[purchases["ts"] >= c.ts]
+            if nxt.empty:
+                continue
+            p = nxt.iloc[0]
+            want[int(c.event_id)] = (
+                p["ts"],
+                int(_half_up_cents(pd.Series([p["value"]]))[0]),
+            )
+    assert got == want
+
+
+def test_hhi_rationals_recounted(spark):
+    from etl_building_inspector_spark.plans.queries_surface13 import (
+        HHI_UNIT_DIV,
+    )
+
+    got = _run(spark, "revenue_concentration_hhi").set_index("nationkey")
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    s = pd.read_parquet(f"{SF}/supplier.parquet")
+    j = li.merge(s, left_on="l_suppkey", right_on="s_suppkey")
+    j["cents"] = _half_up_cents(j["l_extendedprice"])
+    per = (
+        j.groupby(["s_nationkey", "l_suppkey"])["cents"].sum()
+        // HHI_UNIT_DIV
+    )
+    for nk in per.index.get_level_values(0).unique():
+        u = per[nk]
+        r = got.loc[int(nk)]
+        assert int(r["n_suppliers"]) == len(u)
+        assert int(r["hhi_num"]) == int((u * u).sum())
+        assert int(r["hhi_den"]) == int(u.sum()) ** 2
+        # HHI in [1/n, 1]
+        assert int(r["hhi_num"]) * len(u) >= int(r["hhi_den"])
+        assert int(r["hhi_num"]) <= int(r["hhi_den"])
+
+
+def test_weekday_profile_iso_convention(spark):
+    got = _run(spark, "orders_weekday_profile").set_index("iso_weekday")
+    o = pd.read_parquet(f"{SF}/orders.parquet")
+    dow = pd.to_datetime(o["o_orderdate"]).dt.dayofweek + 1  # ISO 1=Mon
+    n = len(o)
+    cnt = dow.value_counts()
+    for d, c in cnt.items():
+        r = got.loc[int(d)]
+        assert int(r["n_orders"]) == int(c)
+        assert int(r["deviation_ppm"]) == abs(int(c) * 7 - n) * 1_000_000 // n
+    assert int(got["n_orders"].sum()) == n
+
+
+def test_return_rate_recounted(spark):
+    got = _run(spark, "lineitem_return_rate_by_nation").set_index(
+        "nationkey"
+    )
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    s = pd.read_parquet(f"{SF}/supplier.parquet")
+    j = li.merge(s, left_on="l_suppkey", right_on="s_suppkey")
+    for nk, g in j.groupby("s_nationkey"):
+        ret = int((g["l_returnflag"] == "R").sum())
+        r = got.loc[int(nk)]
+        assert int(r["n_lines"]) == len(g)
+        assert int(r["n_returned"]) == ret
+        assert int(r["return_ppm"]) == ret * 1_000_000 // len(g)
+
+
+def test_monthly_lifecycle_new_plus_returning(spark):
+    got = _run(spark, "customers_monthly_lifecycle").set_index("ym")
+    o = pd.read_parquet(f"{SF}/orders.parquet")
+    od = pd.to_datetime(o["o_orderdate"])
+    cm = (
+        o.assign(ym=od.dt.year * 100 + od.dt.month)[["o_custkey", "ym"]]
+        .drop_duplicates()
+    )
+    first = cm.groupby("o_custkey")["ym"].min()
+    cm = cm.assign(first_ym=cm["o_custkey"].map(first))
+    for ym, g in cm.groupby("ym"):
+        r = got.loc[int(ym)]
+        assert int(r["n_active"]) == len(g)
+        assert int(r["n_new"]) == int((g["ym"] == g["first_ym"]).sum())
+        assert int(r["n_returning"]) == int(
+            (g["ym"] > g["first_ym"]).sum()
+        )
+        assert r["n_active"] == r["n_new"] + r["n_returning"]
+    # every customer is new exactly once across all months
+    assert int(got["n_new"].sum()) == cm["o_custkey"].nunique()
+
+
+def test_cohort_conversion_median_recounted(spark):
+    got = _run(spark, "cohort_time_to_first_purchase").set_index("cohort")
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    firsts = ev.pivot_table(
+        index="user_id",
+        columns="event_type",
+        values="ts",
+        aggfunc="min",
+    )
+    conv = firsts.dropna(subset=["signup", "purchase"])
+    conv = conv[conv["purchase"] >= conv["signup"]]
+    days = (
+        conv["purchase"].dt.normalize() - conv["signup"].dt.normalize()
+    ).dt.days
+    cohort = conv["signup"].dt.year * 100 + conv["signup"].dt.month
+    df = pd.DataFrame(
+        {"cohort": cohort, "days": days, "user_id": conv.index}
+    )
+    for ch, g in df.groupby("cohort"):
+        vals = sorted(zip(g["days"], g["user_id"]))
+        n = len(vals)
+        r = got.loc[int(ch)]
+        assert int(r["n_converted"]) == n
+        assert int(r["p50_days"]) == vals[(n + 1) // 2 - 1][0]
+        assert int(r["max_days"]) == vals[-1][0]
