@@ -9,8 +9,10 @@ The printed line is COMPACT (<2000 chars): the driver records only a
 2000-char tail of stdout, and the full 220-query map outgrew that in
 round 2 -- BENCH_r02..r05 all landed as "parsed": null (VERDICT r5
 what's-wrong #4). The stdout line carries the headline totals, the
-slowest-10 warm-best map, and the wedge-family extra costs; the
-complete per-query cold/warm/warm_best maps are written to
+slowest-10 cold map (under "queries", the same quantity as
+BENCH_DETAIL.json's "queries"), the slowest-10 isolated warm-best map
+(under "queries_warm_best_top10"), and the wedge-family extra costs;
+the complete per-query cold/warm/warm_best maps are written to
 BENCH_DETAIL.json at the repo root for the judge and for
 round-over-round diffing.
 
@@ -384,7 +386,17 @@ def main() -> None:
     warm: dict[str, float] = {}
     for name in HEADLINE:
         timings[name] = round(run_once(name), 3)
+    # VERDICT r6 #3: the warm pass runs 220+ queries into a session
+    # whose heap already absorbed the whole cold pass, so without a
+    # settle it measures accumulated GC pressure, not the plans
+    # (BENCH_r06: warm 376 s > cold 312 s -- an unusable regression
+    # signal). Apply the wedge-family extra_once pattern to EVERY warm
+    # measurement: full python+JVM GC before t0, so each query starts
+    # from a settled heap. The GC itself runs outside the timed
+    # window.
     for name in HEADLINE:
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
         warm[name] = round(run_once(name), 3)
 
     # isolated best-of-K for the slowest warm queries: force a full
@@ -434,7 +446,18 @@ def main() -> None:
         json.dump(detail, f, indent=1, sort_keys=True)
 
     # the ONE stdout line, kept comfortably under the driver's
-    # 2000-char tail: totals + slowest-10 warm-best + wedge extras
+    # 2000-char tail: totals + slowest-10 maps + wedge extras.
+    # "queries" carries the slowest-10 SUBSET OF THE COLD MAP -- the
+    # same quantity BENCH_DETAIL.json's "queries" holds, so a consumer
+    # diffing stdout against the detail file (or an old stdout line)
+    # compares like with like (ADVICE r6: the old line reused
+    # "queries" for the warm-best map, a silent unit mismatch). The
+    # isolated best-of-K numbers live under their own unambiguous key.
+    slowest_cold = dict(
+        sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[
+            :WARM_BEST_TOPN
+        ]
+    )
     compact = {
         "metric": "headline_queries_total",
         "value": total,
@@ -442,15 +465,20 @@ def main() -> None:
         "sf": float(sf),
         "n_queries": len(HEADLINE),
         "value_warm": detail["value_warm"],
-        "queries": warm_best,  # the slowest-10, isolated best-of-K
+        "queries": slowest_cold,
+        "queries_warm_best_top10": warm_best,
         "detail": "BENCH_DETAIL.json",
     }
     if "extra" in detail:
         compact["extra"] = detail["extra"]
     line = json.dumps(compact)
     # hard guard on the contract: if this ever outgrows the driver's
-    # tail again, fail the run loudly instead of going parse-dead
-    assert len(line) < 1900, f"compact bench line too long ({len(line)})"
+    # tail again, fail the run loudly instead of going parse-dead.
+    # An explicit raise, not assert: assert is stripped under
+    # python -O, which would silently re-open the parse-dead failure
+    # mode this guard exists to prevent (ADVICE r6).
+    if len(line) >= 1900:
+        raise RuntimeError(f"compact bench line too long ({len(line)})")
     print(line)
 
 

@@ -494,14 +494,20 @@ def corpus_source_token_tvd(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("c_sv", F.coalesce("c", F.lit(0)))
     )
     # 4611686018427 = floor(2^63 / 2e6): past this n*n_s the *1e6
-    # numerator can exceed int64 -- fail loudly, don't wrap
+    # numerator can exceed int64 -- fail loudly, don't wrap. The
+    # guard's OWN comparison runs in DOUBLE (ADVICE r6): an int64
+    # product n_s*n wraps negative past 2^63 in non-ANSI mode, so an
+    # integer-typed guard would silently never fire in exactly the
+    # regime it exists to flag; the double product is monotone and
+    # its <1 ulp error at the threshold is irrelevant for a guard.
     return (
         grid.groupBy("source")
         .agg(
             F.any_value("n_s").cast("long").alias("n_tokens"),
             F.expr(
-                "CAST(CASE WHEN any_value(n_s) * any_value(n) > "
-                "4611686018427L THEN raise_error("
+                "CAST(CASE WHEN CAST(any_value(n_s) AS DOUBLE) * "
+                "CAST(any_value(n) AS DOUBLE) > "
+                "4611686018427E0 THEN raise_error("
                 "'corpus_source_token_tvd: n*n_s exceeds the "
                 "int64-safe ppm bound (2^63/2e6); pre-normalize "
                 "cells to integer ppm') "
