@@ -1007,3 +1007,293 @@ def test_cohort_conversion_median_recounted(spark):
         assert int(r["n_converted"]) == n
         assert int(r["p50_days"]) == vals[(n + 1) // 2 - 1][0]
         assert int(r["max_days"]) == vals[-1][0]
+
+
+# ---------------------------------------------------------------------------
+# llm22: curriculum, winnowing, margins, exact emb dedup, KMV merge,
+# truncation curve, source TVD, layout planning, hapax, length
+# percentiles, radius ladder
+# ---------------------------------------------------------------------------
+
+
+def test_curriculum_phase_weights_recounted(spark):
+    got = {
+        (int(r.phase), r.source): (int(r.tercile), int(r.weight_ppm))
+        for r in _run(spark, "corpus_curriculum_phases").itertuples()
+    }
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    mc = {
+        src: int(g["text"].str.len().sum()) // len(g)
+        for src, g in docs.groupby("source")
+    }
+    ranked = sorted(mc.items(), key=lambda kv: (kv[1], kv[0]))
+    n = len(ranked)
+    # ntile(3): first (n mod 3) buckets get the extra row
+    base, extra = divmod(n, 3)
+    terciles, i = {}, 0
+    for b in range(1, 4):
+        size = base + (1 if b <= extra else 0)
+        for src, _ in ranked[i : i + size]:
+            terciles[src] = b
+        i += size
+    for phase in (1, 2, 3):
+        w = {
+            src: {1: 1, 2: t, 3: t * t}[phase]
+            for src, t in terciles.items()
+        }
+        tot = sum(w.values())
+        for src in w:
+            assert got[(phase, src)] == (
+                terciles[src],
+                w[src] * 1_000_000 // tot,
+            ), (phase, src)
+
+
+def _py_shingle_hashes(text: str, k: int = 3) -> list[int]:
+    toks = _py_tokens(text)
+    if len(toks) < k:
+        return []
+    return [
+        int(
+            hashlib.md5(" ".join(toks[i : i + k]).encode()).hexdigest()[:8],
+            16,
+        )
+        for i in range(len(toks) - k + 1)
+    ]
+
+
+def test_winnow_window_sensitivity_recounted(spark):
+    from etl_building_inspector_spark.plans.queries_llm22 import (
+        WINNOW_SENS_W,
+    )
+
+    got = {
+        int(r.w): (int(r.n_fingerprints), int(r.n_hashes))
+        for r in _run(spark, "dedup_winnow_window_sensitivity").itertuples()
+    }
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    hs = [_py_shingle_hashes(t) for t in docs["text"]]
+    for w in WINNOW_SENS_W:
+        n_fp, n_h = 0, 0
+        for h in hs:
+            n_h += len(h)
+            if len(h) < w:
+                n_fp += len(set(h))
+            else:
+                mins = {
+                    min(h[i : i + w]) for i in range(len(h) - w + 1)
+                }
+                n_fp += len(mins)
+        assert got[w] == (n_fp, n_h), f"w={w}"
+    # storage monotonicity: larger window keeps fewer fingerprints
+    ws = sorted(got)
+    for a, b in zip(ws, ws[1:]):
+        assert got[a][0] >= got[b][0]
+        assert got[a][1] == got[b][1]  # hash volume is w-independent
+
+
+def _fold_cos(a, b):
+    num, na, nb = 0.0, 0.0, 0.0
+    for x, y in zip(a, b):
+        num += float(x) * float(y)
+    for x in a:
+        na += float(x) * float(x)
+    for y in b:
+        nb += float(y) * float(y)
+    return num / (math.sqrt(na) * math.sqrt(nb))
+
+
+def test_topk_margin_recomputed_bitexact(spark):
+    from etl_building_inspector_spark.plans.queries_llm22 import (
+        MARGIN_QUERIES,
+    )
+
+    got = _run(spark, "ann_topk_margin_eval").set_index("q_id")
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet")
+    vecs = {int(r.vec_id): list(r.embedding) for r in emb.itertuples()}
+    for qi in range(MARGIN_QUERIES):
+        scored = sorted(
+            (
+                (-_fold_cos(vecs[qi], vecs[c]), c)
+                for c in vecs
+                if c != qi
+            ),
+        )
+        (nc1, c1), (nc2, _) = scored[0], scored[1]
+        r = got.loc[qi]
+        assert int(r["top1_id"]) == c1
+        assert float(r["cos1"]) == -nc1
+        assert float(r["cos2"]) == -nc2
+        assert float(r["margin"]) == (-nc1) - (-nc2)
+        assert float(r["margin"]) >= 0.0
+
+
+def test_embedding_exact_dedup_census(spark):
+    got = {
+        int(r.group_size): (int(r.n_groups), int(r.n_vectors))
+        for r in _run(spark, "dedup_embedding_exact").itertuples()
+    }
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet")
+    from collections import Counter
+
+    keys = [tuple(e) for e in emb["embedding"]]
+    keys += [
+        tuple(r.embedding)
+        for r in emb.itertuples()
+        if r.vec_id % 10 == 0
+    ]
+    groups = Counter(Counter(keys).values())
+    want = {sz: (n, sz * n) for sz, n in groups.items()}
+    assert got == want
+    # every planted clone lands in a >= 2 group
+    assert sum(n for sz, (n, _) in want.items() if sz >= 2) > 0
+
+
+def test_kmv_merge_identity_reproved_in_python(spark):
+    got = _run(spark, "sketch_kmv_merge_eval").iloc[0]
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    pairs = {
+        (int(k) % 2, _u32("kmv", int(k)))
+        for k in li["l_orderkey"].unique()
+    }
+    all_hv = sorted({hv for _, hv in pairs})
+    direct_hk = max(all_hv[:256])
+    halves = {0: [], 1: []}
+    for half, hv in pairs:
+        halves[half].append(hv)
+    merged_pool = sorted(
+        set(sorted(halves[0])[:256]) | set(sorted(halves[1])[:256])
+    )
+    merged_hk = max(merged_pool[:256])
+    assert int(got["direct_hk"]) == direct_hk
+    assert int(got["merged_hk"]) == merged_hk
+    assert bool(got["merge_exact"]) and direct_hk == merged_hk
+
+
+def test_truncation_loss_curve_recounted(spark):
+    from etl_building_inspector_spark.plans.queries_llm22 import (
+        TRUNC_LENGTHS,
+    )
+
+    got = _run(spark, "pack_truncation_loss_curve").set_index(
+        "context_len"
+    )
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    ns = [len(_py_tokens(t)) for t in docs["text"]]
+    total = sum(ns)
+    for L in TRUNC_LENGTHS:
+        kept = sum(min(n, L) for n in ns)
+        lost = sum(max(n - L, 0) for n in ns)
+        r = got.loc[L]
+        assert int(r["kept_tokens"]) == kept
+        assert int(r["lost_tokens"]) == lost
+        assert kept + lost == total  # conservation at every L
+        assert int(r["lost_ppm"]) == lost * 1_000_000 // total
+    # monotone: longer context loses less
+    lst = list(got["lost_tokens"])
+    assert lst == sorted(lst, reverse=True)
+
+
+def test_source_token_tvd_recounted(spark):
+    got = _run(spark, "corpus_source_token_tvd").set_index("source")
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    from collections import Counter
+
+    per_source: dict[str, Counter] = {}
+    glob: Counter = Counter()
+    for r in docs.itertuples():
+        c = per_source.setdefault(r.source, Counter())
+        for t in _py_tokens(r.text):
+            c[t] += 1
+            glob[t] += 1
+    n = sum(glob.values())
+    for src, c in per_source.items():
+        n_s = sum(c.values())
+        num = sum(
+            abs(c.get(t, 0) * n - cv * n_s) for t, cv in glob.items()
+        )
+        r = got.loc[src]
+        assert int(r["n_tokens"]) == n_s
+        assert int(r["tvd_ppm"]) == num * 1_000_000 // (2 * n_s * n)
+        assert 0 <= int(r["tvd_ppm"]) <= 1_000_000  # TVD in [0, 1]
+
+
+def test_layout_planning_arithmetic(spark):
+    from etl_building_inspector_spark.plans.queries_llm22 import (
+        PLAN_TARGET_BYTES,
+    )
+
+    got = _run(spark, "layout_partition_size_planning").set_index("tbl")
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    plans = {
+        "documents": (len(docs), int((docs["text"].str.len() + 32).sum())),
+        "lineitem": (len(li), len(li) * 64),
+        "events": (len(ev), int((56 + ev["props"].str.len()).sum())),
+    }
+    for tbl, (rows, est) in plans.items():
+        nf = max(est // PLAN_TARGET_BYTES, 1)
+        r = got.loc[tbl]
+        assert int(r["n_rows"]) == rows
+        assert int(r["est_bytes"]) == est
+        assert int(r["n_files"]) == nf
+        assert int(r["rows_per_file"]) == rows // nf
+
+
+def test_hapax_ratio_recounted(spark):
+    got = _run(spark, "text_hapax_ratio_by_source").set_index("source")
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    from collections import Counter
+
+    glob: Counter = Counter()
+    toks_by_src: dict[str, list] = {}
+    for r in docs.itertuples():
+        ts = _py_tokens(r.text)
+        toks_by_src.setdefault(r.source, []).extend(ts)
+        glob.update(ts)
+    hapax = {t for t, c in glob.items() if c == 1}
+    for src, ts in toks_by_src.items():
+        nh = sum(1 for t in ts if t in hapax)
+        r = got.loc[src]
+        assert int(r["n_tokens"]) == len(ts)
+        assert int(r["n_hapax"]) == nh
+        assert int(r["hapax_ppm"]) == nh * 1_000_000 // len(ts)
+
+
+def test_length_percentiles_exact_ranks(spark):
+    got = _run(spark, "corpus_length_percentiles_by_lang").set_index(
+        "lang"
+    )
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    for lang, g in docs.groupby("lang"):
+        vals = sorted(zip(g["n_chars"], g["doc_id"]))
+        n = len(vals)
+        r = got.loc[lang]
+        assert int(r["n_docs"]) == n
+        assert int(r["p25_chars"]) == vals[(n + 3) // 4 - 1][0]
+        assert int(r["p50_chars"]) == vals[(n + 1) // 2 - 1][0]
+        assert int(r["p75_chars"]) == vals[(3 * n + 3) // 4 - 1][0]
+        assert int(r["p95_chars"]) == vals[(19 * n + 19) // 20 - 1][0]
+
+
+def test_radius_sensitivity_ladder_recounted(spark):
+    from etl_building_inspector_spark.plans.queries_llm22 import (
+        RADIUS_LADDER_PPK,
+    )
+
+    got = _run(spark, "ann_radius_sensitivity").set_index("q_id")
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet")
+    vecs = {int(r.vec_id): list(r.embedding) for r in emb.itertuples()}
+    for qi in range(5):
+        cosines = [
+            _fold_cos(vecs[qi], vecs[c]) for c in vecs if c != qi
+        ]
+        r = got.loc[qi]
+        prev = None
+        for t in RADIUS_LADDER_PPK:
+            cnt = sum(1 for c in cosines if c >= t / 1000)
+            assert int(r[f"n_ge_{t}"]) == cnt
+            if prev is not None:
+                assert cnt <= prev  # tighter radius, fewer neighbors
+            prev = cnt
