@@ -18,7 +18,9 @@ round-over-round diffing.
 
 Each query is materialized with the `noop` sink (full computation,
 no write cost, no driver collect) -- an honest end-to-end measure of
-the physical plan.
+the physical plan. Cold and warm are measured back-to-back per query
+(not as two passes) so the session-age JVM drift that inflated the
+old second pass cancels out of the cold/warm comparison.
 """
 
 from __future__ import annotations
@@ -379,24 +381,23 @@ def main() -> None:
             spark.sparkContext._jvm.System.gc()
         return dt
 
-    # cold pass first (includes per-plan whole-stage-codegen compile,
-    # a fixed data-independent cost), then a warm pass -- warm stage
-    # times are what extrapolate to the 100 TB story (SCALING.md).
+    # Cold and warm are measured back-to-back PER QUERY (cold run
+    # includes the plan's whole-stage-codegen compile, a fixed
+    # data-independent cost; the immediate rerun reuses the compiled
+    # classes -- the steady-state time that extrapolates to the
+    # 100 TB story, SCALING.md). Interleaving is the VERDICT r6 #3
+    # fix, second option: a separate warm PASS runs 220+ queries into
+    # a session aged by the whole cold pass, and that drift (code
+    # cache, JIT state -- NOT collectable garbage) made warm > cold
+    # at sf0.1 even with a full GC settle before every measurement
+    # (BENCH_r06: 376 vs 312; settle-only retest: 359 vs 336).
+    # Measuring each query's warm time at the SAME session age as its
+    # cold time removes the drift from the comparison by
+    # construction; "value" keeps its meaning (sum of first runs).
     timings: dict[str, float] = {}
     warm: dict[str, float] = {}
     for name in HEADLINE:
         timings[name] = round(run_once(name), 3)
-    # VERDICT r6 #3: the warm pass runs 220+ queries into a session
-    # whose heap already absorbed the whole cold pass, so without a
-    # settle it measures accumulated GC pressure, not the plans
-    # (BENCH_r06: warm 376 s > cold 312 s -- an unusable regression
-    # signal). Apply the wedge-family extra_once pattern to EVERY warm
-    # measurement: full python+JVM GC before t0, so each query starts
-    # from a settled heap. The GC itself runs outside the timed
-    # window.
-    for name in HEADLINE:
-        gc.collect()
-        spark.sparkContext._jvm.System.gc()
         warm[name] = round(run_once(name), 3)
 
     # isolated best-of-K for the slowest warm queries: force a full
