@@ -638,17 +638,25 @@ SELECT CAST(l_suppkey AS BIGINT) AS supp_key,
        CAST(l_linenumber AS BIGINT) AS line_number,
        CAST(sum(CAST(l_quantity AS BIGINT)) OVER (
          PARTITION BY l_suppkey
-         ORDER BY l_shipdate, l_orderkey, l_linenumber
+         ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
        ) AS BIGINT) AS running_qty
 FROM lineitem
 """,
 )
 def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # l_quantity is in the ORDER BY because the synthetic fixture's
+    # (l_orderkey, l_linenumber) is NOT unique (261k duplicate pairs
+    # at sf0.1) -- without it two rows can tie on every sort key while
+    # differing in quantity, making the running prefix engine-order-
+    # dependent (found by the round-7 sf0.1 oracle soak; invisible at
+    # sf0.01, where no full tie occurs). With quantity in the order,
+    # any remaining tie group has identical quantity, so every output
+    # value is invariant under permutation within the tie.
     li = load_table(spark, sf_dir, "lineitem")
     w = (
         Window.partitionBy("l_suppkey")
-        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber", "l_quantity")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return li.select(

@@ -149,16 +149,23 @@ SELECT CAST(l_suppkey AS BIGINT) AS supp_key,
   CAST(last_value(l_orderkey) OVER w AS BIGINT)   AS last_order_so_far,
   CAST(nth_value(l_orderkey, 2) OVER w AS BIGINT) AS second_order,
   CAST(sum(CAST(l_quantity AS BIGINT)) OVER
-    (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+    (PARTITION BY l_suppkey
+     ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS qty_3row
 FROM lineitem
-WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+WINDOW w AS (PARTITION BY l_suppkey
+             ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 """,
 )
 def window_frames_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # l_quantity in the ORDER BY: same fixture-key-collision fix as
+    # window_running_sum (see the comment there) -- the qty_3row
+    # rolling sum is order-dependent at a full tie; the first/last/
+    # nth outputs take l_orderkey, which tied rows share, so they
+    # were already invariant.
     li = load_table(spark, sf_dir, "lineitem")
-    order = ["l_shipdate", "l_orderkey", "l_linenumber"]
+    order = ["l_shipdate", "l_orderkey", "l_linenumber", "l_quantity"]
     w = (
         Window.partitionBy("l_suppkey")
         .orderBy(*order)

@@ -1297,3 +1297,41 @@ def test_radius_sensitivity_ladder_recounted(spark):
             if prev is not None:
                 assert cnt <= prev  # tighter radius, fewer neighbors
             prev = cnt
+
+
+# ---------------------------------------------------------------------------
+# Fixture-key-collision regression (round-7 sf0.1 oracle soak): the
+# synthetic lineitem's (l_orderkey, l_linenumber) is NOT unique, so a
+# window ordered only by (shipdate, orderkey, linenumber) ties two
+# rows with different quantities at sf0.1 and the running prefix
+# becomes engine-order-dependent. The fix appends l_quantity to the
+# order; these tests recompute the running sums from raw parquet
+# under that order AND pin the tie-safety property itself.
+# ---------------------------------------------------------------------------
+
+
+def test_running_sum_recounted_and_tie_safe(spark):
+    got = _run(spark, "window_running_sum")
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    li = li.assign(q=li["l_quantity"].astype("int64"))
+    order = ["l_shipdate", "l_orderkey", "l_linenumber", "q"]
+    want_rows = []
+    for sk, g in li.sort_values(order).groupby("l_suppkey"):
+        run = g["q"].cumsum()
+        for (_, r), tot in zip(g.iterrows(), run):
+            want_rows.append(
+                (int(sk), int(r["l_orderkey"]), int(r["l_linenumber"]), int(tot))
+            )
+    have = sorted(
+        (int(r.supp_key), int(r.order_key), int(r.line_number), int(r.running_qty))
+        for r in got.itertuples()
+    )
+    assert have == sorted(want_rows)
+    # the tie-safety property: within any group fully tied on the
+    # ORDER BY columns, quantity is constant by construction, so the
+    # running values are permutation-invariant
+    ties = li.groupby(order).size()
+    tied = ties[ties > 1]
+    for key in tied.index:
+        grp = li[(li[order] == pd.Series(key, index=order)).all(axis=1)]
+        assert grp["q"].nunique() == 1
