@@ -9,11 +9,15 @@ the expected values are derived by a third, unrelated implementation.
 from __future__ import annotations
 
 import hashlib
+import os
 
 import numpy as np
 import pandas as pd
 
-SF = "/root/testdata/sf0.001"
+# Default scale for the recompute layer; override with
+# EBI_RECOMPUTE_SF_DIR=/root/testdata/sf0.01 for a second-scale soak
+# (the r7 window bugs showed ties can be scale-dependent).
+SF = os.environ.get("EBI_RECOMPUTE_SF_DIR", "/root/testdata/sf0.001")
 
 
 def read(table: str, sf: str = SF) -> pd.DataFrame:

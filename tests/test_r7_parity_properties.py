@@ -24,7 +24,7 @@ import pytest
 
 from etl_building_inspector_spark.plans.registry import QUERIES
 
-SF = "/root/testdata/sf0.001"
+from tests.recompute_util import SF  # env-overridable scale
 
 
 def _run(spark, name):
