@@ -427,7 +427,7 @@ assert len(WINDOW_R6) == len(set(WINDOW_R6)) == 50, "window must be exactly 50 u
 # the documented rename of WINDOW_R7_CANDIDATES). Exactly 50 unique
 # slots, ALL first-time: the flagship anchor re-pin moved out when the
 # r6 emb_pq_encode repair displaced corpus_temperature_mixture here
-# (flagship stays anchored in WINDOW_R6 and WINDOW_R8_CANDIDATES, and
+# (flagship stays anchored in WINDOW_R6 and WINDOW_R8, and
 # entry() smoke-checks it every round regardless; the one-round anchor
 # gap is recorded in COVERAGE.md's rotation ledger per ADVICE r6).
 WINDOW_R7: list[str] = [
@@ -499,20 +499,14 @@ _missing_r7 = [n for n in WINDOW_R7 if n not in QUERIES]
 assert not _missing_r7, f"WINDOW_R7 names not registered: {_missing_r7}"
 # complete at exactly 50 unique slots (the r4-ADVICE ==50 pattern)
 assert len(WINDOW_R7) == len(set(WINDOW_R7)) == 50
-# THE head reorder (insertion order is the driver's iteration order).
-# r8 flip procedure: rename WINDOW_R8_CANDIDATES -> WINDOW_R8 and
-# swap it into this block (that flip completes 355/355 coverage).
-QUERIES = {
-    **{n: QUERIES[n] for n in WINDOW_R7},
-    **{n: q for n, q in QUERIES.items() if n not in set(WINDOW_R7)},
-}
 
-# Round-8 staging: queries added after the r7 window filled --
-# COMPLETE at exactly 50 unique slots as of the surface13/llm22 batch
-# (assert ==50 per the r4-ADVICE pattern): 49 first-time + the
-# flagship anchor re-pin (ADVICE r5: flagship is a re-pin, not a
-# first-time slot).
-WINDOW_R8_CANDIDATES: list[str] = [
+# Round-8 window (the head this round, flipped per VERDICT r7 #1 --
+# the documented rename of WINDOW_R8_CANDIDATES). Exactly 50 unique
+# slots: 49 first-time + the flagship anchor re-pin (ADVICE r5:
+# flagship is a re-pin, not a first-time slot). This flip completes
+# 355/355 driver-checked coverage; COVERAGE.md's rotation ledger
+# closes with this window.
+WINDOW_R8: list[str] = [
     "flagship_enrich",
     # surface10: native session windows, local clustering, volume
     # anomaly, nearest as-of
@@ -579,6 +573,13 @@ WINDOW_R8_CANDIDATES: list[str] = [
     "corpus_length_percentiles_by_lang",
     "ann_radius_sensitivity",
 ]
-_missing_r8 = [n for n in WINDOW_R8_CANDIDATES if n not in QUERIES]
+_missing_r8 = [n for n in WINDOW_R8 if n not in QUERIES]
 assert not _missing_r8, f"WINDOW_R8 names not registered: {_missing_r8}"
-assert len(WINDOW_R8_CANDIDATES) == len(set(WINDOW_R8_CANDIDATES)) == 50
+assert len(WINDOW_R8) == len(set(WINDOW_R8)) == 50
+# THE head reorder (insertion order is the driver's iteration order).
+# WINDOW_R8 is the final window: every one of the 355 registered
+# queries has now headed a driver window at least once (r1-r8).
+QUERIES = {
+    **{n: QUERIES[n] for n in WINDOW_R8},
+    **{n: q for n, q in QUERIES.items() if n not in set(WINDOW_R8)},
+}

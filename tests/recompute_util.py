@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import hashlib
 import os
+from decimal import ROUND_HALF_UP, Decimal
 
 import numpy as np
 import pandas as pd
@@ -28,12 +29,23 @@ def md5(s: str) -> str:
     return hashlib.md5(s.encode()).hexdigest()
 
 
+_ONE = Decimal(1)
+
+
 def half_up(x, scale: int) -> pd.Series:
-    """Spark's F.round: HALF_UP (away from zero). numpy/python round
-    is half-even, so spell it out: sign * floor(|x*10^scale| + 0.5)."""
+    """Spark's F.round: BigDecimal.valueOf(double) -- i.e. the
+    shortest-repr decimal of the double -- rounded HALF_UP (away from
+    zero). The float trick floor(|v|+0.5) diverges at IEEE boundaries
+    (v=0.49999999999999994 has v+0.5 == 1.0 exactly, rounding up where
+    the JVM yields 0), so round via Decimal(repr(v)) which mirrors
+    Double.toString's shortest-repr semantics exactly (ADVICE r7)."""
     v = np.asarray(x, dtype="float64") * (10.0**scale)
     return pd.Series(
-        (np.sign(v) * np.floor(np.abs(v) + 0.5)).astype("int64")
+        [
+            int(Decimal(repr(f)).quantize(_ONE, rounding=ROUND_HALF_UP))
+            for f in v.tolist()
+        ],
+        dtype="int64",
     )
 
 
@@ -59,19 +71,28 @@ def frames_equal(got: pd.DataFrame, want: pd.DataFrame):
     assert len(got) == len(want), f"row count {len(got)} != {len(want)}"
     cols = sorted(got.columns)
 
+    def cell(v):
+        # Uniform type-tagged normalization (ADVICE r7): bool True and
+        # the string 'True' must not conflate, and pandas nullable
+        # Int64/boolean cells (pd.NA) must map to the sentinel instead
+        # of raising in an int cast. Tags are coarse kind markers so
+        # numpy scalars and python scalars of the same kind agree.
+        if isinstance(v, (list, tuple, np.ndarray)):
+            return "s:" + str(list(v))
+        if pd.isna(v):
+            return "\x00<NULL>"
+        if isinstance(v, (bool, np.bool_)):
+            return f"b:{bool(v)}"
+        if isinstance(v, (float, np.floating)):
+            return f"f:{repr(float(v))}"
+        if isinstance(v, (int, np.integer)):
+            return f"i:{int(v)}"
+        return f"s:{v}"
+
     def norm(df):
         out = df[cols].copy()
         for c in cols:
-            s = out[c]
-            if s.dtype == object or str(s.dtype).startswith("datetime"):
-                out[c] = s.astype(object).where(pd.notna(s), "\x00<NULL>")
-                out[c] = out[c].astype(str)
-            elif np.issubdtype(s.dtype, np.floating):
-                out[c] = s.map(
-                    lambda v: "\x00<NULL>" if pd.isna(v) else repr(float(v))
-                )
-            else:
-                out[c] = s.astype("int64")
+            out[c] = out[c].astype(object).map(cell)
         return out.sort_values(cols).reset_index(drop=True)
 
     g, w = norm(got), norm(want)

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import glob
 import os
+import re
 
 TESTS_DIR = os.path.dirname(__file__)
 
@@ -35,7 +36,12 @@ def test_every_registered_query_has_a_property_test():
     for f in files:
         with open(f, encoding="utf-8") as fh:
             corpus += fh.read()
-    missing = [name for name in QUERIES if name not in corpus]
+    # Whole-token match, not substring (ADVICE r7): several query
+    # names are prefixes of longer ones (dedup_simhash vs
+    # dedup_simhash_hamming_pairs), so substring matching would let a
+    # test naming only the longer query silently "cover" the shorter.
+    tokens = set(re.findall(r"[A-Za-z0-9_]+", corpus))
+    missing = [name for name in QUERIES if name not in tokens]
     assert not missing, (
         "registered queries without an independent recompute test "
         f"({len(missing)}): {missing[:10]}... -- add a pandas/python "
