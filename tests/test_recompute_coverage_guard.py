@@ -28,9 +28,9 @@ def test_every_registered_query_has_a_property_test():
 
     corpus = ""
     files = sorted(
-        glob.glob(os.path.join(TESTS_DIR, "test_r6_properties.py"))
-        + glob.glob(os.path.join(TESTS_DIR, "test_r7_properties.py"))
-        + glob.glob(os.path.join(TESTS_DIR, "test_r7_*_properties.py"))
+        set(
+            glob.glob(os.path.join(TESTS_DIR, "test_r*_properties.py"))
+        )
     )
     assert len(files) >= 18, f"property-test files missing: found {files}"
     for f in files:
