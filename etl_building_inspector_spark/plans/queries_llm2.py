@@ -40,6 +40,7 @@ from .queries_llm import (
     _shingles_sql,
     _stop_hits_sql,
     _TOKS,
+    MINHASH_BUCKET_CAP,
 )
 
 QUERIES: dict = {}
@@ -371,7 +372,13 @@ def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     the iterative Spark algorithm is value-checked end-to-end. See
     operators/dedup.connected_components for the per-round shape."""
     docs = _docs_with_dups(spark, sf_dir)
-    pairs = minhash_lsh_pairs(docs, "text", "doc_id").select("id_a", "id_b")
+    # cap MUST match the oracle's _minhash_lsh_sql() default: the
+    # uncapped graph has extra hot-bucket edges that over-merge
+    # components once replication/scale pushes a bucket past the cap
+    # (invisible at <= sf0.1, caught by the r8 derived-fixture soak)
+    pairs = minhash_lsh_pairs(
+        docs, "text", "doc_id", max_bucket_width=MINHASH_BUCKET_CAP
+    ).select("id_a", "id_b")
     out = connected_components(pairs, "id_a", "id_b")
     return out.select(
         F.col("node").cast("long").alias("doc_id"),
@@ -391,7 +398,13 @@ def dedup_cluster_assign_lss(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import connected_components_alternating
 
     docs = _docs_with_dups(spark, sf_dir)
-    pairs = minhash_lsh_pairs(docs, "text", "doc_id").select("id_a", "id_b")
+    # cap MUST match the oracle's _minhash_lsh_sql() default: the
+    # uncapped graph has extra hot-bucket edges that over-merge
+    # components once replication/scale pushes a bucket past the cap
+    # (invisible at <= sf0.1, caught by the r8 derived-fixture soak)
+    pairs = minhash_lsh_pairs(
+        docs, "text", "doc_id", max_bucket_width=MINHASH_BUCKET_CAP
+    ).select("id_a", "id_b")
     out = connected_components_alternating(pairs, "id_a", "id_b")
     return out.select(
         F.col("node").cast("long").alias("doc_id"),
@@ -419,7 +432,13 @@ def dedup_keep_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     at any realistic dup rate; at 100 TB the corpus side never
     shuffles."""
     docs = _docs_with_dups(spark, sf_dir)
-    pairs = minhash_lsh_pairs(docs, "text", "doc_id").select("id_a", "id_b")
+    # cap MUST match the oracle's _minhash_lsh_sql() default: the
+    # uncapped graph has extra hot-bucket edges that over-merge
+    # components once replication/scale pushes a bucket past the cap
+    # (invisible at <= sf0.1, caught by the r8 derived-fixture soak)
+    pairs = minhash_lsh_pairs(
+        docs, "text", "doc_id", max_bucket_width=MINHASH_BUCKET_CAP
+    ).select("id_a", "id_b")
     comp = connected_components(pairs, "id_a", "id_b")
     kept = docs.join(
         F.broadcast(comp), docs["doc_id"] == comp["node"], "left"
@@ -512,7 +531,13 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import bfs_hops
 
     docs = _docs_with_dups(spark, sf_dir)
-    pairs = minhash_lsh_pairs(docs, "text", "doc_id").select("id_a", "id_b")
+    # cap MUST match the oracle's _minhash_lsh_sql() default: the
+    # uncapped graph has extra hot-bucket edges that over-merge
+    # components once replication/scale pushes a bucket past the cap
+    # (invisible at <= sf0.1, caught by the r8 derived-fixture soak)
+    pairs = minhash_lsh_pairs(
+        docs, "text", "doc_id", max_bucket_width=MINHASH_BUCKET_CAP
+    ).select("id_a", "id_b")
     seeds = docs.filter(F.col("doc_id") % BFS_SEED_MOD == 0).select("doc_id")
     out = bfs_hops(pairs, seeds, max_hops=BFS_MAX_HOPS)
     return out.select(

@@ -21,6 +21,7 @@ from .queries_llm import (
     _minhash_lsh_sql,
     _shingles_sql,
     _TOKS,
+    MINHASH_BUCKET_CAP,
 )
 
 QUERIES: dict = {}
@@ -139,7 +140,11 @@ def graph_sssp_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import sssp_bounded
 
     docs = _docs_with_dups(spark, sf_dir)
-    pairs = minhash_lsh_pairs(docs, "text", "doc_id").select("id_a", "id_b")
+    # cap matches the oracle's _minhash_lsh_sql() default (see the
+    # r8 note at the queries_llm2.py call sites)
+    pairs = minhash_lsh_pairs(
+        docs, "text", "doc_id", max_bucket_width=MINHASH_BUCKET_CAP
+    ).select("id_a", "id_b")
     wedges = pairs.withColumn(
         "w", 1 + (F.col("id_a") + F.col("id_b")) % 5
     )
