@@ -118,3 +118,51 @@ def test_embedding_bucket_cap(spark):
     pairs = {(r.id_a, r.id_b) for r in capped}
     assert not any(a < 30 and b < 30 for a, b in pairs)
     assert (100, 101) in pairs
+
+
+# ---------------------------------------------------------------------------
+# r8 derived-soak regression: the five pair-graph CONSUMER queries
+# (connected components x2, keep-representatives, BFS, SSSP) must
+# derive their edges from the CAPPED construction -- their DuckDB
+# twins all build pairs via the capped _minhash_lsh_sql(). An
+# uncapped consumer is value-identical while no bucket exceeds the
+# cap (true at sf <= 0.1) and silently over-merges once one does
+# (caught by the x3 replication fixture at r8). This test builds a
+# corpus where the cap BINDS and asserts the registered query's
+# component map never links two docs that are connected only through
+# a hot (over-cap) bucket.
+# ---------------------------------------------------------------------------
+
+
+def test_cluster_assign_queries_use_capped_pair_graph(spark, tmp_path):
+    import pandas as pd
+
+    from etl_building_inspector_spark.plans.queries_llm import (
+        MINHASH_BUCKET_CAP,
+    )
+    from etl_building_inspector_spark.plans.registry import QUERIES
+
+    # corpus: cap+5 boilerplate copies (one hot bucket in every band,
+    # width > MINHASH_BUCKET_CAP) + the rare near-dup pair. doc_ids
+    # chosen % 5 != 0 so _docs_with_dups plants no extra mutants.
+    boiler_ids = [5 * i + 1 for i in range(1000, 1000 + MINHASH_BUCKET_CAP + 5)]
+    rows = [(i, BOILERPLATE) for i in boiler_ids]
+    rows += [(101, DOC_A), (102, DOC_B)]
+    docs = pd.DataFrame(rows, columns=["doc_id", "text"])
+    docs["lang"] = "en"
+    docs["source"] = "t"
+    docs["n_chars"] = docs["text"].str.len().astype("int64")
+    sf_dir = str(tmp_path)
+    docs.to_parquet(f"{sf_dir}/documents.parquet", index=False)
+
+    for name in ("dedup_cluster_assign", "dedup_cluster_assign_lss"):
+        comp = {
+            r.doc_id: r.component
+            for r in QUERIES[name](spark, sf_dir).collect()
+        }
+        boiler = [comp[i] for i in boiler_ids if i in comp]
+        # hot-bucket edges are dropped, so no boilerplate doc may be
+        # assigned to any component at all (they appear in no pair)
+        assert not boiler, f"{name}: hot-bucket edges leaked: {boiler}"
+        # the genuine rare-bucket near-dup pair still clusters
+        assert comp.get(101) == 101 and comp.get(102) == 101, name
