@@ -38,11 +38,20 @@ def half_up(x, scale: int) -> pd.Series:
     zero). The float trick floor(|v|+0.5) diverges at IEEE boundaries
     (v=0.49999999999999994 has v+0.5 == 1.0 exactly, rounding up where
     the JVM yields 0), so round via Decimal(repr(v)) which mirrors
-    Double.toString's shortest-repr semantics exactly (ADVICE r7)."""
-    v = np.asarray(x, dtype="float64") * (10.0**scale)
+    Double.toString's shortest-repr semantics exactly (ADVICE r7).
+
+    The 10^scale multiply happens INSIDE Decimal (ADVICE r8): scaling
+    in binary float first perturbs .5 boundaries -- half_up(1.005, 2)
+    via float gives 1.005*100 == 100.49999999999999 -> 100, while the
+    JVM's BigDecimal.valueOf(1.005).setScale(2, HALF_UP) sees the
+    exact shortest-repr '1.005' and yields 101 (likewise 0.285, 8.575,
+    -1.005 at scale 2). Decimal('1.005') * 100 is exact, so the
+    boundary survives."""
+    v = np.asarray(x, dtype="float64")
+    p = Decimal(10) ** scale
     return pd.Series(
         [
-            int(Decimal(repr(f)).quantize(_ONE, rounding=ROUND_HALF_UP))
+            int((Decimal(repr(f)) * p).quantize(_ONE, rounding=ROUND_HALF_UP))
             for f in v.tolist()
         ],
         dtype="int64",
@@ -77,12 +86,16 @@ def frames_equal(got: pd.DataFrame, want: pd.DataFrame):
         # Int64/boolean cells (pd.NA) must map to the sentinel instead
         # of raising in an int cast. Tags are coarse kind markers so
         # numpy scalars and python scalars of the same kind agree.
+        # Bools normalize into the INT kind (ADVICE r8): an engine
+        # boolean modeled as 0/1 by a recompute (or vice versa) must
+        # compare equal, as it did before type tagging -- only the
+        # string/bool distinction the r7 note required is kept.
         if isinstance(v, (list, tuple, np.ndarray)):
             return "s:" + str(list(v))
         if pd.isna(v):
             return "\x00<NULL>"
         if isinstance(v, (bool, np.bool_)):
-            return f"b:{bool(v)}"
+            return f"i:{int(v)}"
         if isinstance(v, (float, np.floating)):
             return f"f:{repr(float(v))}"
         if isinstance(v, (int, np.integer)):

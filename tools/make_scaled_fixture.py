@@ -45,7 +45,13 @@ KEY_COLS: dict[str, list[tuple[str, str]]] = {
         ("l_partkey", "part"),
         ("l_suppkey", "supp"),
     ],
-    "events": [("event_id", "event"), ("user_id", "user")],
+    # events.user_id carries the SAME entity tag as customer.c_custkey
+    # (ADVICE r8): queries_streaming.py joins events.user_id =
+    # customer.c_custkey, so an independent 'user' stride (user_id max
+    # 1499 -> 10000 vs c_custkey max 14999 -> 100000) made copy-1
+    # events spuriously join copy-0 customers and copy-2 events
+    # dangle. Sharing the 'cust' stride keeps the FK aligned per copy.
+    "events": [("event_id", "event"), ("user_id", "cust")],
     "documents": [("doc_id", "doc")],
     "embeddings": [("vec_id", "vec")],
 }

@@ -3,16 +3,33 @@ queries()[name] on Spark and its oracle_sql()[name] on DuckDB over the
 same parquet fixtures, compare row count, column names, and an
 order-insensitive value multiset.
 
+Above ROW_CAP rows per side the comparison switches to a streaming
+commutative digest (VERDICT r8 #3): each canonical column-sorted row
+hashes to a 128-bit md5, and the multiset is summarized by
+(count, sum mod 2^160, xor) of those row hashes -- order-insensitive,
+multiset-exact up to md5 collision, O(1) memory. This retired the
+`unpivot_metrics` soak exemption (1.8M input rows x metrics tripped
+the old hard 5M cap on derived fixtures); small-SF runs keep the
+exact Counter compare with its spark-only/duck-only diff samples.
+
 Usage: python tools/oracle_check.py [sf_dir] [query ...]
 """
 
 from __future__ import annotations
 
+import hashlib
 import math
+import os
 import sys
 import time
 
 sys.path.insert(0, "/root/repo")
+
+# above this many rows per side, switch from exact Counter compare to
+# the streaming digest (memory stays bounded; diff samples are lost);
+# env-overridable so tests can force the digest path on small fixtures
+ROW_CAP = int(os.environ.get("ORACLE_CHECK_ROW_CAP", 5_000_000))
+_FETCH = 100_000
 
 
 def canon(val):
@@ -31,6 +48,33 @@ def canon(val):
             return "NaN"
         return repr(val)  # full precision repr: bit-exact comparison
     return val
+
+
+class RowDigest:
+    """Commutative multiset summary of canonical row tuples."""
+
+    __slots__ = ("n", "acc_sum", "acc_xor")
+    _MOD = 1 << 160
+
+    def __init__(self):
+        self.n = 0
+        self.acc_sum = 0
+        self.acc_xor = 0
+
+    def update(self, row: tuple):
+        h = int.from_bytes(
+            hashlib.md5(repr(row).encode()).digest(), "big"
+        )
+        self.n += 1
+        self.acc_sum = (self.acc_sum + h) % self._MOD
+        self.acc_xor ^= h
+
+    def __eq__(self, other):
+        return (
+            self.n == other.n
+            and self.acc_sum == other.acc_sum
+            and self.acc_xor == other.acc_xor
+        )
 
 
 def compare(name: str, spark_rows, duck_rows) -> list[str]:
@@ -84,29 +128,37 @@ def main() -> int:
             # value is right (plans/contract.py)
             assert_scalar_output_schema(sdf.schema, name)
             spark_cols = sdf.columns
-            # collect() is sanctioned here: the gate runs at sf<=0.01
-            # (<=60k-row fixtures). Stream + cap so a future fixture
-            # bump degrades loudly instead of OOMing the driver.
-            spark_rows = []
+            s_idx = [spark_cols.index(c) for c in sorted(spark_cols)]
+            # stream rows (driver sorts columns by name before hashing,
+            # so store column-sorted canonical tuples). Past ROW_CAP,
+            # fold everything into the commutative digest and drop the
+            # buffered rows -- memory stays bounded on soak fixtures.
+            spark_rows: list[tuple] = []
+            s_digest = None
             for r in sdf.toLocalIterator():
-                spark_rows.append(tuple(r))
-                if len(spark_rows) > 5_000_000:
-                    raise RuntimeError(
-                        "oracle_check row cap exceeded (5M); "
-                        "this gate is for small-SF fixtures only"
-                    )
+                t = tuple(canon(v) for v in r)
+                t = tuple(t[i] for i in s_idx)
+                if s_digest is None:
+                    spark_rows.append(t)
+                    if len(spark_rows) > ROW_CAP:
+                        s_digest = RowDigest()
+                        for old in spark_rows:
+                            s_digest.update(old)
+                        spark_rows = []
+                else:
+                    s_digest.update(t)
+            spark_n = s_digest.n if s_digest is not None else len(spark_rows)
         except Exception as e:
             print(f"FAIL {name}: spark error: {str(e)[:300]}")
             n_fail += 1
             continue
         if name not in oracles:
-            print(f"ROWS {name}: rows={len(spark_rows)} (no oracle) "
+            print(f"ROWS {name}: rows={spark_n} (no oracle) "
                   f"[{time.time() - t0:.1f}s]")
             continue
         try:
             res = con.execute(oracles[name])
             duck_cols = [d[0] for d in res.description]
-            duck_rows = res.fetchall()
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {str(e)[:300]}")
             n_fail += 1
@@ -115,17 +167,41 @@ def main() -> int:
             print(f"FAIL {name}: columns spark={spark_cols} duck={duck_cols}")
             n_fail += 1
             continue
-        # driver sorts columns by name before hashing
-        s_idx = [spark_cols.index(c) for c in sorted(spark_cols)]
         d_idx = [duck_cols.index(c) for c in sorted(duck_cols)]
-        spark_sorted = [tuple(r[i] for i in s_idx) for r in spark_rows]
-        duck_sorted = [tuple(r[i] for i in d_idx) for r in duck_rows]
-        problems = compare(name, spark_sorted, duck_sorted)
+        try:
+            if s_digest is None:
+                duck_rows = res.fetchall()
+                duck_sorted = [
+                    tuple(canon(r[i]) for i in d_idx) for r in duck_rows
+                ]
+                problems = compare(name, spark_rows, duck_sorted)
+            else:
+                d_digest = RowDigest()
+                while True:
+                    chunk = res.fetchmany(_FETCH)
+                    if not chunk:
+                        break
+                    for r in chunk:
+                        d_digest.update(tuple(canon(r[i]) for i in d_idx))
+                problems = []
+                if s_digest.n != d_digest.n:
+                    problems.append(
+                        f"rowcount spark={s_digest.n} duck={d_digest.n}"
+                    )
+                if s_digest != d_digest:
+                    problems.append(
+                        "digest mismatch (chunked mode: no diff samples)"
+                    )
+        except Exception as e:
+            print(f"FAIL {name}: duckdb error: {str(e)[:300]}")
+            n_fail += 1
+            continue
         if problems:
             print(f"FAIL {name}: {'; '.join(problems)}")
             n_fail += 1
         else:
-            print(f"PASS {name}: rows={len(spark_rows)} [{time.time() - t0:.1f}s]")
+            mode = " (chunked-digest)" if s_digest is not None else ""
+            print(f"PASS {name}: rows={spark_n}{mode} [{time.time() - t0:.1f}s]")
     print(f"\n{'ALL PASS' if n_fail == 0 else f'{n_fail} FAILURES'}")
     return 1 if n_fail else 0
 
