@@ -312,6 +312,10 @@ HEADLINE = [
     "text_hapax_ratio_by_source",
     "corpus_length_percentiles_by_lang",
     "ann_radius_sensitivity",
+    # round-9 additions (llm23 + containment join)
+    "decontaminate_incremental_bloom",
+    "pack_bucketed_greedy",
+    "spatial_convex_contains_join",
     # graph_neighbor_jaccard_topk / graph_common_neighbors_topk are
     # deliberately NOT benched, like the rest of the wedge-join family:
     # their cost is the capped wedge enumeration itself (bounded at
@@ -405,16 +409,40 @@ def main() -> None:
     # from the same heap state, then take the min -- the closest a
     # long-lived session gets to a fresh-session per-query time
     warm_best: dict[str, float] = {}
+    warm_best_runs: dict[str, list[float]] = {}
     top = sorted(warm, key=warm.get, reverse=True)[:WARM_BEST_TOPN]
     for name in top:
         best = warm[name]
+        runs = []
         for _ in range(WARM_BEST_RUNS):
             gc.collect()  # python side too, not just the JVM (ADVICE r4)
             spark.sparkContext._jvm.System.gc()
-            best = min(best, run_once(name))
+            runs.append(round(run_once(name), 3))
+            best = min(best, runs[-1])
         warm_best[name] = round(best, 3)
+        # per-query dispersion (VERDICT r8 #7): the raw isolated runs,
+        # so a round-over-round drift is attributable without forensic
+        # re-runs -- a wide spread here says host/GC, a tight spread
+        # that MOVED says plan
+        warm_best_runs[name] = runs
 
     total = round(sum(timings.values()), 3)
+    # environment stanza (VERDICT r8 #7): host load + uptime recorded
+    # WITH the numbers, so ambient contention is visible in the
+    # artifact instead of needing bracketing runs to adjudicate
+    try:
+        with open("/proc/uptime") as f:
+            uptime_s = float(f.read().split()[0])
+    except OSError:
+        uptime_s = -1.0
+    env = {
+        "load1": round(os.getloadavg()[0], 2),
+        "load5": round(os.getloadavg()[1], 2),
+        "uptime_sec": round(uptime_s, 0),
+        "cpus": os.cpu_count(),
+        "spark_cpus": os.environ.get("SPARK_GRAFT_CPUS", ""),
+        "utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+    }
     detail = {
         "metric": "headline_queries_total",
         "value": total,
@@ -423,6 +451,8 @@ def main() -> None:
         "queries_warm": warm,
         "value_warm": round(sum(warm.values()), 3),
         "queries_warm_best": warm_best,
+        "queries_warm_best_runs": warm_best_runs,
+        "env": env,
         "sf": float(sf),
         "n_queries": len(HEADLINE),
     }

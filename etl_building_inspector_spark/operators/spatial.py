@@ -339,6 +339,77 @@ def convex_intersects(ring_a: Column, ring_b: Column) -> Column:
     return ~_separates(ring_a, ring_b) & ~_separates(ring_b, ring_a)
 
 
+def convex_contains(outer: Column, inner: Column) -> Column:
+    """Exact convex containment: CCW closed ring `outer` contains ring
+    `inner` iff EVERY vertex of inner is inside-or-on every edge of
+    outer (cross sign >= 0 for all edge/vertex pairs) -- for a convex
+    outer, vertex containment implies full-polygon containment
+    (convexity closes the hull over the vertices; inner need not be
+    convex, only its vertices matter). Non-strict: boundary contact
+    still counts as contained, matching the closed semantics of
+    convex_intersects. Pure integer cross products -- exact and
+    engine-portable (the DuckDB twin replays the same arithmetic).
+    This is the containment predicate VERDICT r8 #6 flagged as the
+    missing companion to the SAT intersection join."""
+    edge_idx = F.sequence(F.lit(0), F.size(outer) - 2)
+    return F.forall(
+        edge_idx,
+        lambda i: F.forall(inner, lambda v: _cross_sign(outer, i, v) >= 0),
+    )
+
+
+def convex_contains_join(
+    a: DataFrame,
+    b: DataFrame,
+    cell: int = 10,
+    a_id: str = "a_id",
+    b_id: str = "b_id",
+) -> DataFrame:
+    """Filter-refine containment join: pairs (a, b) where convex ring
+    `a` fully contains ring `b`. Filter: b's bbox cells must be a
+    subset of cells a covers, so the same grid equi-join as
+    convex_sat_join over-generates candidates and the refine prunes;
+    the candidate set is identical to the intersection join's (a
+    contained polygon always shares cells). Same 100 TB shape:
+    bounded per-shape cell fanout, one hash shuffle on (layer, cell),
+    map-side refine predicate."""
+    def with_cells(df, idc, ring_out):
+        xs = F.transform(F.col("ring"), lambda v: F.element_at(v, 1))
+        ys = F.transform(F.col("ring"), lambda v: F.element_at(v, 2))
+        return (
+            df.withColumn("__x0", F.array_min(xs))
+            .withColumn("__x1", F.array_max(xs))
+            .withColumn("__y0", F.array_min(ys))
+            .withColumn("__y1", F.array_max(ys))
+            .withColumn(
+                "cx",
+                F.explode(
+                    F.sequence(
+                        F.floor(F.col("__x0") / cell).cast("long"),
+                        F.floor(F.col("__x1") / cell).cast("long"),
+                    )
+                ),
+            )
+            .withColumn(
+                "cy",
+                F.explode(
+                    F.sequence(
+                        F.floor(F.col("__y0") / cell).cast("long"),
+                        F.floor(F.col("__y1") / cell).cast("long"),
+                    )
+                ),
+            )
+            .select(idc, "layer_id", F.col("ring").alias(ring_out), "cx", "cy")
+        )
+
+    ac = with_cells(a.select(F.col(a_id), "layer_id", "ring"), a_id, "ring_a")
+    bc = with_cells(b.select(F.col(b_id), "layer_id", "ring"), b_id, "ring_b")
+    cand = ac.join(bc, ["layer_id", "cx", "cy"]).dropDuplicates([a_id, b_id])
+    return cand.where(
+        convex_contains(F.col("ring_a"), F.col("ring_b"))
+    ).select(a_id, b_id)
+
+
 def convex_sat_join(
     a: DataFrame,
     b: DataFrame,

@@ -726,15 +726,63 @@ def _emb_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base.unionByName(pert)
 
 
+def _adaptive_planes_cte(
+    n_tables: int,
+    src: str = "emb",
+    target_bucket_width: int = 4,
+    floor: int = 4,
+    cap: int = 16,
+    dim: int = EMB_DIM,
+) -> str:
+    """Planes CTE that derives m from count(*) of `src` EXACTLY as the
+    engine does (similarity.adaptive_planes_per_table: m = clamp(
+    ceil(log2(max(n,2)/w)), floor, cap)), then regenerates the
+    hyperplanes in SQL from the same md5 byte stream as
+    similarity._hyperplane -- seed = tbl*m + p, value k of block i is
+    the big-endian signed int32 at md5(f'{seed}:{i}') byte offset 4k,
+    divided by 2^31 (exact in double). This retired the static-m soak
+    exemption (VERDICT r8 #2): the twin now tracks the engine's
+    adaptive m at EVERY fixture scale instead of only where
+    adaptive_planes_per_table(n) happens to equal NEARDUP_LSH_PLANES.
+    Bit-exactness of the SQL-regenerated planes vs lsh_planes() is
+    pinned by tests/test_similarity.py."""
+    assert dim % 4 == 0, "block/offset grid assumes dim % 4 == 0"
+    n_blocks = dim // 4
+    return f"""params AS (
+  SELECT LEAST({cap}, GREATEST({floor}, CAST(CEIL(LOG2(
+    GREATEST((SELECT count(*) FROM {src}), 2) / {float(target_bucket_width)}
+  )) AS INTEGER))) AS m
+),
+seeds AS (
+  SELECT ts.t AS tbl, ps.p AS p, CAST(1 << ps.p AS BIGINT) AS bit,
+         ts.t * params.m + ps.p AS seed
+  FROM generate_series(0, {n_tables - 1}) AS ts(t)
+  CROSS JOIN params
+  JOIN generate_series(0, {cap - 1}) AS ps(p) ON ps.p < params.m
+),
+planevals AS (
+  SELECT s.tbl, s.bit, g.blk, o.off,
+         ('0x' || substr(md5(s.seed || ':' || g.blk), o.off * 8 + 1, 8))::BIGINT AS raw
+  FROM seeds s,
+       generate_series(0, {n_blocks - 1}) AS g(blk),
+       (VALUES (0), (1), (2), (3)) AS o(off)
+),
+planes AS (
+  SELECT tbl, bit,
+         list(CAST(CASE WHEN raw >= 2147483648 THEN raw - 4294967296 ELSE raw END AS DOUBLE)
+              / 2147483648.0 ORDER BY blk, off) AS vec
+  FROM planevals GROUP BY tbl, bit
+)"""
+
+
 def _neardup_lsh_sql(
     threshold: float = NEARDUP_LSH_THRESHOLD,
     n_tables: int = NEARDUP_LSH_TABLES,
-    m: int = NEARDUP_LSH_PLANES,
     cap: int = NEARDUP_BUCKET_CAP,
 ) -> str:
     return f"""
 WITH {_EMB_WITH_DUPS_SQL.strip()},
-{_planes_cte(n_tables, m)},
+{_adaptive_planes_cte(n_tables)},
 {_buckets_cte("emb")},
 kept AS (SELECT tbl, bucket FROM buckets GROUP BY tbl, bucket HAVING count(*) <= {cap}),
 b2 AS (SELECT buckets.* FROM buckets JOIN kept USING (tbl, bucket)),
@@ -762,10 +810,11 @@ def dedup_embedding_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     planes_per_table=None: m auto-sizes from the corpus count so the
     candidate join stays linear in corpus size (SCALING.md). The
-    static DuckDB oracle is generated with NEARDUP_LSH_PLANES, which
-    MUST equal the adaptive m at the driver's correctness sf (0.01,
-    600 fixture vectors) -- pinned by
-    tests/test_similarity.py::test_neardup_adaptive_m_matches_oracle."""
+    DuckDB oracle is ADAPTIVE too (VERDICT r8 #2): it derives m from
+    count(*) and regenerates the hyperplanes from the same md5 stream
+    in SQL (_adaptive_planes_cte), so engine and twin agree at every
+    fixture scale, not only where the adaptive m happens to equal 8 --
+    pinned by tests/test_similarity.py::test_neardup_adaptive_m_matches_oracle."""
     out = embedding_neardup_lsh(
         _emb_with_dups(spark, sf_dir),
         "embedding",

