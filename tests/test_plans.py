@@ -474,3 +474,24 @@ def test_whole_registry_plan_lint(spark, sf_dir):
         "un-audited BroadcastNestedLoopJoin (justify + whitelist or "
         f"rewrite as equi join): {rogue_bnlj}"
     )
+
+
+def test_pack_bucketed_greedy_single_exchange(spark, sf_dir):
+    """The applyInPandas-free packing is one hash shuffle on (source,
+    bucket) -- the window -- and nothing else: rank arithmetic is
+    map-side. If a second Exchange appears, the declarative packing
+    lost its reason to exist vs pack_greedy."""
+    plan = _executed(spark, "pack_bucketed_greedy", sf_dir)
+    assert plan.count("Exchange") == 1, plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_convex_contains_join_is_grid_equi(spark, sf_dir):
+    """The containment join must keep the SAT join's filter-refine
+    shape: a hash equi-join on (layer, cell) -- never an all-pairs
+    nested loop -- with the vertex-in-halfplane refine as a
+    post-join predicate."""
+    plan = _executed(spark, "spatial_convex_contains_join", sf_dir)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange") <= 2, plan
