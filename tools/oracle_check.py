@@ -108,6 +108,15 @@ def main() -> int:
     only = set(sys.argv[2:]) or set(queries)
 
     con = duckdb.connect()
+    # soak hygiene: DuckDB's default memory_limit (80% of RAM) lets a
+    # big shingle-join oracle bad-alloc instead of spilling; cap it
+    # and point the spill at a roomy temp dir for derived-scale runs
+    mem = os.environ.get("ORACLE_CHECK_DUCK_MEM", "")
+    if mem:
+        con.execute(f"SET memory_limit='{mem}'")
+    tmp = os.environ.get("ORACLE_CHECK_DUCK_TMP", "")
+    if tmp:
+        con.execute(f"SET temp_directory='{tmp}'")
     for t in (
         "region nation customer supplier part orders lineitem events "
         "documents embeddings".split()
