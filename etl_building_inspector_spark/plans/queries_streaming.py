@@ -48,7 +48,19 @@ def _stream_events_dir(spark: SparkSession, sf_dir: str) -> str:
     """
     from ..sources.tables import load_table
 
-    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    # the staging cache key includes a fingerprint of the SOURCE
+    # parquet (size + mtime): a derived soak fixture can be REBUILT
+    # under the same path (round 9's stride fix did exactly that),
+    # and a basename-only key then serves stale events to the stream
+    # while the batch oracle reads the new file -- found as 4
+    # phantom streaming "failures" in the r9 sf0.3-derived soak
+    src = os.path.join(sf_dir, "events.parquet")
+    try:
+        st = os.stat(src)
+        fp = f"{st.st_size}_{int(st.st_mtime)}"
+    except OSError:
+        fp = "nofp"
+    tag = (os.path.basename(os.path.normpath(sf_dir)) or "sf") + "_" + fp
     d = os.path.join(tempfile.gettempdir(), f"ebi_stream_events_{tag}")
     marker = os.path.join(d, "_SUCCESS")
     if not os.path.exists(marker):
