@@ -498,6 +498,17 @@ def main() -> None:
         "value_warm": detail["value_warm"],
         "queries": slowest_cold,
         "queries_warm_best_top10": warm_best,
+        # compact env stanza (VERDICT r9 #3): the driver's BENCH_rN
+        # artifact is the one judged round-over-round; carrying host
+        # load/uptime IN that payload makes ambient contention
+        # adjudicable without forensic bracketing runs (the r8 276 s
+        # incident). Three keys only -- the 1900-char guard below is
+        # the budget.
+        "env": {
+            "load1": env["load1"],
+            "load5": env["load5"],
+            "uptime_sec": env["uptime_sec"],
+        },
         "detail": "BENCH_DETAIL.json",
     }
     if "extra" in detail:

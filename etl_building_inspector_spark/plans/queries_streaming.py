@@ -57,13 +57,30 @@ def _stream_events_dir(spark: SparkSession, sf_dir: str) -> str:
     src = os.path.join(sf_dir, "events.parquet")
     try:
         st = os.stat(src)
-        fp = f"{st.st_size}_{int(st.st_mtime)}"
+        # st_mtime_ns, not int(st_mtime): a fixture rebuilt within the
+        # same wall-clock second with an identical byte size would
+        # otherwise reuse the stale staging -- the exact failure class
+        # this fingerprint exists to prevent (ADVICE r9)
+        fp = f"{st.st_size}_{st.st_mtime_ns}"
     except OSError:
         fp = "nofp"
-    tag = (os.path.basename(os.path.normpath(sf_dir)) or "sf") + "_" + fp
+    base_tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    tag = base_tag + "_" + fp
     d = os.path.join(tempfile.gettempdir(), f"ebi_stream_events_{tag}")
     marker = os.path.join(d, "_SUCCESS")
     if not os.path.exists(marker):
+        # reap stale stagings for the SAME basename before staging a
+        # new one: rebuild loops (derived-fixture soaks regenerate
+        # /tmp/sfX-derived in place) otherwise leak a tempdir per
+        # rebuild (ADVICE r9)
+        import shutil
+
+        prefix = f"ebi_stream_events_{base_tag}_"
+        for old in os.listdir(tempfile.gettempdir()):
+            if old.startswith(prefix) and "_stage_" not in old and old != f"ebi_stream_events_{tag}":
+                shutil.rmtree(
+                    os.path.join(tempfile.gettempdir(), old), ignore_errors=True
+                )
         # private mkdtemp staging per runner (not a shared fixed name):
         # concurrent runners race only on the atomic rename
         stage = tempfile.mkdtemp(prefix=f"ebi_stream_events_{tag}_stage_")
@@ -73,8 +90,6 @@ def _stream_events_dir(spark: SparkSession, sf_dir: str) -> str:
             os.rename(out, d)
         except OSError:
             pass  # concurrent winner already renamed; theirs is complete
-        import shutil
-
         shutil.rmtree(stage, ignore_errors=True)
     return d
 

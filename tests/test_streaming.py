@@ -900,3 +900,40 @@ def test_late_data_drop_metric_matches_prediction(spark, sf_dir):
     )
     assert dropped_per_batch[2] == expected_dropped_cells
     assert expected_dropped_cells > 0  # the fixture must exercise the drop
+
+
+def test_stream_staging_cache_invalidates_on_inplace_rewrite(spark, tmp_path):
+    """Pin the round-9 incident class (queries_streaming staging cache
+    served stale events after an in-place fixture rebuild) at its
+    sharpest edge: a rewrite that keeps the SAME byte size within the
+    SAME wall-clock second must still invalidate (ADVICE r9 -->
+    st_mtime_ns in the fingerprint), and stale stagings for the same
+    fixture basename must be reaped, not leaked."""
+    import os
+    import shutil
+
+    from etl_building_inspector_spark.plans.queries_streaming import (
+        _stream_events_dir,
+    )
+
+    sf_like = tmp_path / "sfTESTfp"
+    sf_like.mkdir()
+    src = str(sf_like / "events.parquet")
+    shutil.copyfile("/root/testdata/sf0.001/events.parquet", src)
+    os.utime(src, ns=(1_700_000_000_000_000_000, 1_700_000_000_000_000_000))
+
+    d1 = _stream_events_dir(spark, str(sf_like))
+    assert os.path.exists(os.path.join(d1, "_SUCCESS"))
+
+    # in-place rewrite: identical bytes (same size), mtime bumped by
+    # ONE NANOSECOND -- int(st_mtime) is unchanged, so the old
+    # size+whole-second key would have reused d1
+    os.utime(src, ns=(1_700_000_000_000_000_000, 1_700_000_000_000_000_001))
+    d2 = _stream_events_dir(spark, str(sf_like))
+    assert d2 != d1
+    assert os.path.exists(os.path.join(d2, "_SUCCESS"))
+    # the stale staging for the same basename was reaped, not leaked
+    assert not os.path.exists(d1)
+
+    # unchanged source -> cache hit (no re-stage, same dir back)
+    assert _stream_events_dir(spark, str(sf_like)) == d2

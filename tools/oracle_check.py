@@ -178,20 +178,44 @@ def main() -> int:
             continue
         d_idx = [duck_cols.index(c) for c in sorted(duck_cols)]
         try:
-            if s_digest is None:
-                duck_rows = res.fetchall()
-                duck_sorted = [
-                    tuple(canon(r[i]) for i in d_idx) for r in duck_rows
-                ]
+            # duck side streams via fetchmany UNCONDITIONALLY (ADVICE
+            # r9: the old fetchall path buffered the entire oracle
+            # result even when the SPARK side stayed small -- exactly
+            # the rowcount-bug scenario where the oracle explodes).
+            # Buffer rows up to ROW_CAP; past it, fold into the
+            # commutative digest and drop the buffer.
+            duck_sorted: list[tuple] = []
+            d_digest = RowDigest() if s_digest is not None else None
+            while True:
+                chunk = res.fetchmany(_FETCH)
+                if not chunk:
+                    break
+                for r in chunk:
+                    t = tuple(canon(r[i]) for i in d_idx)
+                    if d_digest is None:
+                        duck_sorted.append(t)
+                        if len(duck_sorted) > ROW_CAP:
+                            d_digest = RowDigest()
+                            for old in duck_sorted:
+                                d_digest.update(old)
+                            duck_sorted = []
+                    else:
+                        d_digest.update(t)
+            if s_digest is None and d_digest is None:
                 problems = compare(name, spark_rows, duck_sorted)
             else:
-                d_digest = RowDigest()
-                while True:
-                    chunk = res.fetchmany(_FETCH)
-                    if not chunk:
-                        break
-                    for r in chunk:
-                        d_digest.update(tuple(canon(r[i]) for i in d_idx))
+                # digest mode on at least one side: fold the small
+                # side (if any) so both compare as digests
+                if s_digest is None:
+                    s_digest = RowDigest()
+                    for t in spark_rows:
+                        s_digest.update(t)
+                    spark_rows = []
+                if d_digest is None:
+                    d_digest = RowDigest()
+                    for t in duck_sorted:
+                        d_digest.update(t)
+                    duck_sorted = []
                 problems = []
                 if s_digest.n != d_digest.n:
                     problems.append(
