@@ -316,6 +316,12 @@ HEADLINE = [
     "decontaminate_incremental_bloom",
     "pack_bucketed_greedy",
     "spatial_convex_contains_join",
+    # round-10 additions (index refresh, non-convex join, streaming
+    # decon -- the last one carries real micro-batch lifecycle cost,
+    # benched so the incremental path's overhead is a tracked number)
+    "dedup_minhash_index_refresh",
+    "spatial_simple_poly_intersect_join",
+    "streaming_decontaminate_bloom",
     # graph_neighbor_jaccard_topk / graph_common_neighbors_topk are
     # deliberately NOT benched, like the rest of the wedge-join family:
     # their cost is the capped wedge enumeration itself (bounded at

@@ -660,3 +660,83 @@ def jaccard_prefix_filter_pairs(
             (F.col("inter_sh").cast("double") / F.col("union_sh")).alias("jaccard"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Standing MinHash band index: build / merge / probe (VERDICT r9 #5a).
+# The near-dup twin of textops.bloom_decontaminate_incremental --
+# corpora arrive in batches, and absorbing a batch into the standing
+# index must cost O(|batch|), never a corpus re-shingle.
+# ---------------------------------------------------------------------------
+
+
+def minhash_band_index(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """The persisted artifact of an incremental near-dup pipeline:
+    band buckets PRE-AGGREGATED to one row per (band, key) carrying
+    mergeable summaries -- (n_index_docs, first_match_id) = (count,
+    min doc id). Unlike the pair-enumeration path this never holds a
+    doc list per bucket, so a hot boilerplate key stays one row and
+    probe fanout is bounded by construction (the shape
+    queries_llm6.dedup_incremental_minhash established; this factors
+    it into a reusable build/merge/probe triple).
+
+    100 TB shape: one shuffle on (band, key) with map-side partial
+    aggregation; the result is exactly what a daily pipeline persists
+    (bucketed by `key`) between runs.
+    """
+    buckets = minhash_lsh_buckets(df, text_col, id_col, k, bands, shingle_n)
+    return buckets.groupBy("band", "key").agg(
+        F.count("*").cast("long").alias("n_index_docs"),
+        F.min(id_col).cast("long").alias("first_match_id"),
+    )
+
+
+def merge_minhash_band_indexes(*indexes: DataFrame) -> DataFrame:
+    """REFRESH the standing index with one or more batch indexes:
+    union + re-aggregate. count/min are commutative monoids, so
+    merge(index(A), index(B)) == index(A ∪ B) exactly (pinned in
+    tests/test_r10_properties.py) -- the refresh touches only the
+    index rows, never the corpus text. At scale both sides are
+    already hash-partitioned on (band, key) from their own builds, so
+    AQE plans this as a co-partitioned merge; worst case it is one
+    shuffle of |index| + |batch| SUMMARY rows (thousands of bytes per
+    billion docs of text scanned -- the entire point of the refresh
+    path)."""
+    assert indexes, "need at least one index"
+    merged = indexes[0]
+    for nxt in indexes[1:]:
+        merged = merged.unionByName(nxt)
+    return merged.groupBy("band", "key").agg(
+        F.sum("n_index_docs").cast("long").alias("n_index_docs"),
+        F.min("first_match_id").cast("long").alias("first_match_id"),
+    )
+
+
+def probe_minhash_band_index(
+    new_docs: DataFrame,
+    index: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Which NEW docs collide with the standing index, and where: one
+    row per colliding doc -- (id, hit_bands, n_index_docs,
+    first_match_id). The join output is <= bands x |new docs| rows
+    regardless of index skew (the index side is one row per key), so
+    no bucket cap is needed."""
+    bandkeys = minhash_lsh_buckets(new_docs, text_col, id_col, k, bands, shingle_n)
+    hits = bandkeys.join(index, ["band", "key"])
+    return hits.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("hit_bands"),
+        F.sum("n_index_docs").cast("long").alias("n_index_docs"),
+        F.min("first_match_id").cast("long").alias("first_match_id"),
+    )

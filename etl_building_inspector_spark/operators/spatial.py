@@ -461,3 +461,163 @@ def convex_sat_join(
     return cand.where(
         convex_intersects(F.col("ring"), F.col("ring_b"))
     ).select(a_id, b_id)
+
+
+# ---------------------------------------------------------------------------
+# SIMPLE (possibly non-convex) polygon intersection join (VERDICT r9
+# #5b). The SAT pair above covers convex rings only; real building
+# footprints (reference J3, geo-indices.js:38-50) are non-convex.
+# Exact decomposition for simple closed rings A, B:
+#   A ∩ B != empty  <=>  some edge of A intersects some edge of B
+#                        OR vertex0(A) inside B  (A wholly within B)
+#                        OR vertex0(B) inside A  (B wholly within A)
+# All three legs are integer arithmetic (CLRS segment intersection +
+# strict even-odd ray cast), so Spark and the DuckDB twin replay the
+# same math bit-for-bit. Orientation-agnostic: neither leg assumes
+# CCW, unlike the convex SAT/containment predicates.
+# ---------------------------------------------------------------------------
+
+
+def _ring_edges(ring: Column) -> Column:
+    """array<struct<ax,ay,bx,by>> of directed edges for a CLOSED ring
+    (first vertex repeated last) of [x, y] integer points."""
+    return F.zip_with(
+        F.slice(ring, 1, F.size(ring) - 1),
+        F.slice(ring, 2, F.size(ring) - 1),
+        lambda a, b: F.struct(
+            a.getItem(0).alias("ax"),
+            a.getItem(1).alias("ay"),
+            b.getItem(0).alias("bx"),
+            b.getItem(1).alias("by"),
+        ),
+    )
+
+
+def _orient(ox: Column, oy: Column, px: Column, py: Column, qx: Column, qy: Column) -> Column:
+    """cross(p - o, q - o): sign = which side of directed line o->p
+    the point q lies on. Integer-exact."""
+    return (px - ox) * (qy - oy) - (py - oy) * (qx - ox)
+
+
+def segments_intersect(e1: Column, e2: Column) -> Column:
+    """Closed segment-segment intersection (touching counts), the
+    CLRS orientation test: proper crossing when the endpoints of each
+    segment straddle the other's line; degenerate contact when an
+    endpoint is collinear with AND inside the bbox of the other
+    segment (covers vertex-on-edge and collinear-overlap). e1/e2 are
+    _ring_edges structs. Products of two cross products stay < 2^62
+    for coordinates < ~2^15 -- the integer-lattice contract."""
+    p1x, p1y = e1.getField("ax"), e1.getField("ay")
+    p2x, p2y = e1.getField("bx"), e1.getField("by")
+    q1x, q1y = e2.getField("ax"), e2.getField("ay")
+    q2x, q2y = e2.getField("bx"), e2.getField("by")
+    d1 = _orient(q1x, q1y, q2x, q2y, p1x, p1y)
+    d2 = _orient(q1x, q1y, q2x, q2y, p2x, p2y)
+    d3 = _orient(p1x, p1y, p2x, p2y, q1x, q1y)
+    d4 = _orient(p1x, p1y, p2x, p2y, q2x, q2y)
+
+    def on_seg(ax, ay, bx, by, px, py):
+        return (
+            (F.least(ax, bx) <= px)
+            & (px <= F.greatest(ax, bx))
+            & (F.least(ay, by) <= py)
+            & (py <= F.greatest(ay, by))
+        )
+
+    proper = (d1 * d2 < 0) & (d3 * d4 < 0)
+    touch = (
+        ((d1 == 0) & on_seg(q1x, q1y, q2x, q2y, p1x, p1y))
+        | ((d2 == 0) & on_seg(q1x, q1y, q2x, q2y, p2x, p2y))
+        | ((d3 == 0) & on_seg(p1x, p1y, p2x, p2y, q1x, q1y))
+        | ((d4 == 0) & on_seg(p1x, p1y, p2x, p2y, q2x, q2y))
+    )
+    return proper | touch
+
+
+def point_in_polygon_int(px: Column, py: Column, ring: Column) -> Column:
+    """STRICT even-odd ray cast over an integer ring -- the exact
+    twin of point_in_polygon without its double division: px < x_at_y
+    is evaluated as sign(by - ay) * [(ax-px)(by-ay) + (py-ay)(bx-ax)]
+    > 0, pure int64. Boundary points return false (strict); callers
+    needing closed semantics get boundary contact from the edge test
+    (a vertex ON the other ring's edge is a degenerate segment
+    intersection)."""
+    edges = _ring_edges(ring)
+
+    def crossed(e: Column) -> Column:
+        ax, ay = e.getField("ax"), e.getField("ay")
+        bx, by = e.getField("bx"), e.getField("by")
+        straddles = (ay > py) != (by > py)
+        num = (ax - px) * (by - ay) + (py - ay) * (bx - ax)
+        pos = F.when(by > ay, num > 0).otherwise(num < 0)
+        return straddles & pos
+
+    return F.size(F.filter(edges, crossed)) % 2 == 1
+
+
+def polygons_intersect(ring_a: Column, ring_b: Column) -> Column:
+    """Exact intersection test for two SIMPLE closed integer rings,
+    convexity not required. Closed semantics: boundary contact counts
+    (the touch branch of segments_intersect), matching the convex SAT
+    pair's choice so the two joins agree on convex inputs (pinned in
+    tests/test_r10_properties.py)."""
+    ea, eb = _ring_edges(ring_a), _ring_edges(ring_b)
+    edge_hit = F.exists(ea, lambda e1: F.exists(eb, lambda e2: segments_intersect(e1, e2)))
+    a0, b0 = F.element_at(ring_a, 1), F.element_at(ring_b, 1)
+    a_in_b = point_in_polygon_int(a0.getItem(0), a0.getItem(1), ring_b)
+    b_in_a = point_in_polygon_int(b0.getItem(0), b0.getItem(1), ring_a)
+    return edge_hit | a_in_b | b_in_a
+
+
+def simple_polygon_intersect_join(
+    a: DataFrame,
+    b: DataFrame,
+    cell: int = 10,
+    a_id: str = "a_id",
+    b_id: str = "b_id",
+) -> DataFrame:
+    """Filter-refine intersection join for simple (possibly
+    NON-convex) polygons: the same grid-cell equi-join filter as
+    convex_sat_join (bbox cells from the ring itself, one hash
+    shuffle on (layer_id, cx, cy), bounded per-shape fanout), refined
+    by the exact polygons_intersect predicate map-side. The refine is
+    O(|edges_a| x |edges_b|) per CANDIDATE pair -- candidates are the
+    tiny grid-collision fraction of the cross product, where bounded
+    HOF evaluation beats any unrolled form."""
+    def with_cells(df, idc):
+        xs = F.transform(F.col("ring"), lambda v: F.element_at(v, 1))
+        ys = F.transform(F.col("ring"), lambda v: F.element_at(v, 2))
+        return (
+            df.withColumn("__x0", F.array_min(xs))
+            .withColumn("__x1", F.array_max(xs))
+            .withColumn("__y0", F.array_min(ys))
+            .withColumn("__y1", F.array_max(ys))
+            .withColumn(
+                "cx",
+                F.explode(
+                    F.sequence(
+                        F.floor(F.col("__x0") / cell).cast("long"),
+                        F.floor(F.col("__x1") / cell).cast("long"),
+                    )
+                ),
+            )
+            .withColumn(
+                "cy",
+                F.explode(
+                    F.sequence(
+                        F.floor(F.col("__y0") / cell).cast("long"),
+                        F.floor(F.col("__y1") / cell).cast("long"),
+                    )
+                ),
+            )
+            .select(idc, "layer_id", "ring", "cx", "cy")
+        )
+
+    ac = with_cells(a.select(F.col(a_id), "layer_id", "ring"), a_id)
+    bc = with_cells(
+        b.select(F.col(b_id), "layer_id", "ring"), b_id
+    ).withColumnRenamed("ring", "ring_b")
+    cand = ac.join(bc, ["layer_id", "cx", "cy"]).dropDuplicates([a_id, b_id])
+    return cand.where(
+        polygons_intersect(F.col("ring"), F.col("ring_b"))
+    ).select(a_id, b_id)

@@ -1099,3 +1099,171 @@ def spatial_convex_contains_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return convex_contains_join(
         dia, tri, cell=_BBOX_CELL, a_id="poly_id", b_id="tri_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# SIMPLE (non-convex) polygon intersection join (VERDICT r9 #5b).
+# Supplier DARTS (concave quadrilateral, notch at the top) against
+# part L-SHAPES (concave hexagon) -- the convex SAT predicate is
+# invalid for both shapes, so this exercises the full edge-crossing +
+# point-containment decomposition end to end. Same lattice placement
+# as the convex queries so the candidate structure is comparable.
+# ---------------------------------------------------------------------------
+
+
+def _seg_sql(e1: str, e2: str) -> str:
+    """CLRS closed segment intersection for 4-lists [x1,y1,x2,y2]."""
+    p1x, p1y, p2x, p2y = f"{e1}[1]", f"{e1}[2]", f"{e1}[3]", f"{e1}[4]"
+    q1x, q1y, q2x, q2y = f"{e2}[1]", f"{e2}[2]", f"{e2}[3]", f"{e2}[4]"
+
+    def orient(ox, oy, px, py, qx, qy):
+        return (
+            f"(({px})-({ox}))*(({qy})-({oy})) - (({py})-({oy}))*(({qx})-({ox}))"
+        )
+
+    def on_seg(ax, ay, bx, by, px, py):
+        return (
+            f"least({ax},{bx}) <= {px} AND {px} <= greatest({ax},{bx}) "
+            f"AND least({ay},{by}) <= {py} AND {py} <= greatest({ay},{by})"
+        )
+
+    d1 = orient(q1x, q1y, q2x, q2y, p1x, p1y)
+    d2 = orient(q1x, q1y, q2x, q2y, p2x, p2y)
+    d3 = orient(p1x, p1y, p2x, p2y, q1x, q1y)
+    d4 = orient(p1x, p1y, p2x, p2y, q2x, q2y)
+    return (
+        f"(({d1})*({d2}) < 0 AND ({d3})*({d4}) < 0)"
+        f" OR (({d1}) = 0 AND {on_seg(q1x, q1y, q2x, q2y, p1x, p1y)})"
+        f" OR (({d2}) = 0 AND {on_seg(q1x, q1y, q2x, q2y, p2x, p2y)})"
+        f" OR (({d3}) = 0 AND {on_seg(p1x, p1y, p2x, p2y, q1x, q1y)})"
+        f" OR (({d4}) = 0 AND {on_seg(p1x, p1y, p2x, p2y, q2x, q2y)})"
+    )
+
+
+def _pip_strict_sql(px: str, py: str, ring: str) -> str:
+    """Strict even-odd integer ray cast (boundary = outside)."""
+    ax, ay = f"{ring}[i][1]", f"{ring}[i][2]"
+    bx, by = f"{ring}[i+1][1]", f"{ring}[i+1][2]"
+    num = f"(({ax})-({px}))*(({by})-({ay})) + (({py})-({ay}))*(({bx})-({ax}))"
+    return (
+        f"len(list_filter(generate_series(1, len({ring}) - 1), i -> "
+        f"(({ay}) > ({py})) <> (({by}) > ({py})) AND "
+        f"(CASE WHEN ({by}) > ({ay}) THEN ({num}) > 0 ELSE ({num}) < 0 END)"
+        f")) % 2 = 1"
+    )
+
+
+def _simple_poly_intersect_sql(cell: int = _BBOX_CELL) -> str:
+    edges = (
+        "list_transform(generate_series(1, len({r}) - 1), "
+        "i -> [{r}[i][1], {r}[i][2], {r}[i+1][1], {r}[i+1][2]])"
+    )
+    edge_hit = (
+        f"len(list_filter({edges.format(r='ra')}, e1 -> "
+        f"len(list_filter({edges.format(r='rb')}, e2 -> "
+        f"{_seg_sql('e1', 'e2')})) > 0)) > 0"
+    )
+    intersects = (
+        f"({edge_hit})"
+        f" OR ({_pip_strict_sql('ra[1][1]', 'ra[1][2]', 'rb')})"
+        f" OR ({_pip_strict_sql('rb[1][1]', 'rb[1][2]', 'ra')})"
+    )
+    return f"""
+WITH dart AS (
+  SELECT CAST(s_suppkey AS BIGINT) AS poly_id,
+         CAST(s_nationkey % 5 AS BIGINT) AS layer_id,
+         [[cx, cy - r], [cx + r, cy + r], [cx, cy + 1], [cx - r, cy + r], [cx, cy - r]] AS ra
+  FROM (SELECT s_suppkey, s_nationkey,
+               CAST((s_suppkey % 40) * 10 AS BIGINT) AS cx,
+               CAST((s_suppkey // 40) * 10 AS BIGINT) AS cy,
+               CAST(3 + s_suppkey % 4 AS BIGINT) AS r
+        FROM supplier)),
+ell AS (
+  SELECT CAST(p_partkey AS BIGINT) AS shape_id,
+         CAST(p_partkey % 5 AS BIGINT) AS layer_id,
+         [[bx, by], [bx + w, by], [bx + w, by + 1], [bx + 1, by + 1],
+          [bx + 1, by + w], [bx, by + w], [bx, by]] AS rb
+  FROM (SELECT p_partkey,
+               CAST((p_partkey % 40) * 10 + 2 AS BIGINT) AS bx,
+               CAST((p_partkey // 40 % 25) * 10 + 2 AS BIGINT) AS by,
+               CAST(2 + p_partkey % 3 AS BIGINT) AS w
+        FROM part)),
+a1 AS (
+  SELECT poly_id, layer_id, ra,
+         unnest(generate_series(list_min(list_transform(ra, v -> v[1])) // {cell},
+                                list_max(list_transform(ra, v -> v[1])) // {cell})) AS cx
+  FROM dart),
+a_cells AS (
+  SELECT poly_id, layer_id, ra, cx,
+         unnest(generate_series(list_min(list_transform(ra, v -> v[2])) // {cell},
+                                list_max(list_transform(ra, v -> v[2])) // {cell})) AS cy
+  FROM a1),
+b1 AS (
+  SELECT shape_id, layer_id, rb,
+         unnest(generate_series(list_min(list_transform(rb, v -> v[1])) // {cell},
+                                list_max(list_transform(rb, v -> v[1])) // {cell})) AS cx
+  FROM ell),
+b_cells AS (
+  SELECT shape_id, layer_id, rb, cx,
+         unnest(generate_series(list_min(list_transform(rb, v -> v[2])) // {cell},
+                                list_max(list_transform(rb, v -> v[2])) // {cell})) AS cy
+  FROM b1),
+cand AS (
+  SELECT DISTINCT poly_id, shape_id, ra, rb
+  FROM a_cells a JOIN b_cells b
+    ON a.layer_id = b.layer_id AND a.cx = b.cx AND a.cy = b.cy)
+SELECT poly_id, shape_id
+FROM cand
+WHERE {intersects}
+"""
+
+
+@_q("spatial_simple_poly_intersect_join", _simple_poly_intersect_sql())
+def spatial_simple_poly_intersect_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact NON-convex intersection join (dart x L-shape): grid-cell
+    filter identical to the convex SAT join, refined by
+    operators/spatial.py::polygons_intersect -- edge-crossing (CLRS
+    orientation test, touching counts) OR first-vertex containment
+    either way (strict integer even-odd ray cast). All-integer, so
+    the DuckDB twin replays the identical arithmetic. On CONVEX
+    inputs the predicate agrees with convex_intersects (pinned in
+    tests/test_r10_properties.py along with a no-grid brute-force
+    recompute of this query)."""
+    from ..operators.spatial import simple_polygon_intersect_join
+
+    sup = load_table(spark, sf_dir, "supplier")
+    r = (F.lit(3) + F.col("s_suppkey") % 4).cast("long")
+    cx = ((F.col("s_suppkey") % 40) * 10).cast("long")
+    cy = (F.expr("s_suppkey DIV 40") * 10).cast("long")
+    dart = sup.select(
+        F.col("s_suppkey").cast("long").alias("poly_id"),
+        (F.col("s_nationkey") % 5).cast("long").alias("layer_id"),
+        F.array(
+            F.array(cx, cy - r),
+            F.array(cx + r, cy + r),
+            F.array(cx, cy + F.lit(1).cast("long")),
+            F.array(cx - r, cy + r),
+            F.array(cx, cy - r),
+        ).alias("ring"),
+    )
+    part = load_table(spark, sf_dir, "part")
+    w = (F.lit(2) + F.col("p_partkey") % 3).cast("long")
+    bx = ((F.col("p_partkey") % 40) * 10 + 2).cast("long")
+    by = ((F.expr("p_partkey DIV 40") % 25) * 10 + 2).cast("long")
+    one = F.lit(1).cast("long")
+    ell = part.select(
+        F.col("p_partkey").cast("long").alias("shape_id"),
+        (F.col("p_partkey") % 5).cast("long").alias("layer_id"),
+        F.array(
+            F.array(bx, by),
+            F.array(bx + w, by),
+            F.array(bx + w, by + one),
+            F.array(bx + one, by + one),
+            F.array(bx + one, by + w),
+            F.array(bx, by + w),
+            F.array(bx, by),
+        ).alias("ring"),
+    )
+    return simple_polygon_intersect_join(
+        dart, ell, cell=_BBOX_CELL, a_id="poly_id", b_id="shape_id"
+    )

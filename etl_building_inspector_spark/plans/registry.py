@@ -42,6 +42,7 @@ from . import (
     queries_llm21,
     queries_llm22,
     queries_llm23,
+    queries_llm24,
     queries_spatial,
     queries_streaming,
     queries_surface,
@@ -257,6 +258,7 @@ for mod in (
     queries_llm21,
     queries_llm22,
     queries_llm23,
+    queries_llm24,
     queries_spatial,
     queries_streaming,
     queries_surface,
@@ -663,4 +665,80 @@ assert len(WINDOW_R9) == len(set(WINDOW_R9)) == 50
 QUERIES = {
     **{n: QUERIES[n] for n in WINDOW_R9},
     **{n: q for n, q in QUERIES.items() if n not in set(WINDOW_R9)},
+}
+
+# Round-10 window (the head this round, per VERDICT r9 #1 + #5).
+# Composition: the 3 round-10 freeze-lift additions (each landing
+# with oracle twin + recompute + this head slot + SCALING.md entry in
+# one commit), then the 13 re-pins DEFERRED from WINDOW_R9 (the 3
+# rows-only-by-design checks, which re-earn only the weaker row, plus
+# the 10 r2 text/sampling queries untouched by any rewrite), then the
+# 34 oldest remaining rows -- the r3 cohort head, alphabetical.
+# VERDICT r9 #1 staged 13 + 37; the 3 addition slots displace the 3
+# newest of those 37 (split_train_valid_test, sql_api_q11ish,
+# sql_api_q21ish lead WINDOW_R11), the same precedence r9 applied to
+# its own additions. After this window every driver row is <= 8
+# rounds old and the rotation continues oldest-first.
+WINDOW_R10: list[str] = [
+    # --- round-10 additions (first-time slots) ---
+    "dedup_minhash_index_refresh",
+    "spatial_simple_poly_intersect_join",
+    "streaming_decontaminate_bloom",
+    # --- re-pins deferred from WINDOW_R9 (latest row r2) ---
+    "ann_cosine_ivf",
+    "domain_ndjson_lines",
+    "domain_transform_records",
+    "decontaminate_ngram",
+    "emb_quantize_int8",
+    "quality_filter_composite",
+    "sample_stratified",
+    "text_pii_redact",
+    "text_repetition",
+    "tfidf_topk_terms",
+    "text_fingerprint",
+    "text_lang_id",
+    "text_token_stats",
+    # --- re-pins: latest driver row r3 (oldest remaining, A-Z) ---
+    "agg_approx_sketches",
+    "agg_grouping_sets",
+    "agg_histogram",
+    "agg_skew_salted",
+    "array_function_battery",
+    "budget_fill_by_quality",
+    "conditional_agg_battery",
+    "correlated_scalar_subquery",
+    "decontaminate_bloom",
+    "domain_cap_sample",
+    "emb_assign_nearest_prototype",
+    "emb_label_centroids",
+    "graph_pagerank",
+    "graph_sssp_bounded",
+    "graph_triangle_count",
+    "hypertable_rollup_daily",
+    "j_skew_salted_join",
+    "kmeans_lloyd_round",
+    "lateral_topk_orders",
+    "map_column_ops",
+    "merge_upsert",
+    "mixture_resample",
+    "null_semantics_battery",
+    "p7_base62_surrogate",
+    "pack_greedy_bins",
+    "range_join_events",
+    "regexp_battery",
+    "sample_bottomk",
+    "sample_group_bottomk",
+    "sample_weighted",
+    "scd2_dimension",
+    "spatial_pip_join",
+    "spatial_pip_join_grid",
+    "spatial_pip_nomatch_log",
+]
+_missing_r10 = [n for n in WINDOW_R10 if n not in QUERIES]
+assert not _missing_r10, f"WINDOW_R10 names not registered: {_missing_r10}"
+assert len(WINDOW_R10) == len(set(WINDOW_R10)) == 50
+# THE head reorder (insertion order is the driver's iteration order).
+QUERIES = {
+    **{n: QUERIES[n] for n in WINDOW_R10},
+    **{n: q for n, q in QUERIES.items() if n not in set(WINDOW_R10)},
 }

@@ -495,3 +495,25 @@ def test_convex_contains_join_is_grid_equi(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert plan.count("Exchange") <= 2, plan
+
+
+def test_simple_poly_intersect_join_is_grid_equi(spark, sf_dir):
+    """The non-convex join must keep the filter-refine shape: a hash
+    equi-join on (layer, cell) -- never an all-pairs nested loop --
+    with the edge-crossing/containment refine as a post-join
+    predicate (same contract as the convex SAT/containment pins)."""
+    plan = _executed(spark, "spatial_simple_poly_intersect_join", sf_dir)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange") <= 2, plan
+
+
+def test_minhash_index_refresh_bounded_shuffles(spark, sf_dir):
+    """build(base) + build(batch) + merge + probe-side groupBy is four
+    hash shuffles of SUMMARY rows; the probe join itself must stay an
+    equi join (the index side is one row per (band, key), so a nested
+    loop would mean the key columns got lost)."""
+    plan = _executed(spark, "dedup_minhash_index_refresh", sf_dir)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange") <= 5, plan
