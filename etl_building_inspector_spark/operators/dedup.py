@@ -740,3 +740,72 @@ def probe_minhash_band_index(
         F.sum("n_index_docs").cast("long").alias("n_index_docs"),
         F.min("first_match_id").cast("long").alias("first_match_id"),
     )
+
+
+def merge_components(
+    base_assign: DataFrame,
+    delta_edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """INCREMENTAL connected components: refresh a standing component
+    assignment with a batch of new edges WITHOUT re-running CC over
+    the full graph -- the clustering twin of
+    merge_minhash_band_indexes (indexes arrive in batches; so do the
+    near-dup edges they imply).
+
+    `base_assign` is a prior connected_components() output
+    (node, component) with min-id labels; `delta_edges` is the new
+    pair batch (may touch base nodes, brand-new nodes, or bridge two
+    existing components -- the r8 over-merge class this operator must
+    get exactly right). Exactness argument: map each delta endpoint
+    through the base assignment (identity for unseen nodes) and run
+    CC on that REDUCED graph, whose nodes are base component labels
+    and new node ids. Merged components of the full graph correspond
+    1:1 to components of the reduced graph, and because a base label
+    is the min id of its base component, the reduced min-label is the
+    global min id -- so relabeling base rows through the reduced
+    result reproduces connected_components(base ∪ delta) exactly
+    (pinned in tests/test_r10b_properties.py, and at the query level
+    dedup_cluster_incremental shares dedup_cluster_assign's
+    recursive-CTE rebuild oracle: merge == rebuild).
+
+    Scale: the reduced graph has <= |delta| edges over (touched
+    components ∪ new nodes) -- a daily refresh costs CC on the DELTA,
+    not the corpus. The relabel is one join keyed on component;
+    untouched assignments stream through unchanged. The standing
+    assignment is the persisted artifact between runs (bucket it by
+    `node` and the probe/relabel joins co-locate).
+    """
+    m = base_assign.select("node", "component")
+    e = delta_edges.select(F.col(src).alias("__u"), F.col(dst).alias("__v"))
+    mu = m.select(F.col("node").alias("__u"), F.col("component").alias("__cu"))
+    mv = m.select(F.col("node").alias("__v"), F.col("component").alias("__cv"))
+    reduced = (
+        e.join(mu, "__u", "left")
+        .join(mv, "__v", "left")
+        .select(
+            F.coalesce("__cu", F.col("__u")).alias("s"),
+            F.coalesce("__cv", F.col("__v")).alias("d"),
+        )
+        .filter(F.col("s") != F.col("d"))
+        .distinct()
+    )
+    cc2 = connected_components(reduced, "s", "d")
+    lab = cc2.select(
+        F.col("node").alias("__old"), F.col("component").alias("__new")
+    )
+    relabeled = (
+        base_assign.join(lab, base_assign["component"] == lab["__old"], "left")
+        .select(
+            "node",
+            F.coalesce("__new", F.col("component")).alias("component"),
+        )
+    )
+    # reduced-graph nodes that are NOT base nodes are the genuinely
+    # new ones (a base component LABEL is itself a base node, so the
+    # anti-join keeps exactly the new ids)
+    new_nodes = cc2.join(m.select("node"), "node", "left_anti").select(
+        "node", "component"
+    )
+    return relabeled.unionByName(new_nodes)

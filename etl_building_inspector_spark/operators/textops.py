@@ -602,3 +602,83 @@ def domain_cap(
         rk.cast("long").alias("cap_rank"),
         (rk <= cap).alias("kept"),
     )
+
+
+def collocation_pmi(
+    docs: DataFrame, text_col: str, min_count: int = 5, k: int = 100
+) -> DataFrame:
+    """Top-k bigram collocations by pointwise mutual information over
+    the whole corpus: which adjacent word pairs co-occur far more
+    often than their unigram frequencies predict (the classic
+    collocation-extraction signal; PMI = log N·c(xy)/(c(x)·c(y))).
+
+    Bit-portability: the score is the INTEGER ppm-scaled lift
+    ``c_xy * N * 1e6 div (c_x * c_y)`` computed in DECIMAL(20,0)
+    arithmetic -- monotone in PMI (log is monotone), exact in both
+    engines (the DuckDB twin uses HUGEINT ``//``), and overflow-safe
+    to beyond 10^13 corpus tokens (~100 TB of text), verified against
+    Python big-int floor division. Ties break on (w1, w2), which is
+    unique after the group-by, so the top-k is a total order.
+
+    Scale shape: two map-side-combinable aggregates (unigram counts =
+    the vocabulary table, bigram counts via a transform/explode that
+    never materializes more than the token stream), the 1-row corpus
+    total broadcast, and two vocab joins the optimizer is free to
+    broadcast when the vocabulary is small (it grows with content,
+    not corpus size, so it is NOT hand-broadcast). The min-count
+    filter runs BEFORE the vocab joins, so the scored set is the rare
+    tail's complement, and the global top-k is Spark's
+    TakeOrderedAndProject -- per-partition top-k, k-row merge, no
+    full sort.
+    """
+    from ._cache import track_persist
+
+    toks = track_persist(docs.select(tokens(text_col).alias("__toks")))
+    uni = track_persist(
+        toks.select(F.explode("__toks").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    n_tok = uni.agg(F.sum("c").cast("long").alias("n_tok"))
+    bi = (
+        toks.filter(F.size("__toks") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(__toks) - 1),"
+                    " i -> struct(__toks[i-1] AS w1, __toks[i] AS w2))"
+                )
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
+    )
+    big = (
+        bi.groupBy("w1", "w2")
+        .agg(F.count("*").cast("long").alias("c_xy"))
+        .filter(F.col("c_xy") >= min_count)
+    )
+    u1 = uni.select(F.col("tok").alias("w1"), F.col("c").alias("c_w1"))
+    u2 = uni.select(F.col("tok").alias("w2"), F.col("c").alias("c_w2"))
+    scored = (
+        big.join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(n_tok))
+        .withColumn(
+            "pmi_ratio_ppm",
+            F.expr(
+                "CAST(CAST(c_xy AS DECIMAL(20,0)) * n_tok * 1000000"
+                " div (CAST(c_w1 AS DECIMAL(20,0)) * c_w2) AS BIGINT)"
+            ),
+        )
+    )
+    top = scored.orderBy(F.desc("pmi_ratio_ppm"), "w1", "w2").limit(k)
+    w = Window.orderBy(F.desc("pmi_ratio_ppm"), "w1", "w2")
+    return top.select(
+        "w1",
+        "w2",
+        "c_xy",
+        "c_w1",
+        "c_w2",
+        "pmi_ratio_ppm",
+        F.row_number().over(w).cast("int").alias("rk"),
+    )

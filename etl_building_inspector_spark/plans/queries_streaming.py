@@ -651,3 +651,107 @@ def streaming_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame
         batch_col="batch",
         n=DECON_N,
     )
+
+
+def _stream_corpus_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the standing corpus (doc_id % 10 <> 7) as one parquet
+    file per batch tag (tag = doc_id % 10, nine tags), mtimes
+    strictly increasing in tag order, for the file-source stream
+    feeding streaming_minhash_refresh (maxFilesPerTrigger=1 -> one
+    micro-batch per tag). Same fingerprint + reap discipline as
+    _stream_suite_dir; the merge fold is order-insensitive anyway
+    (commutative monoid), so the staging order is a convenience, not
+    a correctness dependency."""
+    src = os.path.join(sf_dir, "documents.parquet")
+    try:
+        st = os.stat(src)
+        fp = f"{st.st_size}_{st.st_mtime_ns}"
+    except OSError:
+        fp = "nofp"
+    base_tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    tag = base_tag + "_" + fp
+    d = os.path.join(tempfile.gettempdir(), f"ebi_stream_corpus_{tag}")
+    marker = os.path.join(d, "_SUCCESS")
+    if not os.path.exists(marker):
+        import shutil
+
+        prefix = f"ebi_stream_corpus_{base_tag}_"
+        for old in os.listdir(tempfile.gettempdir()):
+            if old.startswith(prefix) and "_stage_" not in old and old != f"ebi_stream_corpus_{tag}":
+                shutil.rmtree(
+                    os.path.join(tempfile.gettempdir(), old), ignore_errors=True
+                )
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(src, columns=["doc_id", "text"])
+        pdf = t.to_pandas()
+        pdf["doc_id"] = pdf["doc_id"].astype("int64")
+        corpus = pdf[pdf["doc_id"] % 10 != 7].copy()
+        corpus["batch"] = corpus["doc_id"] % 10
+        stage = tempfile.mkdtemp(prefix=f"ebi_stream_corpus_{tag}_stage_")
+        out = os.path.join(stage, "out")
+        os.makedirs(out)
+        t0 = 1_700_000_000
+        tags = sorted(corpus["batch"].unique())
+        for i, b in enumerate(tags):
+            part = corpus[corpus["batch"] == b][["doc_id", "text"]]
+            fpath = os.path.join(out, f"b{b}.parquet")
+            pq.write_table(pa.Table.from_pandas(part, preserve_index=False), fpath)
+            os.utime(fpath, ns=((t0 + i) * 10**9, (t0 + i) * 10**9))
+        open(os.path.join(out, "_SUCCESS"), "w").close()
+        try:
+            os.rename(out, d)
+        except OSError:
+            pass  # concurrent winner already renamed; theirs is complete
+        shutil.rmtree(stage, ignore_errors=True)
+    return d
+
+
+def _sminhash_sql() -> str:
+    from .queries_llm6 import _inc_minhash_sql
+
+    return _inc_minhash_sql()
+
+
+@_q("streaming_minhash_refresh", _sminhash_sql())
+def streaming_minhash_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The standing MinHash band index maintained by a REAL Structured
+    Streaming query: the corpus arrives as a file-source stream (one
+    micro-batch per staged tag), each batch is absorbed by merge in
+    foreachBatch (streaming/minhash.py), and today's batch (doc_id %
+    10 = 7) probes the final refreshed index. Third strategy over the
+    same contract: dedup_incremental_minhash builds from scratch,
+    dedup_minhash_index_refresh merges two static halves, this one
+    merges an unbounded arrival sequence -- all three share
+    _inc_minhash_sql() as the oracle, so stream-maintained ==
+    batch-merged == rebuilt, bit-for-bit."""
+    from ..sources.tables import load_table
+    from ..streaming.minhash import streaming_minhash_index_refresh
+    from .queries_llm6 import _INC_BANDS, _INC_K
+
+    corpus_dir = _stream_corpus_dir(spark, sf_dir)
+    corpus_stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(corpus_dir)
+    )
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    today = docs.filter(F.col("doc_id") % 10 == 7)
+    out = streaming_minhash_index_refresh(
+        spark,
+        corpus_stream,
+        today,
+        text_col="text",
+        id_col="doc_id",
+        k=_INC_K,
+        bands=_INC_BANDS,
+    )
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "hit_bands",
+        "n_index_docs",
+        "first_match_id",
+    )

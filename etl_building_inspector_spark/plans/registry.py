@@ -43,6 +43,7 @@ from . import (
     queries_llm22,
     queries_llm23,
     queries_llm24,
+    queries_llm25,
     queries_spatial,
     queries_streaming,
     queries_surface,
@@ -259,6 +260,7 @@ for mod in (
     queries_llm22,
     queries_llm23,
     queries_llm24,
+    queries_llm25,
     queries_spatial,
     queries_streaming,
     queries_surface,
@@ -668,22 +670,27 @@ QUERIES = {
 }
 
 # Round-10 window (the head this round, per VERDICT r9 #1 + #5).
-# Composition: the 3 round-10 freeze-lift additions (each landing
-# with oracle twin + recompute + this head slot + SCALING.md entry in
-# one commit), then the 13 re-pins DEFERRED from WINDOW_R9 (the 3
+# Composition: the 6 round-10 freeze-lift additions (3 from the
+# round-open commit, 3 from this session -- each landing with oracle
+# twin + recompute + this head slot + SCALING.md entry in one
+# commit), then the 13 re-pins DEFERRED from WINDOW_R9 (the 3
 # rows-only-by-design checks, which re-earn only the weaker row, plus
 # the 10 r2 text/sampling queries untouched by any rewrite), then the
-# 34 oldest remaining rows -- the r3 cohort head, alphabetical.
-# VERDICT r9 #1 staged 13 + 37; the 3 addition slots displace the 3
+# 31 oldest remaining rows -- the r3 cohort head, alphabetical.
+# VERDICT r9 #1 staged 13 + 37; the 6 addition slots displace the 6
 # newest of those 37 (split_train_valid_test, sql_api_q11ish,
-# sql_api_q21ish lead WINDOW_R11), the same precedence r9 applied to
-# its own additions. After this window every driver row is <= 8
-# rounds old and the rotation continues oldest-first.
+# sql_api_q21ish, spatial_pip_join, spatial_pip_join_grid,
+# spatial_pip_nomatch_log lead WINDOW_R11), the same precedence r9
+# applied to its own additions. After this window every driver row is
+# <= 8 rounds old and the rotation continues oldest-first.
 WINDOW_R10: list[str] = [
     # --- round-10 additions (first-time slots) ---
     "dedup_minhash_index_refresh",
     "spatial_simple_poly_intersect_join",
     "streaming_decontaminate_bloom",
+    "dedup_cluster_incremental",
+    "text_collocations_pmi",
+    "streaming_minhash_refresh",
     # --- re-pins deferred from WINDOW_R9 (latest row r2) ---
     "ann_cosine_ivf",
     "domain_ndjson_lines",
@@ -730,9 +737,6 @@ WINDOW_R10: list[str] = [
     "sample_group_bottomk",
     "sample_weighted",
     "scd2_dimension",
-    "spatial_pip_join",
-    "spatial_pip_join_grid",
-    "spatial_pip_nomatch_log",
 ]
 _missing_r10 = [n for n in WINDOW_R10 if n not in QUERIES]
 assert not _missing_r10, f"WINDOW_R10 names not registered: {_missing_r10}"

@@ -447,8 +447,8 @@ BNLJ_WHITELIST = {
     "rolling_7d_active_users", "sample_balanced_classes",
     "sketch_bloom_fpr_eval", "sketch_bottomk_theta_eval",
     "sketch_kmv_merge_eval", "skew_key_diagnostics",
-    "text_ngram_coverage_vs_reference", "text_tfidf_topk",
-    "text_vocab_growth_heaps", "tfidf_topk_terms",
+    "text_collocations_pmi", "text_ngram_coverage_vs_reference",
+    "text_tfidf_topk", "text_vocab_growth_heaps", "tfidf_topk_terms",
     "timeseries_gapfill_linear", "timeseries_gapfill_locf",
     "timeseries_xcorr_lags",
 }
@@ -517,3 +517,34 @@ def test_minhash_index_refresh_bounded_shuffles(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert plan.count("Exchange") <= 5, plan
+
+
+def test_collocations_pmi_topk_is_take_ordered(spark, sf_dir):
+    """The global top-100 must be TakeOrderedAndProject (per-partition
+    top-k + k-row merge), never a full global sort; the only
+    BroadcastNestedLoopJoin is the 1-row corpus-total cross join
+    (whitelisted above, same class as tfidf_topk_terms). The rank
+    window runs AFTER the limit, so its single partition holds 100
+    rows, not the scored set."""
+    plan = _executed(spark, "text_collocations_pmi", sf_dir)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_cluster_incremental_no_scale_killers(spark, sf_dir):
+    """The incremental CC refresh keeps the clustering family's plan
+    contract: every join is an equi join (relabel keys on component,
+    endpoint mapping keys on node) -- no nested-loop fallbacks in the
+    final relabel plan."""
+    plan = _executed(spark, "dedup_cluster_incremental", sf_dir)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_streaming_minhash_refresh_probe_is_equi(spark, sf_dir):
+    """The probe against the stream-maintained index is the band-key
+    equi join probe_minhash_band_index pins: hash join on (band, key),
+    index side already one row per key."""
+    plan = _executed(spark, "streaming_minhash_refresh", sf_dir)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
