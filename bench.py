@@ -322,6 +322,13 @@ HEADLINE = [
     "dedup_minhash_index_refresh",
     "spatial_simple_poly_intersect_join",
     "streaming_decontaminate_bloom",
+    # round-10 session additions (incremental CC, PMI collocations,
+    # streaming index refresh -- the CC one is the expensive path by
+    # design: base CC + reduced-graph CC, tracked so the refresh
+    # premium over dedup_cluster_assign stays a measured number)
+    "dedup_cluster_incremental",
+    "text_collocations_pmi",
+    "streaming_minhash_refresh",
     # graph_neighbor_jaccard_topk / graph_common_neighbors_topk are
     # deliberately NOT benched, like the rest of the wedge-join family:
     # their cost is the capped wedge enumeration itself (bounded at

@@ -90,6 +90,7 @@ STRIDE_SOURCE = {
     "graph_triangle_count": ("lineitem", "l_partkey"),
     "dedup_cluster_assign": ("documents", "doc_id"),
     "dedup_cluster_assign_lss": ("documents", "doc_id"),
+    "dedup_cluster_incremental": ("documents", "doc_id"),
 }
 
 
@@ -115,6 +116,9 @@ def _stride_for(base_dir: str, name: str, cache: dict) -> int:
 CLUSTER_CHECKS = {
     "dedup_cluster_assign": ("doc_id", ("component",)),
     "dedup_cluster_assign_lss": ("doc_id", ("component",)),
+    # the incremental merge strategy is held to the same per-copy
+    # contract as the batch strategies (r10 session addition)
+    "dedup_cluster_incremental": ("doc_id", ("component",)),
 }
 
 # kept-corpus consistency: query -> the cluster query whose component
@@ -130,6 +134,7 @@ DEFAULT_NAMES = [
     "graph_triangle_count",
     "dedup_cluster_assign",
     "dedup_cluster_assign_lss",
+    "dedup_cluster_incremental",
     "dedup_keep_representatives",
 ]
 

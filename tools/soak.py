@@ -60,6 +60,7 @@ QUAD_SHINGLE = {
     "dedup_simhash_hamming_pairs",
     "dedup_cluster_assign",
     "dedup_cluster_assign_lss",
+    "dedup_cluster_incremental",
     "dedup_keep_representatives",
     "dedup_winnow_window_sensitivity",
     "text_winnow_fingerprints",
@@ -111,6 +112,10 @@ X10_SLATE = [
     "dedup_minhash_index_refresh",
     "spatial_simple_poly_intersect_join",
     "streaming_decontaminate_bloom",
+    # round-10 session additions
+    "dedup_cluster_incremental",
+    "text_collocations_pmi",
+    "streaming_minhash_refresh",
 ]
 
 EQUIVARIANCE_NAMES = [
@@ -120,6 +125,7 @@ EQUIVARIANCE_NAMES = [
     "graph_triangle_count",
     "dedup_cluster_assign",
     "dedup_cluster_assign_lss",
+    "dedup_cluster_incremental",
     "dedup_keep_representatives",
 ]
 
