@@ -673,9 +673,17 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import with_cosine
 
     emb = load_table(spark, sf_dir, "embeddings")
+    # The streamed side of an all-pairs BNLJ must be partitioned by
+    # the QUADRATIC work (n x |broadcast|), not by input bytes: the
+    # embeddings table is small enough that the parquet scan yields
+    # ~1 partition, which serialized the whole n^2 cosine loop onto
+    # one core (caught live by the r10 x10 soak -- 400M interpreted
+    # HOF evals on a single task, ~2h; repartitioned it is minutes).
+    # At real corpus scale the natural partitioning is already wide,
+    # so this repartition only guards the small-bytes pathology.
     a = emb.select(
         F.col("vec_id").alias("id_a"), F.col("embedding").alias("emb_a")
-    )
+    ).repartition(spark.sparkContext.defaultParallelism)
     b = emb.select(
         F.col("vec_id").alias("id_b"), F.col("embedding").alias("emb_b")
     )
