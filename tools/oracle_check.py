@@ -142,20 +142,37 @@ def main() -> int:
             # so store column-sorted canonical tuples). Past ROW_CAP,
             # fold everything into the commutative digest and drop the
             # buffered rows -- memory stays bounded on soak fixtures.
+            #
+            # Materialization: toLocalIterator() alone executes ONE
+            # partition per job, SEQUENTIALLY -- it serialized every
+            # engine leg onto one core regardless of the plan's
+            # parallelism (caught by the r10 x10 soak: a 400M-pair
+            # BNLJ ground for ~2h on one task under the checker while
+            # count()/collect() ran it 32-wide). Persist + count first
+            # (parallel compute into cache, spilling to disk), then
+            # iterate the CACHED partitions -- driver memory stays
+            # bounded, executors stay busy.
+            from pyspark import StorageLevel
+
+            sdf = sdf.persist(StorageLevel.MEMORY_AND_DISK)
             spark_rows: list[tuple] = []
             s_digest = None
-            for r in sdf.toLocalIterator():
-                t = tuple(canon(v) for v in r)
-                t = tuple(t[i] for i in s_idx)
-                if s_digest is None:
-                    spark_rows.append(t)
-                    if len(spark_rows) > ROW_CAP:
-                        s_digest = RowDigest()
-                        for old in spark_rows:
-                            s_digest.update(old)
-                        spark_rows = []
-                else:
-                    s_digest.update(t)
+            try:
+                sdf.count()
+                for r in sdf.toLocalIterator():
+                    t = tuple(canon(v) for v in r)
+                    t = tuple(t[i] for i in s_idx)
+                    if s_digest is None:
+                        spark_rows.append(t)
+                        if len(spark_rows) > ROW_CAP:
+                            s_digest = RowDigest()
+                            for old in spark_rows:
+                                s_digest.update(old)
+                            spark_rows = []
+                    else:
+                        s_digest.update(t)
+            finally:
+                sdf.unpersist()
             spark_n = s_digest.n if s_digest is not None else len(spark_rows)
         except Exception as e:
             print(f"FAIL {name}: spark error: {str(e)[:300]}")
