@@ -106,6 +106,12 @@ def main() -> int:
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
     only = set(sys.argv[2:]) or set(queries)
+    # an unknown requested name must fail loudly, not silently shrink
+    # the run (the r10 soak slate carried a misnamed ER query and the
+    # bare only-filter turned it into a no-line ghost)
+    unknown = only - set(queries)
+    for name in sorted(unknown):
+        print(f"FAIL {name}: not a registered query")
 
     con = duckdb.connect()
     # soak hygiene: DuckDB's default memory_limit (80% of RAM) lets a
@@ -125,7 +131,7 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
 
-    n_fail = 0
+    n_fail = len(unknown)
     for name, fn in sorted(queries.items()):
         if name not in only:
             continue

@@ -100,7 +100,7 @@ X10_SLATE = [
     "ann_cosine_lsh",
     "er_blocked_fuzzy_match",
     "er_phonetic_blocking",
-    "er_survivorship_merge",
+    "er_survivorship_golden",
     "graph_bfs_hops",
     "graph_sssp_bounded",
     "graph_triangle_count",
