@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 from ..functions.text import fingerprint, shingles, tokens
 from ._cache import track_persist
+from ._parallel import fan_out_scan
 
 
 def keep_first(df: DataFrame, keys: list[str], order_by: list[str]) -> DataFrame:
@@ -76,6 +77,10 @@ def minhash_signature(
     """
     if k > 8:
         raise ValueError("k <= 8: sha256 yields 8 disjoint 8-hex chunks")
+    # one sha256 per shingle via interpreted HOFs is the dominant CPU
+    # of every minhash consumer; spread the scan's 1-2 splits across
+    # the session's cores first (guide 2.5 -- see operators/_parallel)
+    df = fan_out_scan(df)
     sh_col = "__mh_shingles"
     h_col = "__mh_hashes"
     staged = df.withColumn(sh_col, shingles(text_col, shingle_n))
@@ -214,6 +219,9 @@ def simhash(df: DataFrame, text_col: str, bits: int = 16) -> DataFrame:
     # hex chars of md5 -> unsigned 32-bit int via conv(), JVM-native and
     # engine-portable (DuckDB twin: cast('0x'||substr(md5,1,8))).
     h_col = "__sh_hashes"
+    # md5-per-token + the bits-wide interpreted vote fold dominate;
+    # fan the 1-2 scan splits out across cores first (guide 2.5)
+    df = fan_out_scan(df)
     staged = df.withColumn(
         h_col,
         F.transform(
@@ -348,7 +356,10 @@ def ngram_jaccard_pairs(
     consistently to intersection AND union (both sides of the ratio).
     """
     sh = (
-        df.select(id_col, F.explode(F.array_distinct(shingles(text_col, shingle_n))).alias("sh"))
+        # shingle explode + md5 per shingle from a 1-2 split scan:
+        # fan out across cores first (guide 2.5, operators/_parallel)
+        fan_out_scan(df.select(id_col, text_col))
+        .select(id_col, F.explode(F.array_distinct(shingles(text_col, shingle_n))).alias("sh"))
     )
     if max_doc_freq is not None:
         rare = (
@@ -601,7 +612,7 @@ def jaccard_prefix_filter_pairs(
     # theorem needs only SOME corpus-wide total order on tokens —
     # (df asc, hash asc) is one — so ordering by the hash instead of
     # the string loses nothing.
-    sh = df.select(
+    sh = fan_out_scan(df.select(id_col, text_col)).select(
         id_col, F.explode(F.array_distinct(shingles(text_col, shingle_n))).alias("sh0")
     ).select(
         id_col,

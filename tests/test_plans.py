@@ -512,11 +512,16 @@ def test_minhash_index_refresh_bounded_shuffles(spark, sf_dir):
     """build(base) + build(batch) + merge + probe-side groupBy is four
     hash shuffles of SUMMARY rows; the probe join itself must stay an
     equi join (the index side is one row per (band, key), so a nested
-    loop would mean the key columns got lost)."""
+    loop would mean the key columns got lost). The r10 optimization
+    round added up to 3 scan fan-out repartitions of the raw (id,
+    text) inputs (operators/_parallel.fan_out_scan, guide 2.5: the
+    single-row-group fixture scan otherwise serializes the sha256
+    shingle pass onto 1-2 cores) -- those are narrow-input round
+    robins, not summary-row shuffles, hence the bound moves 5 -> 8."""
     plan = _executed(spark, "dedup_minhash_index_refresh", sf_dir)
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
-    assert plan.count("Exchange") <= 5, plan
+    assert plan.count("Exchange") <= 8, plan
 
 
 def test_collocations_pmi_topk_is_take_ordered(spark, sf_dir):
