@@ -20,6 +20,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ._cache import release_persisted, track_persist  # noqa: F401 (re-export)
+from ._parallel import fan_out_scan
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -99,6 +100,10 @@ def cosine_topk_bruteforce(
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
     )
+    # NOT fan_out_scan'd (A/B'd in the r10 optimization round): the
+    # embeddings table is narrow enough that the repartition exchange
+    # cost exceeded the parallelism win (0.93x); the window shuffle
+    # right after already spreads the ranking work
     joined = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")
     ).crossJoin(F.broadcast(q))
@@ -156,6 +161,10 @@ def lsh_buckets(
     HOF fold dominates. 'hof' stays the default (zero Python
     dependency surface for library users who never call
     ensure_workers_can_import)."""
+    # NOT fan_out_scan'd (A/B'd in the r10 optimization round, 0.68x):
+    # the plane-dot pass over the embeddings fixture is cheap relative
+    # to the exchange it would add; the bucket self-joins downstream
+    # re-shuffle anyway
     if impl == "arrow":
         return lsh_buckets_arrow(df, vec_col, n_tables, planes_per_table, dim)
     entries = []
@@ -587,10 +596,14 @@ def quantize_int8_stats(
     """
     v = F.col(vec_col)
     # materialize the max-abs once per row (higher-order-function
-    # inputs re-derive per reference otherwise -- plan-shape lesson)
-    maxabs = F.array_max(F.transform(v, lambda x: F.abs(x.cast("double"))))
-    staged = df.select(
-        F.col(id_col), v.alias("__v"), maxabs.alias("__maxabs")
+    # inputs re-derive per reference otherwise -- plan-shape lesson);
+    # fan the 1-split scan out before the interpreted folds (guide 2.5)
+    staged = fan_out_scan(df.select(F.col(id_col), v.alias("__v"))).select(
+        F.col(id_col),
+        F.col("__v"),
+        F.array_max(
+            F.transform(F.col("__v"), lambda x: F.abs(x.cast("double")))
+        ).alias("__maxabs"),
     )
     m = F.col("__maxabs")
 
@@ -649,7 +662,9 @@ def _ivf_sampled_candidates(
         F.col("__cc").desc(), F.col("cent_id").asc()
     )
     assign = (
-        corpus.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+        fan_out_scan(
+            corpus.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+        )
         .crossJoin(F.broadcast(cent))
         .withColumn("__cc", _cos(F.col("__v"), F.col("__cv")))
         .withColumn("__arnk", F.row_number().over(w_assign))
@@ -746,8 +761,8 @@ def kmeans_fit(
     from pyspark.sql import functions as F
 
     spark = df.sparkSession
-    vecs = df.select(
-        F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("v")
+    vecs = fan_out_scan(
+        df.select(F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("v"))
     )
     row = vecs.first()
     if row is None:
@@ -855,7 +870,9 @@ def semantic_dedup_sampled(
         F.col("__cc").desc(), F.col("cent_id").asc()
     )
     assign = (
-        corpus.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+        fan_out_scan(
+            corpus.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+        )
         .crossJoin(F.broadcast(cent))
         .withColumn("__cc", _cos(F.col("__v"), F.col("__cv")))
         .withColumn("__arnk", F.row_number().over(w_assign))
@@ -970,10 +987,12 @@ def pq_encode_sampled(
     cb = _pq_codebook(corpus, vec_col, id_col, n_sub, sub_dim, codes_per_sub, salt)
 
     sub_ids = F.sequence(F.lit(0), F.lit(n_sub - 1))
-    fanout = corpus.select(
-        F.col(id_col).alias("__id"),
+    fanout = fan_out_scan(
+        corpus.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+    ).select(
+        "__id",
         F.explode(sub_ids).alias("sub_id"),
-        F.col(vec_col).alias("__v"),
+        F.col("__v"),
     ).withColumn(
         "__sv",
         F.expr(

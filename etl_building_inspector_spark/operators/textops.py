@@ -18,6 +18,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import shingles, tokens
+from ._parallel import fan_out_scan
 
 # --- PII patterns (shared with the SQL oracles; RE2/Java-portable:
 # no backreferences, no lookaround) --------------------------------------
@@ -133,7 +134,7 @@ def decontaminate_ngrams(
     # No self-reference of the shingle pipeline -- it runs ONCE
     # (materialize-once lesson; the previous tr-join-hits shape
     # computed it twice).
-    ex = train.select(
+    ex = fan_out_scan(train.select(id_col, text_col)).select(
         F.col(id_col),
         F.array_distinct(shingles(text_col, n)).alias("__grams"),
     ).select(
@@ -372,7 +373,9 @@ def bloom_decontaminate(
         ga, gb = _gram_hash_pair(g)
         return F.struct(ga.alias("a"), gb.alias("b"))
 
-    tr = train.select(F.col(id_col), tokens(text_col).alias("__t")).select(
+    tr = fan_out_scan(train.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col), tokens(text_col).alias("__t")
+    ).select(
         F.col(id_col),
         F.transform(
             F.array_distinct(shingles(text_col, n, toks=F.col("__t"))),
@@ -512,7 +515,9 @@ def bloom_decontaminate_incremental(
         ga, gb = _gram_hash_pair(g)
         return F.struct(ga.alias("a"), gb.alias("b"))
 
-    tr = train.select(F.col(id_col), tokens(text_col).alias("__t")).select(
+    tr = fan_out_scan(train.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col), tokens(text_col).alias("__t")
+    ).select(
         F.col(id_col),
         F.transform(
             F.array_distinct(shingles(text_col, n, toks=F.col("__t"))),

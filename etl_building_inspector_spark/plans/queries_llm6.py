@@ -241,7 +241,12 @@ def text_oov_bigram_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     join. The per-doc score is one more map-side-combinable agg."""
     from ..operators._cache import track_persist
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    from ..operators._parallel import fan_out_scan
+
+    # fan the 1-split scan out before the position explode (guide 2.5)
+    docs = fan_out_scan(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     # explode POSITIONS, then a plain codegen substring -- the
     # transform(...substr...) HOF variant builds the whole bigram
     # array interpreted per row and measured ~2.4x slower cold at

@@ -88,10 +88,15 @@ def quality_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode is the one linear pass; per-doc agg is map-side
     combinable."""
     from ..operators._cache import track_persist
+    from ..operators._parallel import fan_out_scan
 
     docs = load_table(spark, sf_dir, "documents")
     norm = F.trim(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " "))
-    t = docs.select("doc_id", norm.alias("t"))
+    # fan the 1-split scan out before the regex normalize + position
+    # explode (guide 2.5): measured 4.6 s of the query on n=1 task
+    t = fan_out_scan(docs.select("doc_id", "text")).select(
+        "doc_id", norm.alias("t")
+    )
     # positions 1..len-2; explode positions then codegen substr (the
     # measured-faster pattern from text_oov_bigram_rate)
     grams = track_persist(
