@@ -172,6 +172,9 @@ def tfidf_topk_terms(
     lazy/distributed. The final window partitions by doc — same key as
     tf's shuffle, so no extra exchange.
     """
+    # NOT fan_out_scan'd (A/B'd 0.74x in the r10 optimization round):
+    # the token explode feeds a groupBy whose shuffle already spreads
+    # the aggregation; the extra exchange cost more than it saved
     toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
     tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))

@@ -392,7 +392,12 @@ def corpus_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.text import tokens
 
     masked = _span_masked("spark")
-    docs = load_table(spark, sf_dir, "documents")
+    from ..operators._parallel import fan_out_scan
+
+    # fan the 1-split documents scan out before the heavy narrow
+    # pass (guide 2.5, operators/_parallel; A/B-kept in the r10
+    # optimization round)
+    docs = fan_out_scan(load_table(spark, sf_dir, "documents"))
     pos = docs.select(
         "doc_id", F.posexplode(tokens("text")).alias("pos0", "tok")
     ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")

@@ -211,7 +211,12 @@ def dedup_shingle_size_sensitivity(spark: SparkSession, sf_dir: str) -> DataFram
     dedup itself will pay, at 3x scan cost but zero pair cost."""
     from ..operators._cache import track_persist
 
-    docs = load_table(spark, sf_dir, "documents")
+    from ..operators._parallel import fan_out_scan
+
+    # fan the 1-split documents scan out before the heavy narrow
+    # pass (guide 2.5, operators/_parallel; A/B-kept in the r10
+    # optimization round)
+    docs = fan_out_scan(load_table(spark, sf_dir, "documents"))
     staged = track_persist(docs.select(tokens("text").alias("toks")))
     outs = []
     for n in SHINGLE_SIZES:

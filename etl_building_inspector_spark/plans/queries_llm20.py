@@ -83,7 +83,12 @@ def text_ngram_coverage_vs_reference(spark: SparkSession, sf_dir: str) -> DataFr
     product); the same shuffle class as decontaminate_ngram."""
     from ..operators._cache import track_persist
 
-    docs = load_table(spark, sf_dir, "documents")
+    from ..operators._parallel import fan_out_scan
+
+    # fan the 1-split documents scan out before the heavy narrow
+    # pass (guide 2.5, operators/_parallel; A/B-kept in the r10
+    # optimization round)
+    docs = fan_out_scan(load_table(spark, sf_dir, "documents"))
     from ..operators.sampling import sample_hash_u32
 
     tagged = docs.select(

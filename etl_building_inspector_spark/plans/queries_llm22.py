@@ -151,7 +151,12 @@ def dedup_winnow_window_sensitivity(spark: SparkSession, sf_dir: str) -> DataFra
     from ..functions.text import _u32_of, shingles
     from ..operators._cache import track_persist
 
-    docs = load_table(spark, sf_dir, "documents")
+    from ..operators._parallel import fan_out_scan
+
+    # fan the 1-split documents scan out before the heavy narrow
+    # pass (guide 2.5, operators/_parallel; A/B-kept in the r10
+    # optimization round)
+    docs = fan_out_scan(load_table(spark, sf_dir, "documents"))
     staged = track_persist(
         docs.select(F.transform(shingles("text", 3), _u32_of).alias("h"))
     )

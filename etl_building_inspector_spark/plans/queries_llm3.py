@@ -301,7 +301,12 @@ def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     of full texts."""
     from ..functions.text import _u32_of, shingles, winnow_fingerprints
 
-    docs = load_table(spark, sf_dir, "documents")
+    from ..operators._parallel import fan_out_scan
+
+    # fan the 1-split documents scan out before the heavy narrow
+    # pass (guide 2.5, operators/_parallel; A/B-kept in the r10
+    # optimization round)
+    docs = fan_out_scan(load_table(spark, sf_dir, "documents"))
     staged = docs.withColumn(
         "__h", F.transform(shingles("text", WINNOW_K), _u32_of)
     )
@@ -480,7 +485,12 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.text import _u32_of, shingles, winnow_fingerprints
     from ..operators._cache import track_persist
 
-    docs = load_table(spark, sf_dir, "documents")
+    from ..operators._parallel import fan_out_scan
+
+    # fan the 1-split documents scan out before the heavy narrow
+    # pass (guide 2.5, operators/_parallel; A/B-kept in the r10
+    # optimization round)
+    docs = fan_out_scan(load_table(spark, sf_dir, "documents"))
     staged = docs.withColumn(
         "__h", F.transform(shingles("text", WINNOW_K), _u32_of)
     )

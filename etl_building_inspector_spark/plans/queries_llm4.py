@@ -72,7 +72,12 @@ GROUP BY sh.doc_id
 def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.tables import load_table
 
-    docs = load_table(spark, sf_dir, "documents")
+    from ..operators._parallel import fan_out_scan
+
+    # fan the 1-split documents scan out before the heavy narrow
+    # pass (guide 2.5, operators/_parallel; A/B-kept in the r10
+    # optimization round)
+    docs = fan_out_scan(load_table(spark, sf_dir, "documents"))
     sh = docs.select(
         "doc_id",
         F.explode(F.array_distinct(shingles("text", NOVELTY_N))).alias("g"),

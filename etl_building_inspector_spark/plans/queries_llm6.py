@@ -543,7 +543,12 @@ def corpus_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     proving the rewrite result-invisible."""
     from ..functions.text import shingles, tokens
 
-    docs = load_table(spark, sf_dir, "documents")
+    from ..operators._parallel import fan_out_scan
+
+    # fan the 1-split documents scan out before the heavy narrow
+    # pass (guide 2.5, operators/_parallel; A/B-kept in the r10
+    # optimization round)
+    docs = fan_out_scan(load_table(spark, sf_dir, "documents"))
     staged = docs.select("source", tokens("text").alias("toks"))
     s = (
         staged.select(

@@ -381,7 +381,12 @@ def sketch_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame
     joining candidates to the broadcast sketch and taking min over
     rows. All hashing is md5-derived integer arithmetic, so the
     DuckDB twin computes the identical sketch."""
-    docs = load_table(spark, sf_dir, "documents")
+    from ..operators._parallel import fan_out_scan
+
+    # fan the 1-split documents scan out before the heavy narrow
+    # pass (guide 2.5, operators/_parallel; A/B-kept in the r10
+    # optimization round)
+    docs = fan_out_scan(load_table(spark, sf_dir, "documents"))
     norm = F.trim(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " "))
     t = docs.select(F.split(norm, " ").alias("t"))
     bigrams = t.select(

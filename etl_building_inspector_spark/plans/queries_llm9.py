@@ -92,7 +92,12 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     table is consumed twice (count + join back), so it is persisted."""
     from ..operators._cache import track_persist
 
-    docs = load_table(spark, sf_dir, "documents")
+    from ..operators._parallel import fan_out_scan
+
+    # fan the 1-split documents scan out before the heavy narrow
+    # pass (guide 2.5, operators/_parallel; A/B-kept in the r10
+    # optimization round)
+    docs = fan_out_scan(load_table(spark, sf_dir, "documents"))
     spans = track_persist(
         docs.select("doc_id", tokens("text").alias("toks"))
         .where(F.size("toks") >= SPAN_N)
