@@ -362,9 +362,22 @@ EXTRA = [
 ]
 
 
+def _steal_jiffies() -> int:
+    """Cumulative hypervisor steal time (jiffies) across all CPUs.
+    The r10 optimization round measured bursty ~25% steal on this
+    sandbox class while busy -- per-run steal is the single most
+    useful adjudicator for round-over-round bench drift."""
+    try:
+        with open("/proc/stat") as f:
+            return int(f.readline().split()[8])
+    except (OSError, IndexError, ValueError):
+        return -1
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    steal0, t_start = _steal_jiffies(), time.time()
     spark = get_spark("bench")
 
     # warm up JVM/session once (codegen compiler, parquet reader, noop
@@ -448,10 +461,21 @@ def main() -> None:
             uptime_s = float(f.read().split()[0])
     except OSError:
         uptime_s = -1.0
+    # steal% of total CPU capacity over the whole bench run: >2-3%
+    # means the hypervisor was taking real cycles and cross-round
+    # per-query deltas should be read with that in mind
+    steal1 = _steal_jiffies()
+    elapsed = max(time.time() - t_start, 1e-9)
+    steal_pct = (
+        round(100.0 * (steal1 - steal0) / os.sysconf("SC_CLK_TCK") / (os.cpu_count() * elapsed), 2)
+        if steal0 >= 0 and steal1 >= 0
+        else -1.0
+    )
     env = {
         "load1": round(os.getloadavg()[0], 2),
         "load5": round(os.getloadavg()[1], 2),
         "uptime_sec": round(uptime_s, 0),
+        "steal_pct": steal_pct,
         "cpus": os.cpu_count(),
         "spark_cpus": os.environ.get("SPARK_GRAFT_CPUS", ""),
         "utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
@@ -521,6 +545,7 @@ def main() -> None:
             "load1": env["load1"],
             "load5": env["load5"],
             "uptime_sec": env["uptime_sec"],
+            "steal_pct": env["steal_pct"],
         },
         "detail": "BENCH_DETAIL.json",
     }

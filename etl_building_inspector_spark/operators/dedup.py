@@ -453,6 +453,12 @@ def connected_components(
         .withColumn("comp", F.col("node"))
     )
     labels = checkpointed
+    # NOTE (r10 optimization round, measured and REVERTED): hinting the
+    # node-sized sides broadcast per round (the checkpointed labels
+    # carry no stats, so the planner can't choose it) A/B'd 0.82-0.97x
+    # -- the per-round broadcast build + the node-count job cost more
+    # than the AQE-coalesced tiny shuffles they replaced. The shuffle
+    # plan stays.
     for _ in range(max_iter):
         neigh_min = (
             sym.join(labels, sym["d"] == labels["node"])
