@@ -374,10 +374,27 @@ def _steal_jiffies() -> int:
         return -1
 
 
+def _psi_cpu_some_us() -> int:
+    """Cumulative CPU pressure-stall time (us, PSI 'some' line): time
+    at least one runnable task was waiting for a CPU. VERDICT r10 #3:
+    the r10 32-core run showed unchanged code 3.4x slower with steal
+    at only 2.66% -- the contention was co-tenant CPU load, which
+    steal_pct cannot see but PSI can. The delta over the run / elapsed
+    is the fraction of the run spent CPU-starved."""
+    try:
+        with open("/proc/pressure/cpu") as f:
+            for line in f:
+                if line.startswith("some"):
+                    return int(line.rsplit("total=", 1)[1])
+    except (OSError, IndexError, ValueError):
+        pass
+    return -1
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    steal0, t_start = _steal_jiffies(), time.time()
+    steal0, psi0, t_start = _steal_jiffies(), _psi_cpu_some_us(), time.time()
     spark = get_spark("bench")
 
     # warm up JVM/session once (codegen compiler, parquet reader, noop
@@ -471,11 +488,22 @@ def main() -> None:
         if steal0 >= 0 and steal1 >= 0
         else -1.0
     )
+    # PSI cpu some: % of the run's wall-clock during which at least one
+    # runnable task waited for a CPU -- catches co-tenant load that
+    # steal_pct misses (VERDICT r10 #3). On a saturated 32-thread bench
+    # a modest value is normal; round-over-round DELTAS are the signal.
+    psi1 = _psi_cpu_some_us()
+    psi_pct = (
+        round(100.0 * (psi1 - psi0) / 1e6 / elapsed, 2)
+        if psi0 >= 0 and psi1 >= 0
+        else -1.0
+    )
     env = {
         "load1": round(os.getloadavg()[0], 2),
         "load5": round(os.getloadavg()[1], 2),
         "uptime_sec": round(uptime_s, 0),
         "steal_pct": steal_pct,
+        "psi_cpu_pct": psi_pct,
         "cpus": os.cpu_count(),
         "spark_cpus": os.environ.get("SPARK_GRAFT_CPUS", ""),
         "utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
@@ -546,6 +574,7 @@ def main() -> None:
             "load5": env["load5"],
             "uptime_sec": env["uptime_sec"],
             "steal_pct": env["steal_pct"],
+            "psi_cpu_pct": env["psi_cpu_pct"],
         },
         "detail": "BENCH_DETAIL.json",
     }

@@ -761,8 +761,19 @@ def kmeans_fit(
     from pyspark.sql import functions as F
 
     spark = df.sparkSession
-    vecs = fan_out_scan(
-        df.select(F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("v"))
+    # 2 + 2*rounds separate actions consume `vecs` (first(), init
+    # collect, per-round assignment + mean recomputation): persist the
+    # fanned-out projection so the scan + fan-out repartition run once,
+    # not once per action (ADVICE r10 #3). track_persist: the registry
+    # wrapper / bench release it between queries.
+    from ._cache import track_persist
+
+    vecs = track_persist(
+        fan_out_scan(
+            df.select(
+                F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("v")
+            )
+        )
     )
     row = vecs.first()
     if row is None:

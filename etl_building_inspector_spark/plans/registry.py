@@ -746,3 +746,84 @@ QUERIES = {
     **{n: QUERIES[n] for n in WINDOW_R10},
     **{n: q for n, q in QUERIES.items() if n not in set(WINDOW_R10)},
 }
+
+# Round-11 window (the head this round, per VERDICT r10 #2, executing
+# the WINDOW_R11 staging recorded in COVERAGE.md's round-10 ledger).
+# Composition: dedup_embedding_cosine LEADS for re-certification (its
+# plan changed AFTER its r9 driver row -- the r10 x10 soak's
+# streamed-side BNLJ repartition fix; value-identical, but the row
+# attests the pre-fix plan), then the 6 re-pins displaced from the r10
+# window by the round-10 additions (split_train_valid_test,
+# sql_api_q11ish, sql_api_q21ish, spatial_pip_join,
+# spatial_pip_join_grid, spatial_pip_nomatch_log -- latest row r3),
+# then the oldest remaining rows oldest-first: the 12 other r3-cohort
+# rows and the 31 oldest r4-cohort rows, alphabetical within round
+# (computed from the raw CORRECTNESS_r01..r10 artifacts: max round per
+# query). No first-time slots: round 11 is an optimization round and
+# adds no queries. After this window every driver row is <= 7 rounds
+# old and the rotation continues oldest-first (the remaining 18 r4
+# rows lead WINDOW_R12).
+WINDOW_R11: list[str] = [
+    # --- re-certification lead (plan changed after its r9 row) ---
+    "dedup_embedding_cosine",
+    # --- re-pins displaced from WINDOW_R10 (latest row r3) ---
+    "split_train_valid_test",
+    "sql_api_q11ish",
+    "sql_api_q21ish",
+    "spatial_pip_join",
+    "spatial_pip_join_grid",
+    "spatial_pip_nomatch_log",
+    # --- re-pins: latest driver row r3 (the rest of the cohort, A-Z) ---
+    "sql_api_q22ish",
+    "sql_api_q3",
+    "streaming_sessionize",
+    "text_bpe_token_estimate",
+    "text_chunk_windows",
+    "text_ngram_novelty",
+    "text_ngram_topk",
+    "text_winnow_fingerprints",
+    "unpivot_metrics",
+    "variant_extraction",
+    "window_distribution",
+    "window_frames_battery",
+    # --- re-pins: latest driver row r4 (oldest remaining, A-Z) ---
+    "asof_join_tolerance",
+    "attribution_first_touch",
+    "attribution_last_touch",
+    "basket_pair_lift",
+    "basket_pair_support",
+    "cohort_retention",
+    "compaction_bin_plan",
+    "corpus_source_overlap",
+    "cumulative_unique_users",
+    "decontaminate_embedding_lsh",
+    "dedup_incremental_minhash",
+    "densify_date_spine",
+    "dq_constraint_checks",
+    "event_path_topk",
+    "funnel_stages",
+    "funnel_stages_windowed",
+    "funnel_time_to_convert",
+    "graph_degree_distribution",
+    "id_gap_ranges",
+    "incremental_agg_merge",
+    "max_concurrent_intervals",
+    "median_exact_groups",
+    "median_exact_udaf",
+    "mom_revenue_growth",
+    "multimodal_byte_histogram",
+    "outlier_iqr_by_group",
+    "profile_columns",
+    "provenance_file_counts",
+    "regression_slope_by_nation",
+    "relational_division",
+    "revenue_concentration_8020",
+]
+_missing_r11 = [n for n in WINDOW_R11 if n not in QUERIES]
+assert not _missing_r11, f"WINDOW_R11 names not registered: {_missing_r11}"
+assert len(WINDOW_R11) == len(set(WINDOW_R11)) == 50
+# THE head reorder (insertion order is the driver's iteration order).
+QUERIES = {
+    **{n: QUERIES[n] for n in WINDOW_R11},
+    **{n: q for n, q in QUERIES.items() if n not in set(WINDOW_R11)},
+}

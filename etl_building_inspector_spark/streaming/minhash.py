@@ -58,12 +58,21 @@ def streaming_minhash_index_refresh(
     state: dict = {"index": None}
 
     def _absorb(batch_df: DataFrame, epoch_id: int) -> None:
-        # no isEmpty() guard: it cost one extra Spark job per
-        # micro-batch, and merging an EMPTY batch index is the
-        # monoid's identity (union + re-agg returns the previous
-        # index rows unchanged), so the fold is correct without it;
-        # a stream with no batches at all never invokes this handler,
-        # so the state-None "no batches" guard below still fires.
+        # No isEmpty() JOB per micro-batch (it cost one extra Spark job
+        # per batch, r10): merging an EMPTY batch index is the monoid's
+        # identity, so the fold is correct without any guard. But an
+        # empty batch folded WITHOUT a guard would still pay a full
+        # union + re-aggregation + localCheckpoint of the standing
+        # index (ADVICE r10 #2) -- so when an index already exists,
+        # skip empty batches using driver-side file metadata only
+        # (a file-source micro-batch with no input files has no rows;
+        # zero Spark jobs spent deciding).
+        if state["index"] is not None:
+            try:
+                if not batch_df.inputFiles():
+                    return
+            except Exception:
+                pass  # non-file source: fall through to the safe fold
         idx_b = minhash_band_index(
             batch_df.select(id_col, text_col),
             text_col,

@@ -517,11 +517,15 @@ def test_minhash_index_refresh_bounded_shuffles(spark, sf_dir):
     text) inputs (operators/_parallel.fan_out_scan, guide 2.5: the
     single-row-group fixture scan otherwise serializes the sha256
     shingle pass onto 1-2 cores) -- those are narrow-input round
-    robins, not summary-row shuffles, hence the bound moves 5 -> 8."""
+    robins, not summary-row shuffles. The realized plan holds 7
+    Exchanges (4 summary-row hash shuffles + 3 fan-out round robins);
+    pinned exactly there per ADVICE r10 #4 -- the r10 bound of 8 was
+    the theoretical maximum, not the realized count, and the slack
+    weakened the regression guard."""
     plan = _executed(spark, "dedup_minhash_index_refresh", sf_dir)
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
-    assert plan.count("Exchange") <= 8, plan
+    assert plan.count("Exchange") <= 7, plan
 
 
 def test_collocations_pmi_topk_is_take_ordered(spark, sf_dir):
