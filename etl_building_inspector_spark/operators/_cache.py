@@ -45,6 +45,22 @@ def track_local_checkpoint(df: DataFrame) -> DataFrame:
     return out
 
 
+def track_local_checkpoint_lazy(df: DataFrame) -> DataFrame:
+    """localCheckpoint with eager=False: the plan is truncated to a
+    LogicalRDD immediately, but the blocks materialize on the FIRST
+    ACTION instead of in their own dedicated job. Iterative operators
+    use this to fold the per-round materialization into the per-round
+    convergence count -- one Spark job per round instead of two
+    (VERDICT r10 #3). The caller MUST run a full-scan action (count()
+    over the frame or a superset filter of it) before freeing the
+    previous round's blocks and before the next round references the
+    frame twice; a partial action (limit) would leave missing
+    partitions for Spark's catch-up checkpoint job."""
+    out = df.localCheckpoint(eager=False)
+    _CHECKPOINTED.append(out)
+    return out
+
+
 def free_local_checkpoint(df: DataFrame) -> None:
     """Drop a checkpointed DataFrame's blocks NOW (the df becomes
     unusable -- only call on superseded intermediates). The analyzed

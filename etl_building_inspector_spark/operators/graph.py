@@ -21,7 +21,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ._cache import free_local_checkpoint, track_local_checkpoint, track_persist
+from ._cache import (
+    free_local_checkpoint,
+    track_local_checkpoint,
+    track_local_checkpoint_lazy,
+    track_persist,
+)
 
 
 def triangle_count(edges: DataFrame, src: str = "u", dst: str = "v") -> DataFrame:
@@ -256,11 +261,24 @@ def bfs_hops(
     max_hops (or unreachable) are absent. `seeds` must have one
     column; seed nodes get hops=0 whether or not they appear in
     edges."""
+    # symmetrize in ONE pass (explode, not self-union): the union form
+    # evaluated the upstream edge pipeline twice when `sym` first
+    # materializes -- for the near-dup seed graphs that upstream is
+    # the minhash pair build, the dominant cost (guide 2.4)
     sym = edges.select(
-        F.col(src).cast("long").alias("s"), F.col(dst).cast("long").alias("d")
-    ).unionByName(
-        edges.select(F.col(dst).cast("long").alias("s"), F.col(src).cast("long").alias("d"))
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col(src).cast("long").alias("s"),
+                    F.col(dst).cast("long").alias("d"),
+                ),
+                F.struct(
+                    F.col(dst).cast("long").alias("s"),
+                    F.col(src).cast("long").alias("d"),
+                ),
+            )
+        ).alias("__e")
+    ).select(F.col("__e.s").alias("s"), F.col("__e.d").alias("d"))
     sym = track_persist(sym)
     frontier = track_local_checkpoint(
         seeds.select(F.col(seeds.columns[0]).cast("long").alias("node"))
@@ -269,14 +287,18 @@ def bfs_hops(
     )
     visited = frontier
     for h in range(1, max_hops + 1):
-        nxt = track_local_checkpoint(
+        # LAZY checkpoint + the emptiness probe as its materializing
+        # action: one job instead of a checkpoint job + a probe job
+        # per hop (the count is a full scan by design -- a limit(1)
+        # would leave missing partitions; VERDICT r10 #3)
+        nxt = track_local_checkpoint_lazy(
             sym.join(frontier, sym["s"] == frontier["node"])
             .select(F.col("d").alias("node"))
             .distinct()
             .join(visited.select("node"), "node", "left_anti")
             .withColumn("hops", F.lit(h).cast("long"))
         )
-        if nxt.limit(1).count() == 0:
+        if nxt.count() == 0:
             free_local_checkpoint(nxt)
             break
         new_visited = track_local_checkpoint(visited.unionByName(nxt))
@@ -312,16 +334,24 @@ def sssp_bounded(
     (negative weights impossible here, but cycles are) and the state
     bound -- the SSSP twin of bfs_hops' max_hops.
     """
+    # symmetrize in ONE pass (explode, not self-union) -- see bfs_hops
     sym = edges.select(
-        F.col(src).cast("long").alias("s"),
-        F.col(dst).cast("long").alias("d"),
-        F.col(weight).cast("long").alias("w"),
-    ).unionByName(
-        edges.select(
-            F.col(dst).cast("long").alias("s"),
-            F.col(src).cast("long").alias("d"),
-            F.col(weight).cast("long").alias("w"),
-        )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col(src).cast("long").alias("s"),
+                    F.col(dst).cast("long").alias("d"),
+                    F.col(weight).cast("long").alias("w"),
+                ),
+                F.struct(
+                    F.col(dst).cast("long").alias("s"),
+                    F.col(src).cast("long").alias("d"),
+                    F.col(weight).cast("long").alias("w"),
+                ),
+            )
+        ).alias("__e")
+    ).select(
+        F.col("__e.s").alias("s"), F.col("__e.d").alias("d"), F.col("__e.w").alias("w")
     )
     sym = track_persist(sym)
     dist = track_local_checkpoint(
@@ -337,7 +367,11 @@ def sssp_bounded(
             .groupBy("node")
             .agg(F.min("nd").alias("nd"))
         )
-        merged = track_local_checkpoint(
+        # LAZY checkpoint + the improved-count as its materializing
+        # action: one job per round instead of two (the count is a
+        # full scan over `merged`, so every partition is cached before
+        # the previous round is freed; VERDICT r10 #3)
+        merged = track_local_checkpoint_lazy(
             dist.join(cand, "node", "full_outer")
             .select(
                 "node",
@@ -352,11 +386,10 @@ def sssp_bounded(
                 ).alias("improved"),
             )
         )
-        new_frontier = merged.filter(F.col("improved")).select("node", "dist")
-        if new_frontier.limit(1).count() == 0:
-            free_local_checkpoint(dist)
-            return merged.select("node", "dist")
+        n_improved = merged.filter(F.col("improved")).count()
         free_local_checkpoint(dist)
+        if n_improved == 0:
+            return merged.select("node", "dist")
         dist = merged.select("node", "dist")
-        frontier = new_frontier
+        frontier = merged.filter(F.col("improved")).select("node", "dist")
     return dist
