@@ -119,36 +119,37 @@ def streaming_bloom_decontaminate(
             state["flagged"][r[id_col]] = (b, int(r["__n"]))
 
     def _apply_batch(suite_batch: DataFrame, epoch_id: int) -> None:
-        if suite_batch.isEmpty():
+        # ONE Spark job per micro-batch for the suite-side gram prep
+        # (r11, VERDICT r10 #4): tokenize + shingle + hash the batch's
+        # docs tagged by suite batch, collect the (tag, ha, hb) rows,
+        # and group driver-side. This replaces three jobs -- the
+        # isEmpty() probe (an empty batch collects zero rows), the
+        # text collect, and the per-tag re-upload + gram collect --
+        # while computing the exact same per-tag distinct gram sets
+        # with the exact same Spark hash semantics (per-doc
+        # array_distinct + cross-doc np.unique, unchanged).
+        gha, ghb = _gram_hash_pair(F.col("__g"))
+        prs = (
+            suite_batch.select(
+                F.col(batch_col), tokens(text_col).alias("__t")
+            )
+            .select(
+                F.col(batch_col),
+                F.explode(
+                    F.array_distinct(shingles(text_col, n, toks=F.col("__t")))
+                ).alias("__g"),
+            )
+            .select(F.col(batch_col), gha.alias("__a"), ghb.alias("__b"))
+            .collect()
+        )
+        if not prs:
             return
-        rows = suite_batch.select(batch_col, text_col).collect()
-        by_b: dict[int, list[str]] = {}
-        for r in rows:
-            by_b.setdefault(int(r[batch_col]), []).append(r[text_col])
+        by_b: dict[int, list[tuple[int, int]]] = {}
+        for r in prs:
+            by_b.setdefault(int(r[batch_col]), []).append((r["__a"], r["__b"]))
         for b in sorted(by_b):  # ascending tag order within the trigger
-            texts = by_b[b]
-            bench = spark.createDataFrame(
-                pd.DataFrame({text_col: texts}), schema=f"{text_col} string"
-            )
-            gha, ghb = _gram_hash_pair(F.col("__g"))
-            prs = (
-                bench.select(tokens(text_col).alias("__t"))
-                .select(
-                    F.explode(
-                        F.array_distinct(shingles(text_col, n, toks=F.col("__t")))
-                    ).alias("__g")
-                )
-                .select(gha.alias("__a"), ghb.alias("__b"))
-                .collect()
-            )
-            arr = (
-                np.unique(
-                    np.array([(r["__a"], r["__b"]) for r in prs], dtype=np.int64
-                             ).reshape(-1, 2),
-                    axis=0,
-                )
-                if prs
-                else np.empty((0, 2), dtype=np.int64)
+            arr = np.unique(
+                np.array(by_b[b], dtype=np.int64).reshape(-1, 2), axis=0
             )
             _screen_one_suite_batch(b, arr)
 
